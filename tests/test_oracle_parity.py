@@ -1,0 +1,34 @@
+"""Differential tests: every declared query must match its DuckDB oracle at
+sf0.01 — the same check the driver runs (CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_ORACLE
+from tests.oracle_harness import compare_query
+
+
+def _pairs():
+    from realparse_spark.registry import all_oracles, all_queries
+
+    q = all_queries()
+    o = all_oracles()
+    return [(name, q[name], o[name]) for name in sorted(q) if name in o]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_query_matches_oracle(spark, duck, name, fn, sql):
+    ok, detail = compare_query(spark, duck, fn, sql, SF_DIR_ORACLE)
+    assert ok, f"{name}: {detail}"
+
+
+def test_all_queries_have_oracle_or_reason():
+    from realparse_spark.registry import all_oracles, all_queries
+
+    q = all_queries()
+    o = all_oracles()
+    missing = sorted(set(q) - set(o))
+    # rows-only checks must be intentional; keep the allowlist here
+    allowed_rows_only = set()
+    assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
