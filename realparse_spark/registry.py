@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = (
     "realparse_spark.operators.report",
+    "realparse_spark.operators.parse_queries",
 )
 
 

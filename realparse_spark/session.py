@@ -39,6 +39,10 @@ def get_spark(app_name: str = "realparse_spark", *, shuffle_partitions: int | No
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in the source layer.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Permissive expression semantics: a malformed log line yields NULL
+        # fields instead of aborting the job — required for multi-TB log
+        # ingestion where single bad lines are a certainty.
+        .config("spark.sql.ansi.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
