@@ -44,7 +44,9 @@ def duration_hms(seconds: Column) -> Column:
     the F12 'N/A' coalesce).
     """
     s = seconds.cast("long")
-    return F.when(
+    # format_string stringifies NULL args as 'null'; a NULL duration must
+    # stay NULL for the F12 coalesce to work.
+    return F.when(s.isNull(), F.lit(None).cast("string")).when(
         s >= 3600,
         F.format_string(
             "%d:%02d:%02d",

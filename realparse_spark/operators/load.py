@@ -1,0 +1,262 @@
+"""Incremental star-schema load pipeline (SURVEY.md §2.1 S6-S7, §2.3 F1-F3,
+§2.4 J2, §3.1-3.2).
+
+The reference loads each log line into 5-7 MySQL tables with per-row
+INSERT + `SELECT max(id)` read-backs (real_parse.pl:96-177) guarded by a
+high-watermark (`MAX(datetime)` of the already-loaded family,
+real_parse.pl:47-52).  Spark shape:
+
+    read.text (pruned file set)
+      -> parse (narrow, codegen)
+      -> watermark filter (strictly-greater, F1 semantics)
+      -> derive surrogate keys once (J2: no read-back, no serialization)
+      -> persist
+      -> N projected child writes (Parquet, partitioned by server_type)
+
+The whole load is shuffle-free; at 100 TB the only cost is the scan and the
+N columnar writes, all from one cached parse.
+
+Key semantics preserved from the reference: late rows (epoch <= watermark)
+are silently dropped, ties included (real_parse.pl:93 strict `>`), and
+re-running over the same rotated files inserts nothing new (idempotence via
+the watermark, replacing `LOCK TABLES`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.parse import (
+    explode_stats_masks,
+    parse_client_info,
+    parse_style5,
+    parse_weblog,
+)
+from realparse_spark.sources.logs import read_log_lines, read_server_config
+
+ACCESS_TABLES = ("access", "file", "client", "network", "stats_mask1", "stats_mask2", "stats_mask3")
+
+
+def _table_path(warehouse: str, name: str) -> str:
+    return os.path.join(warehouse, name)
+
+
+def read_warehouse_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame | None:
+    path = _table_path(warehouse, name)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def _family_watermark(spark: SparkSession, warehouse: str, real_family: bool) -> int | None:
+    """F1/F2 — max loaded epoch for one source family, discriminated by
+    logging_style NULLness (real_parse.pl:47 vs web_parse.pl:42)."""
+    access = read_warehouse_table(spark, warehouse, "access")
+    if access is None:
+        return None
+    fam = access.filter(
+        F.col("logging_style").isNotNull() if real_family else F.col("logging_style").isNull()
+    )
+    row = fam.agg(F.max(F.unix_timestamp("datetime")).alias("wm")).collect()[0]
+    return row.wm
+
+
+def _next_key_base(spark: SparkSession, warehouse: str) -> int:
+    access = read_warehouse_table(spark, warehouse, "access")
+    if access is None:
+        return 0
+    row = access.agg(F.max("access_id").alias("m")).collect()[0]
+    return (row.m or 0) + 1
+
+
+def load_style5(
+    spark: SparkSession,
+    log_dir: str,
+    warehouse: str,
+    config_path: str | None = None,
+    latest: int | None = 2,
+    prefix: str = "rmaccess",
+) -> dict[str, int]:
+    """Main ETL (real_parse.pl end-to-end).  Returns per-table insert counts."""
+    logging_style, stats_mask = 5, 7
+    if config_path is not None:
+        logging_style, stats_mask = read_server_config(config_path)
+        if logging_style != 5:  # F3 gate (real_parse.pl:58,186-188)
+            return {}
+
+    lines = read_log_lines(spark, log_dir, prefix, latest)
+    parsed = parse_style5(lines, line_col="value")
+
+    wm = _family_watermark(spark, warehouse, real_family=True)
+    if wm is not None:
+        parsed = parsed.filter(F.col("epoch") > F.lit(wm))  # F1 strict '>'
+
+    base = _next_key_base(spark, warehouse)
+    # J2: one deterministic-enough surrogate per line, derived without any
+    # read-back; monotonically_increasing_id is unique per run, the base
+    # offset keeps runs disjoint (sparse like auto-increment with gaps).
+    keyed = parsed.withColumn(
+        "access_id", F.lit(base) + F.monotonically_increasing_id()
+    ).persist()
+    try:
+        n = keyed.count()
+        if n == 0:
+            return {t: 0 for t in ACCESS_TABLES}
+
+        counts: dict[str, int] = {}
+
+        access = keyed.select(
+            "access_id", "client_ip_address", "identuser", "authuser",
+            F.to_timestamp("datetime").alias("datetime"), "gmt_offset",
+            F.lit(logging_style).cast("int").alias("logging_style"),
+            F.lit(stats_mask).cast("int").alias("stats_mask"),
+            F.lit(1).cast("int").alias("server_type"),  # real_parse.pl:16
+        )
+        _append(access, warehouse, "access")
+        counts["access"] = n
+
+        file_df = keyed.select(
+            F.col("access_id").alias("file_id"),  # 1:1 with access -> same key
+            "method", "path", "name", "protocol_version", "status_code",
+            "bytes_sent", "file_size", "file_time", "sent_time",
+            F.lit(None).cast("timestamp").alias("start_time"),  # real_parse.pl:145
+            "presentation_id", "access_id",
+        )
+        _append(file_df, warehouse, "file")
+        counts["file"] = n
+
+        client = parse_client_info(
+            keyed.select("access_id", "client_info", "client_GUID")
+        ).select(
+            F.col("access_id").alias("client_id"),
+            "client_info", "platform", "os_version", "client_version", "type",
+            "distribution", "language", "cpu", "embedded", "client_GUID",
+            "access_id",
+        )
+        _append(client, warehouse, "client")
+        counts["client"] = n
+
+        network = keyed.select(
+            F.col("access_id").alias("network_id"),
+            "resends", "failed_resends",
+            F.lit(None).cast("string").alias("server_address"),  # real_parse.pl:173-175
+            F.lit(None).cast("long").alias("packets_sent"),
+            F.lit(None).cast("double").alias("average_bitrate"),
+            "access_id",
+            F.col("access_id").alias("file_id"),
+        )
+        _append(network, warehouse, "network")
+        counts["network"] = n
+
+        stats = explode_stats_masks(
+            keyed.withColumn("_brackets", F.regexp_extract_all("value", F.lit(r"\[([^\]]*)\]"), 1)),
+            key_cols=("access_id",),
+        ).persist()
+        try:
+            s1 = stats.filter(F.col("stat_type") == 1).select(
+                F.col("access_id").alias("id"),
+                "packets_received", "out_of_order", "missing", "early", "late",
+                "audio_format", "access_id", F.col("access_id").alias("file_id"),
+            )
+            _append(s1, warehouse, "stats_mask1")
+            counts["stats_mask1"] = s1.count()
+
+            s2 = stats.filter(F.col("stat_type") == 2).select(
+                F.col("access_id").alias("id"),
+                "bandwidth", "available", "highest", "lowest", "average",
+                "requested", "received", F.col("s2_late").alias("late"),
+                "rebuffering", "transport", "startup", "audio_format",
+                "access_id", F.col("access_id").alias("file_id"),
+            )
+            _append(s2, warehouse, "stats_mask2")
+            counts["stats_mask2"] = s2.count()
+
+            s3 = stats.filter(F.col("stat_type") == 3).select(
+                F.col("access_id").alias("id"),
+                F.col("raw_stat"),
+                "access_id", F.col("access_id").alias("file_id"),
+            )
+            _append(s3, warehouse, "stats_mask3")
+            counts["stats_mask3"] = s3.count()
+        finally:
+            stats.unpersist()
+        return counts
+    finally:
+        keyed.unpersist()
+
+
+def load_weblog(
+    spark: SparkSession,
+    log_dir: str,
+    warehouse: str,
+    latest: int | None = 2,
+    prefix: str = "log.",
+) -> dict[str, int]:
+    """Secondary ETL (web_parse.pl end-to-end): combined-format lines
+    filtered to .wma/.wmv, NULL logging_style/stats_mask, server_type=0,
+    access+file+client only (no network/stats rows)."""
+    lines = read_log_lines(spark, log_dir, prefix, latest)
+    parsed = parse_weblog(lines, line_col="value")
+
+    wm = _family_watermark(spark, warehouse, real_family=False)
+    if wm is not None:
+        parsed = parsed.filter(F.col("epoch") > F.lit(wm))
+
+    base = _next_key_base(spark, warehouse)
+    keyed = parsed.withColumn(
+        "access_id", F.lit(base) + F.monotonically_increasing_id()
+    ).persist()
+    try:
+        n = keyed.count()
+        if n == 0:
+            return {t: 0 for t in ("access", "file", "client")}
+
+        access = keyed.select(
+            "access_id", "client_ip_address", "identuser", "authuser",
+            F.to_timestamp("datetime").alias("datetime"), "gmt_offset",
+            F.lit(None).cast("int").alias("logging_style"),  # web_parse.pl:87
+            F.lit(None).cast("int").alias("stats_mask"),
+            F.lit(0).cast("int").alias("server_type"),  # web_parse.pl:15
+        )
+        _append(access, warehouse, "access")
+
+        file_df = keyed.select(
+            F.col("access_id").alias("file_id"),
+            "method", "path", "name", "protocol_version", "status_code",
+            "bytes_sent",
+            F.lit(None).cast("long").alias("file_size"),  # web rows: NULLs
+            F.lit(None).cast("int").alias("file_time"),
+            F.lit(None).cast("int").alias("sent_time"),
+            F.lit(None).cast("timestamp").alias("start_time"),
+            F.lit(None).cast("int").alias("presentation_id"),
+            "access_id",
+        )
+        _append(file_df, warehouse, "file")
+
+        client = keyed.select(
+            F.col("access_id").alias("client_id"),
+            F.col("user_agent").alias("client_info"),  # web_parse.pl:129
+            *[F.lit(None).cast("string").alias(c) for c in (
+                "platform", "os_version", "client_version", "type",
+                "distribution", "language", "cpu", "embedded", "client_GUID",
+            )],
+            "access_id",
+        )
+        _append(client, warehouse, "client")
+        return {"access": n, "file": n, "client": n}
+    finally:
+        keyed.unpersist()
+
+
+def _append(df: DataFrame, warehouse: str, name: str) -> None:
+    """S7 — batched columnar append; replaces per-row INSERT round-trips.
+    At scale: partition `access` by server_type (+ date) so the F2 family
+    discriminator and time-range reports prune partitions."""
+    writer = df.write.mode("append")
+    if name == "access":
+        writer = writer.partitionBy("server_type")
+    writer.parquet(_table_path(warehouse, name))

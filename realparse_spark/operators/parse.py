@@ -215,6 +215,12 @@ def explode_stats_masks(df: DataFrame, brackets_col: str = "_brackets", key_cols
         .withColumn("late", F.regexp_extract("tok", stat1, 5).cast("int"))
         .withColumn("bandwidth", F.regexp_extract("tok", stat2, 1).cast("int"))
         .withColumn("available", F.regexp_extract("tok", stat2, 2).cast("int"))
+        .withColumn("highest", F.regexp_extract("tok", stat2, 3).cast("int"))
+        .withColumn("lowest", F.regexp_extract("tok", stat2, 4).cast("int"))
+        .withColumn("average", F.regexp_extract("tok", stat2, 5).cast("int"))
+        .withColumn("requested", F.regexp_extract("tok", stat2, 6).cast("int"))
+        .withColumn("received", F.regexp_extract("tok", stat2, 7).cast("int"))
+        .withColumn("s2_late", F.regexp_extract("tok", stat2, 8).cast("int"))
         .withColumn("rebuffering", F.regexp_extract("tok", stat2, 9).cast("double"))
         .withColumn("transport", F.regexp_extract("tok", stat2, 10).cast("int"))
         .withColumn("startup", F.regexp_extract("tok", stat2, 11).cast("int"))

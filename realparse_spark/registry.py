@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = (
     "realparse_spark.operators.report",
     "realparse_spark.operators.parse_queries",
+    "realparse_spark.operators.log_report",
 )
 
 

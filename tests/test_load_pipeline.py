@@ -1,0 +1,139 @@
+"""End-to-end load pipeline tests (SURVEY.md §3.1-3.2 shapes): rotated log
+files -> parse -> watermark -> star-schema parquet warehouse."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.load import load_style5, load_weblog, read_warehouse_table
+from realparse_spark.sources.logs import latest_files, read_server_config
+
+
+def style5_line(ip: str, ts: str, fname: str, *, status=200, stats="", tail="2097152 180 175 5 1 42",
+                client="Win_5.0_6.0.9.373_play32_RN01_EN_586_0",
+                guid="01234567-89ab-cdef-0123-456789abcdef") -> str:
+    return (
+        f'{ip} - - [{ts} -0800] "GET {fname} RTSP/1.0" {status} 1048576 '
+        f"[{client}] [{guid}]{stats} {tail}"
+    )
+
+
+STATS_FULL = (
+    " [Stat1: 1200 3 2 1 4 audio/x-pn-realaudio]"
+    " [Stat2: 80000 64000 80000 16000 60000 1200 1195 4 1.5 1 2 audio/x-pn-realaudio]"
+)
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    # three rotated files; only the last two should load (S2)
+    (d / "rmaccess.log.20021010").write_text(
+        style5_line("10.0.0.1", "10/Oct/2002:01:00:00", "/old/skip.rm") + "\n"
+    )
+    (d / "rmaccess.log.20021012").write_text(
+        "\n".join(
+            [
+                style5_line("10.0.0.2", "12/Oct/2002:09:00:00", "/media/a/one.rm", stats=STATS_FULL),
+                style5_line("10.0.0.3", "12/Oct/2002:10:00:00", "/media/a/two.rm", stats=" [Stat3: rawdata]"),
+            ]
+        )
+        + "\n"
+    )
+    (d / "rmaccess.log.20021013").write_text(
+        style5_line(
+            "10.0.0.4", "13/Oct/2002:09:03:38", "/media/b/three.rm?arg=1",
+            client="QT (qtver=6.0;os=Mac OS X)", stats=" [Stat1: 5 4 3 2 1 ]",
+        )
+        + "\n"
+    )
+    (d / ".hidden").write_text("ignore me\n")
+    (d / "other.log").write_text("not an rmaccess file\n")
+    return str(d)
+
+
+def test_latest_files_pruning(log_dir):
+    got = [os.path.basename(p) for p in latest_files(log_dir, "rmaccess")]
+    assert got == ["rmaccess.log.20021012", "rmaccess.log.20021013"]
+
+
+def test_style5_load_and_idempotence(spark, log_dir, tmp_path):
+    wh = str(tmp_path / "wh")
+    counts = load_style5(spark, log_dir, wh)
+    # 3 lines in latest-2 files
+    assert counts["access"] == counts["file"] == counts["client"] == counts["network"] == 3
+    assert counts["stats_mask1"] == 2  # full + empty-audio variants
+    assert counts["stats_mask2"] == 1
+    assert counts["stats_mask3"] == 1
+
+    access = read_warehouse_table(spark, wh, "access")
+    assert access.filter(F.col("server_type") == 1).count() == 3
+    assert access.filter(F.col("logging_style") == 5).count() == 3
+
+    file_t = read_warehouse_table(spark, wh, "file")
+    names = {r.name for r in file_t.select("name").collect()}
+    assert names == {"one.rm", "two.rm", "three.rm"}  # query arg truncated (P10)
+
+    client = read_warehouse_table(spark, wh, "client")
+    qt = client.filter(F.col("type") == "QT").collect()
+    assert len(qt) == 1 and qt[0].os_version == "Mac OS X"
+
+    s1 = read_warehouse_table(spark, wh, "stats_mask1")
+    fmts = {r.audio_format for r in s1.collect()}
+    assert fmts == {"audio/x-pn-realaudio", "UNKNOWN"}  # C12 default
+
+    # FK integrity: every child key appears in access
+    ids = {r.access_id for r in access.collect()}
+    for t in ("file", "client", "network", "stats_mask1", "stats_mask2", "stats_mask3"):
+        child = read_warehouse_table(spark, wh, t)
+        assert {r.access_id for r in child.collect()} <= ids, t
+
+    # re-run: watermark drops everything (F1 idempotence)
+    counts2 = load_style5(spark, log_dir, wh)
+    assert all(v == 0 for v in counts2.values())
+    assert read_warehouse_table(spark, wh, "access").count() == 3
+
+    # new rotated file with strictly newer rows -> only those load
+    with open(os.path.join(log_dir, "rmaccess.log.20021014"), "w") as fh:
+        fh.write(style5_line("10.0.0.5", "14/Oct/2002:08:00:00", "/media/c/four.rm") + "\n")
+        # tie with existing max (13/Oct 09:03:38) must be dropped (strict >)
+        fh.write(style5_line("10.0.0.6", "13/Oct/2002:09:03:38", "/media/c/tie.rm") + "\n")
+    counts3 = load_style5(spark, log_dir, wh)
+    assert counts3["access"] == 1
+    assert read_warehouse_table(spark, wh, "access").count() == 4
+
+
+def test_config_gate(spark, log_dir, tmp_path):
+    cfg = tmp_path / "rmserver.cfg"
+    cfg.write_text('<Var LoggingStyle="3"/>\n<Var StatsMask="2"/>\n')
+    assert read_server_config(str(cfg)) == (3, 2)
+    assert load_style5(spark, log_dir, str(tmp_path / "wh2"), config_path=str(cfg)) == {}
+
+
+def test_weblog_load(spark, tmp_path):
+    d = tmp_path / "weblogs"
+    d.mkdir()
+    lines = [
+        '10.0.22.9 - - [13/Oct/2002:10:15:01 -0800] "GET /media/s/intro.wmv HTTP/1.1" 200 524288 "-" "Mozilla/4.0 (WMP 7.1)"',
+        '10.0.22.9 - - [13/Oct/2002:10:16:01 -0800] "GET /media/s/a.wma HTTP/1.1" 200 1000 "-" "NSPlayer/9.0"',
+        '10.0.22.9 - - [13/Oct/2002:10:17:01 -0800] "GET /index.html HTTP/1.1" 200 99 "-" "Mozilla/5.0"',
+    ]
+    (d / "log.1").write_text("\n".join(lines) + "\n")
+    wh = str(tmp_path / "wh3")
+    counts = load_weblog(spark, str(d), wh)
+    assert counts["access"] == 2  # F4: .html row filtered out
+
+    access = read_warehouse_table(spark, wh, "access")
+    assert access.filter(F.col("logging_style").isNull()).count() == 2
+    assert access.filter(F.col("server_type") == 0).count() == 2
+    client = read_warehouse_table(spark, wh, "client")
+    infos = {r.client_info for r in client.collect()}
+    assert infos == {"Mozilla/4.0 (WMP 7.1)", "NSPlayer/9.0"}
+
+    # both families share the warehouse: style-5 watermark is independent (F2)
+    counts2 = load_weblog(spark, str(d), wh)
+    assert counts2["access"] == 0
