@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Timing is per-query wall clock around a full materialization
+(count + collect of the aggregate output), after a JVM/session warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# keep Spark quiet so stdout is exactly one JSON line
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+HEADLINE = [
+    "customer_report",      # broadcast-join + grouped report (flagship)
+    "log_report_e2e",       # synth + full style-5 parse + report
+    "parse_style5",         # raw parse throughput
+    "tumbling_window",      # time-windowed agg
+    "sessionize",           # window functions
+    "distinct_agg",         # exact distinct
+    "json_props",           # JSON extraction
+    "like_pattern_join",    # non-equi LIKE join
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from realparse_spark.registry import all_queries
+    from realparse_spark.session import get_spark
+
+    spark = get_spark("realparse-bench")
+    queries = all_queries()
+
+    # warmup: touch every input table once so first-query timing isn't
+    # dominated by JVM classloading / parquet footer reads
+    from realparse_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
