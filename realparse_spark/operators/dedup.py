@@ -1,0 +1,383 @@
+"""Deduplication operators over `documents` / `embeddings` — the
+training-data-pipeline dedup surface (BASELINE.json north star).
+
+Scale design notes (the part that matters at 100 TB):
+
+- exact:    one hash-groupBy; the shuffle key is the md5, uniformly
+            distributed, so no skew.  Map-side partial agg halves traffic.
+- ngram:    candidate generation by inverted-index self-join on shared
+            n-grams.  The join key (ngram) is Zipf-skewed — AQE skew-join
+            splits hot ngrams; a document-frequency cap (drop ngrams in
+            > df_cap docs) bounds the candidate blowup the way real
+            pipelines do.
+- minhash:  constant-size signatures (K hashes) replace the full ngram
+            set; LSH banding makes candidate generation O(docs x bands),
+            i.e. linear scans + one groupBy per band batch — the only
+            strategy that survives 100 TB.  Signatures are built with
+            one posexplode x K min-aggregation, all JVM-side.
+- simhash:  64-bit signature via bitwise vote over token hashes; near-dup
+            candidates join on 16-bit chunk equality (pigeonhole: hamming
+            <= 3 guarantees one of 4 chunks equal).
+- embedding: cosine near-dup with label blocking (analog of a real
+            pipeline's ANN blocking).
+
+`minhash` / `simhash` use xxhash64, which DuckDB cannot reproduce, so the
+driver records rows-only checks for them; their *quality* (agreement with
+exact Jaccard) is asserted in tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.text import ws_tokens
+from realparse_spark.sources.tables import load_table
+
+# deterministic MinHash permutation parameters (public textbook scheme:
+# h_i(x) = (a_i * x + b_i) mod p over a Mersenne prime).  p is 31-bit so
+# a*h+b stays well inside int64 (no silent overflow in the JVM expression).
+MINHASH_P = (1 << 31) - 1
+
+
+def _perm_params(k: int) -> list[tuple[int, int]]:
+    # fixed LCG so signatures are stable across runs/sessions
+    params, state = [], 88172645463325252
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MINHASH_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the document."""
+    toks = ws_tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: canonical doc = min(doc_id) per normalized
+    text hash; emits group size so the caller can filter dup groups."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("doc_id").alias("group_size"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = exact_dedup(load_table(spark, sf_dir, "documents"))
+    return g.agg(
+        F.count("fp").alias("n_unique"),
+        F.sum("group_size").alias("n_docs"),
+        F.count(F.when(F.col("group_size") > 1, True)).alias("n_dup_groups"),
+        F.max("group_size").alias("max_group"),
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+WITH g AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS canonical_doc_id,
+         count(doc_id) AS group_size
+  FROM documents GROUP BY 1
+)
+SELECT count(fp) AS n_unique,
+       sum(group_size) AS n_docs,
+       count(CASE WHEN group_size > 1 THEN 1 END) AS n_dup_groups,
+       max(group_size) AS max_group
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, inverted-index candidate join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, df_cap: int = 1000
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for every pair sharing at
+    least one (sufficiently rare) n-gram.  Exact for threshold > 0 because
+    J>0 implies a shared n-gram; df_cap drops boilerplate shingles that
+    would otherwise create quadratic candidates (standard practice)."""
+    grams = (
+        docs.select("doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("g").alias("sz"))
+    rare = grams.join(
+        grams.groupBy("g").agg(F.count("doc_id").alias("df")).filter(F.col("df") <= df_cap),
+        "g",
+    ).select("doc_id", "g")
+
+    a = rare.alias("a")
+    b = rare.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        6,
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+DEDUP_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                            i -> array_to_string(t[i:i+2], ' '))) AS g
+    FROM toks
+  )
+),
+sizes AS (SELECT doc_id, count(g) AS sz FROM grams GROUP BY doc_id),
+rare AS (
+  SELECT doc_id, g FROM grams
+  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(doc_id) <= 1000)
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the 100 TB-scale path; rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
+    """K-permutation MinHash signatures over word-3-gram shingles.
+    Shape: explode shingles -> xxhash64 -> K (a*h+b) mod p columns ->
+    one groupBy(doc_id) with K min() aggregates.  Single shuffle, constant
+    signature width regardless of document size."""
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("g")
+    )
+    # map to [0, p) — xxhash64 is signed; pmod gives the canonical residue
+    h = F.pmod(F.xxhash64("g"), F.lit(MINHASH_P))
+    hashed = grams.select("doc_id", h.alias("h"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(k))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, k: int = 32, bands: int = 8, threshold: float = 0.5
+) -> DataFrame:
+    """LSH banding: signature split into `bands` rows of k/bands hashes;
+    docs agreeing on any full band become candidates; candidates are
+    scored by full-signature agreement (estimated Jaccard) and filtered.
+
+    At scale each band is one narrow groupBy on a 64-bit band key —
+    no pairwise work outside hash buckets."""
+    sig = minhash_signatures(docs, n, k).persist()
+    r = k // bands
+    try:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        banded = sig.select("doc_id", *band_cols)
+        # candidates: union of per-band bucket joins
+        cand = None
+        for b in range(bands):
+            l = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band_{b}").alias("bk"))
+            rr = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band_{b}").alias("bk"))
+            c = l.join(rr, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+            cand = c if cand is None else cand.unionByName(c)
+        cand = cand.distinct()
+
+        sa = sig.select(F.col("doc_id").alias("doc_a"), F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_a"))
+        sb = sig.select(F.col("doc_id").alias("doc_b"), F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_b"))
+        est = (
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            .cast("double") / F.lit(k)
+        )
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+    finally:
+        sig.unpersist()
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: each token's xxhash64 votes
+    +1/-1 per bit; sign of the per-bit sum forms the signature.  Built with
+    array arithmetic (zip_with over a 64-wide vote vector) — one explode +
+    one groupBy, JVM-side."""
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    vote = lambda b: (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+    summed = toks.groupBy("doc_id").agg(
+        *[F.sum(vote(b)).alias(f"s{b}") for b in range(64)]
+    )
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return summed.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.  Candidates via
+    the pigeonhole chunk join: 4 chunks of 16 bits — any pair within
+    hamming 3 must agree on >= 1 chunk, so the join is equi (shuffle-hash),
+    never a cross product."""
+    sig = simhash_signatures(docs)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        *[
+            F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            for c in range(4)
+        ],
+    ).persist()
+    try:
+        cand = None
+        for c in range(4):
+            l = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("ck"))
+            rr = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"c{c}").alias("ck"))
+            x = l.join(rr, "ck").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b", "sh_a", "sh_b")
+            cand = x if cand is None else cand.unionByName(x)
+        ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        return (
+            cand.distinct()
+            .select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    finally:
+        chunks.unpersist()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_hamming=3 keeps the 4-chunk pigeonhole candidate set complete
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (label-blocked; exact oracle)
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float arrays, computed in float64 with
+    a sequential left fold so the result is bit-stable across engines."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Blocked pairwise cosine: candidate pairs restricted to equal `label`
+    (the pipeline's coarse cluster id), exact cosine above threshold."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+DEDUP_EMBEDDING_SQL = r"""
+WITH a AS (SELECT vec_id AS vec_a, label, embedding AS ea FROM embeddings),
+     b AS (SELECT vec_id AS vec_b, label, embedding AS eb FROM embeddings),
+pairs AS (
+  SELECT a.label, vec_a, vec_b,
+    round(
+      list_aggregate(list_transform(range(1, len(ea) + 1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         * sqrt(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos
+  FROM a JOIN b ON a.label = b.label AND vec_a < vec_b
+)
+SELECT label, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.9
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    # dedup_minhash_lsh / dedup_simhash: xxhash64-based signatures are not
+    # reproducible in DuckDB -> rows-only driver check; quality asserted in
+    # tests/test_dedup.py against exact Jaccard / hamming ground truth.
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+}

@@ -1,0 +1,143 @@
+"""Similarity search over the `embeddings` table (array<float> column) —
+the ANN surface of a training-data pipeline (BASELINE.json north star).
+
+- `topk_cosine`      : exact brute-force top-k — the correctness baseline.
+                       One narrow scan + a single ORDER BY LIMIT k (Spark
+                       executes TakeOrderedAndProject: per-partition heap,
+                       no full sort, no shuffle of the data).
+- `ann_lsh_topk`     : the scale path — random-hyperplane LSH: 16-bit sign
+                       sketch per vector, candidates = vectors whose sketch
+                       hamming-distance to the query sketch <= radius, exact
+                       cosine re-rank on candidates only.  At 100 TB the
+                       sketch table is orders of magnitude smaller than the
+                       vectors and bucket lookup replaces the full scan.
+
+Hyperplanes are generated from a fixed LCG seed (deterministic across
+sessions, no numpy dependency at plan time, no Date.now-style
+nondeterminism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.dedup import cosine
+from realparse_spark.sources.tables import load_table
+
+N_PLANES = 16
+_DIM = 64
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = _DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim (LCG)."""
+    state = 0x9E3779B97F4A7C15
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _sketch(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign sketch: bit i = 1 iff dot(vec, plane_i) > 0.  Pure expression —
+    evaluated JVM-side per row, no UDF."""
+    bits = None
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bits = bit if bits is None else bits.bitwiseOR(bit)
+    return bits
+
+
+def topk_cosine(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine against one stored vector.  The query vector
+    is a 1-row broadcast (no collect in the plan's hot path)."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
+        )
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_cosine(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+SIM_TOPK_SQL = r"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+    round(
+      list_aggregate(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         * sqrt(list_aggregate(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos
+  FROM embeddings, q
+  WHERE vec_id <> 0
+)
+SELECT vec_id, label, cos FROM scored
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
+def ann_lsh_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 10, radius: int = 4
+) -> DataFrame:
+    """Approximate top-k: LSH sign-sketch prefilter + exact re-rank.
+
+    Candidates = rows with hamming(sketch, query_sketch) <= radius.  With
+    16 planes and radius 4 recall against brute force is high (asserted in
+    tests) while the re-rank set shrinks by ~an order of magnitude; at
+    scale, bucket the sketch column (or range-partition on it) so the probe
+    is an index lookup, not a scan."""
+    planes = _hyperplanes()
+    sk = emb.withColumn("sketch", _sketch(F.col("embedding"), planes))
+    q = sk.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("sketch").alias("qsk")
+    )
+    cand = (
+        sk.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .filter(F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsk"))) <= radius)
+    )
+    return (
+        cand.select(
+            "vec_id", "label",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+QUERIES = {
+    "sim_topk_cosine": q_sim_topk,
+    "sim_ann_lsh": q_sim_ann,
+}
+
+ORACLES = {
+    "sim_topk_cosine": SIM_TOPK_SQL,
+    # sim_ann_lsh is approximate by design -> rows-only driver check;
+    # recall vs brute force asserted in tests/test_similarity.py.
+}

@@ -1,0 +1,71 @@
+"""Quality tests for the non-SQL-expressible dedup ops: MinHash-LSH
+estimates must track exact Jaccard; SimHash must find engineered
+near-duplicates and skip unrelated docs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("warm", "cold")),              # near-dup of 1
+        (3, BASE),                                       # exact dup of 1
+        (4, "completely different text about spark sql engines and shuffles "
+            "with partitions executors and codegen stages running in the cluster"),
+        (5, "yet another unrelated document mentioning parquet files arrow "
+            "batches and columnar compression dictionaries for analytics"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0, df_cap=1000).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, n=3, k=32, bands=8, threshold=0.3).collect()
+    }
+    # the engineered near/exact dups must surface
+    assert est[(1, 3)] == 1.0
+    assert (1, 2) in est and (2, 3) in est
+    # and estimates must be within MinHash tolerance of exact (k=32 -> ~0.18 sd)
+    for pair, e in est.items():
+        assert abs(e - exact.get(pair, 0.0)) < 0.35, (pair, e, exact.get(pair))
+    # unrelated docs must not pair at this threshold
+    assert (4, 5) not in est
+
+
+def test_minhash_signature_shape(spark):
+    sig = minhash_signatures(_docs(spark), n=3, k=16)
+    row = sig.filter(F.col("doc_id") == 1).collect()[0]
+    assert len([c for c in sig.columns if c.startswith("mh_")]) == 16
+    # identical docs -> identical signatures
+    row3 = sig.filter(F.col("doc_id") == 3).collect()[0]
+    assert [row[f"mh_{i}"] for i in range(16)] == [row3[f"mh_{i}"] for i in range(16)]
+
+
+def test_simhash_finds_near_dups(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(_docs(spark), max_hamming=10).collect()
+    }
+    assert pairs[(1, 3)] == 0          # exact dup -> identical signature
+    assert (1, 2) in pairs             # one-word change -> small hamming
+    assert (4, 5) not in pairs         # unrelated -> far apart

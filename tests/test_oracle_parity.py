@@ -30,5 +30,5 @@ def test_all_queries_have_oracle_or_reason():
     o = all_oracles()
     missing = sorted(set(q) - set(o))
     # rows-only checks must be intentional; keep the allowlist here
-    allowed_rows_only = set()
+    allowed_rows_only = {"dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh"}
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
