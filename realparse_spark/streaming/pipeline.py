@@ -1,0 +1,183 @@
+"""Structured Streaming incremental pipeline (SURVEY.md §2.8, §7.1 M4).
+
+The reference's cron-style incremental load (watermark + last-2-files
+re-read, real_parse.pl:27-52) maps onto Spark's file-source streaming:
+
+- the file source tracks processed files in the checkpoint -> exactly-once
+  per file, replacing the manual high-watermark re-read dance;
+- `withWatermark` + `dropDuplicates` replaces the strictly-greater
+  timestamp filter for row-level late/duplicate handling;
+- the same parse operators run unchanged on the streaming DataFrame —
+  one code path for batch and streaming (the point of the DataFrame API).
+
+`Trigger.AvailableNow` gives the cron-batch behavior: process everything
+new, then stop — exactly the reference's operating mode, but restartable
+and exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.parse import parse_style5
+
+
+def stream_log_lines(spark: SparkSession, log_dir: str, prefix: str = "rmaccess") -> DataFrame:
+    """Streaming equivalent of S1/S2/S4: the file source discovers new
+    rotated files per trigger; `maxFilesPerTrigger` bounds batch size at
+    scale (backpressure)."""
+    return (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", f"{prefix}*")
+        .option("maxFilesPerTrigger", 16)
+        .load(log_dir)
+    )
+
+
+def parsed_stream(lines: DataFrame) -> DataFrame:
+    """Parse + event-time column; late rows beyond 1 hour are dropped by
+    downstream watermarks (the streaming analog of F1's late-data drop)."""
+    parsed = parse_style5(lines)
+    return parsed.withColumn("event_ts", F.to_timestamp("datetime"))
+
+
+def stream_load_access(
+    spark: SparkSession,
+    log_dir: str,
+    warehouse_dir: str,
+    checkpoint_dir: str,
+    prefix: str = "rmaccess",
+):
+    """Incremental access-table load: availableNow trigger, parquet sink,
+    exactly-once via checkpoint.  Returns the StreamingQuery (caller
+    awaits termination)."""
+    lines = stream_log_lines(spark, log_dir, prefix)
+    access = (
+        parsed_stream(lines)
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicates(["client_ip_address", "event_ts"])  # row-level dedup
+        .select(
+            "client_ip_address", "identuser", "authuser",
+            F.col("event_ts").alias("datetime"), "gmt_offset",
+            F.lit(5).alias("logging_style"), F.lit(7).alias("stats_mask"),
+            F.lit(1).alias("server_type"),
+            "status_code", "bytes_sent", "file_time", "sent_time", "name", "path",
+        )
+    )
+    return (
+        access.writeStream.format("parquet")
+        .option("path", warehouse_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_windowed_views(
+    spark: SparkSession,
+    log_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    prefix: str = "rmaccess",
+    window: str = "1 hour",
+    late: str = "30 minutes",
+):
+    """Watermarked tumbling-window view counts — the time-windowed version
+    of the reference's global per-file metrics (§2.8 'no windows' gap).
+    Append mode: a window emits once its watermark passes (late data inside
+    `late` still lands; later rows are dropped — F1 semantics, but bounded
+    and explicit)."""
+    lines = stream_log_lines(spark, log_dir, prefix)
+    agg = (
+        parsed_stream(lines)
+        .withWatermark("event_ts", late)
+        .groupBy(F.window("event_ts", window).alias("w"), F.col("name"))
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum("sent_time").alias("total_sent_sec"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "name", "n_views", "total_sent_sec",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    log_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    prefix: str = "rmaccess",
+    gap_minutes: int = 30,
+):
+    """Custom stateful operator via applyInPandasWithState: per-IP session
+    assembly with a processing-time timeout — the §2.8 'no stateful ops'
+    gap filled with the public stateful API.  State = (session_start,
+    last_seen, n_events); a session row is emitted when the gap elapses or
+    the state times out."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lines = stream_log_lines(spark, log_dir, prefix)
+    events = parsed_stream(lines).select("client_ip_address", "event_ts")
+
+    out_schema = "client_ip_address string, session_start timestamp, session_end timestamp, n_events long"
+    state_schema = "session_start timestamp, last_seen timestamp, n_events long"
+    gap_sec = gap_minutes * 60
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"client_ip_address": [key[0]], "session_start": [start],
+                 "session_end": [last], "n_events": [n]}
+            )
+            return
+
+        ts = pd.concat([pdf["event_ts"] for pdf in pdf_iter]).sort_values()
+        sessions = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        for t in ts:
+            if last is not None and (t - last).total_seconds() > gap_sec:
+                sessions.append((key[0], start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(60_000)
+        if sessions:
+            yield pd.DataFrame(
+                sessions,
+                columns=["client_ip_address", "session_start", "session_end", "n_events"],
+            )
+
+    sessions = events.groupBy("client_ip_address").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,89 @@
+"""Structured Streaming pipeline tests: exactly-once file-source loads,
+watermarked windowed aggregation, stateful sessionization."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_load_pipeline import STATS_FULL, style5_line
+
+
+@pytest.fixture()
+def stream_log_dir(tmp_path):
+    d = tmp_path / "slogs"
+    d.mkdir()
+    (d / "rmaccess.log.1").write_text(
+        "\n".join(
+            [
+                style5_line("10.0.0.1", "12/Oct/2002:09:00:00", "/m/a.rm", stats=STATS_FULL),
+                style5_line("10.0.0.1", "12/Oct/2002:09:10:00", "/m/a.rm"),
+                style5_line("10.0.0.2", "12/Oct/2002:09:20:00", "/m/b.rm"),
+                # same ip+ts duplicate -> dropDuplicates must kill it
+                style5_line("10.0.0.2", "12/Oct/2002:09:20:00", "/m/b.rm"),
+            ]
+        )
+        + "\n"
+    )
+    return d
+
+
+def test_stream_load_exactly_once(spark, stream_log_dir, tmp_path):
+    from realparse_spark.streaming.pipeline import stream_load_access
+
+    wh = str(tmp_path / "swh")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_load_access(spark, str(stream_log_dir), wh, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(wh)
+    assert out.count() == 3  # duplicate row deduped
+
+    # second trigger with no new files -> nothing new (checkpointed)
+    q2 = stream_load_access(spark, str(stream_log_dir), wh, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(wh).count() == 3
+
+    # new rotated file -> only its rows appended
+    (stream_log_dir / "rmaccess.log.2").write_text(
+        style5_line("10.0.0.3", "12/Oct/2002:11:00:00", "/m/c.rm") + "\n"
+    )
+    q3 = stream_load_access(spark, str(stream_log_dir), wh, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(wh).count() == 4
+
+
+def test_stream_windowed_views(spark, stream_log_dir, tmp_path):
+    from realparse_spark.streaming.pipeline import stream_windowed_views
+
+    out = str(tmp_path / "win")
+    ckpt = str(tmp_path / "wckpt")
+    q = stream_windowed_views(spark, str(stream_log_dir), out, ckpt)
+    q.awaitTermination(120)
+    # append mode: a window emits only once a LATER batch advances the
+    # watermark past its end — feed a second batch with much later events.
+    (stream_log_dir / "rmaccess.log.5").write_text(
+        style5_line("10.0.0.9", "12/Oct/2002:13:00:00", "/m/later.rm") + "\n"
+    )
+    q2 = stream_windowed_views(spark, str(stream_log_dir), out, ckpt)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    got = {(r.window_start.hour, r.name): r.n_views for r in rows}
+    # the 09:00 window holds a.rm x2 and b.rm x2 (pre-dedup counts)
+    assert got.get((9, "a.rm")) == 2
+    assert got.get((9, "b.rm")) == 2
+
+
+def test_stream_sessionize(spark, stream_log_dir, tmp_path):
+    from realparse_spark.streaming.pipeline import stream_sessionize
+
+    out = str(tmp_path / "sess")
+    ckpt = str(tmp_path / "sckpt")
+    # second batch far in event time -> closes ip1's first session
+    (stream_log_dir / "rmaccess.log.9").write_text(
+        style5_line("10.0.0.1", "12/Oct/2002:14:00:00", "/m/z.rm") + "\n"
+    )
+    q = stream_sessionize(spark, str(stream_log_dir), out, ckpt, gap_minutes=30)
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    by_ip = {(r.client_ip_address, r.n_events) for r in rows}
+    # ip1: events at 09:00, 09:10 then 14:00 -> first session (2 events) closed
+    assert ("10.0.0.1", 2) in by_ip
