@@ -28,6 +28,12 @@ HEADLINE = [
     "distinct_agg",         # exact distinct
     "json_props",           # JSON extraction
     "like_pattern_join",    # non-equi LIKE join
+    "asof_join",            # as-of join (union + running window)
+    "rollup_agg",           # grouping sets
+    "dedup_exact",          # hash dedup
+    "dedup_minhash_lsh",    # MinHash+LSH near-dup (scale path)
+    "sim_topk_cosine",      # brute-force ANN baseline
+    "text_quality",         # text feature extraction
 ]
 
 

@@ -1,0 +1,230 @@
+"""Advanced relational operators beyond the reference's surface — the
+"free in Spark" extensions SURVEY.md §2.5-2.6 calls out (rollup, approx
+distinct, sliding windows, ranking) plus the classic time-series joins a
+log-analytics engine needs (as-of join, range-band join).
+
+Each is a driver query with an exact DuckDB oracle except approx_distinct
+(HLL sketches are engine-specific -> rows-only check + bounds test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realparse_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# rollup aggregation (grouping sets)
+# ---------------------------------------------------------------------------
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("c_custkey").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+    )
+
+
+ROLLUP_AGG_SQL = """
+SELECT r_name, n_name,
+       count(c_custkey) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding window (1h window, 30min slide)
+# ---------------------------------------------------------------------------
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    win = events.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+    ).agg(F.count("event_id").alias("n_events"))
+    return win.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+SLIDING_WINDOW_SQL = """
+WITH contrib AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                      - (CAST(floor(epoch(ts)) AS BIGINT) % 1800) - off) AS window_start
+  FROM events, unnest([0, 1800]) AS t(off)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM contrib
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join: for each purchase, the user's most recent click at/before it
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark has no native ASOF JOIN; the scalable pattern is the tagged
+    union + running last_value window: one shuffle on (user_id), linear
+    scan per partition — beats a range self-join at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.lit(0).alias("src"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(1).alias("src"), "event_id"
+    )
+    tagged = clicks.unionByName(purchases)
+    # clicks sort before purchases at equal ts (src asc) => 'at or before'
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_last = tagged.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("src") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        with_last.filter(F.col("src") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+            F.round(
+                F.col("ts").cast("double") - F.col("last_click_ts").cast("double"), 6
+            ).alias("gap_sec"),
+        )
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       round(epoch(p.ts) - epoch(c.ts), 6) AS gap_sec
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# range-band join: quantity bands dim, non-equi BETWEEN join
+# ---------------------------------------------------------------------------
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 15.0), ("mid", 15.0, 35.0), ("high", 35.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = lineitem.join(
+        F.broadcast(bands),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count("l_orderkey").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+RANGE_BAND_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 15.0), ('mid', 15.0, 35.0), ('high', 35.0, 1e9)
+)
+SELECT band,
+       count(l_orderkey) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# ranking window functions
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return ranked.filter(F.col("rn") <= 3)
+
+
+WINDOW_RANK_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(4) OVER w AS quartile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT * FROM ranked WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# approximate distinct (HLL) — rows-only; bounds asserted in tests
+# ---------------------------------------------------------------------------
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("event_id").alias("n_events"),
+    )
+
+
+QUERIES = {
+    "rollup_agg": q_rollup_agg,
+    "sliding_window": q_sliding_window,
+    "asof_join": q_asof_join,
+    "range_band_join": q_range_band_join,
+    "window_rank": q_window_rank,
+    "approx_distinct": q_approx_distinct,
+}
+
+ORACLES = {
+    "rollup_agg": ROLLUP_AGG_SQL,
+    "sliding_window": SLIDING_WINDOW_SQL,
+    "asof_join": ASOF_JOIN_SQL,
+    "range_band_join": RANGE_BAND_JOIN_SQL,
+    "window_rank": WINDOW_RANK_SQL,
+    # approx_distinct: HLL sketch values are engine-specific -> rows-only;
+    # accuracy bound asserted in tests/test_advanced.py.
+}

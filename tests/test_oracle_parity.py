@@ -30,5 +30,10 @@ def test_all_queries_have_oracle_or_reason():
     o = all_oracles()
     missing = sorted(set(q) - set(o))
     # rows-only checks must be intentional; keep the allowlist here
-    allowed_rows_only = {"dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh"}
+    allowed_rows_only = {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_ann_lsh",
+        "approx_distinct",
+    }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
