@@ -157,6 +157,24 @@ def parse_weblog(df: DataFrame, line_col: str = "value") -> DataFrame:
     return df.drop("_toks", "_ts_str", "_ts", "_filename")
 
 
+def parse_positional(
+    df: DataFrame,
+    line_col: str = "value",
+    fields: dict[str, int] | None = None,
+) -> DataFrame:
+    """P14 — the open_log.pl prototype strategy (open_log.pl:42-56): split
+    the whole line on single spaces and pick fields by position.  Brittle
+    with spaces inside quoted fields (why the reference kept the regex
+    parser for production); exposed as the alternative parse strategy with
+    the same output names.  `fields` maps column name -> 1-based index."""
+    fields = fields or {"client_ip_address": 1, "identuser": 2, "authuser": 3}
+    parts = F.split(F.col(line_col), " ")
+    out = df
+    for name, idx in fields.items():
+        out = out.withColumn(name, F.element_at(parts, idx))
+    return out
+
+
 def parse_client_info(df: DataFrame, info_col: str = "client_info") -> DataFrame:
     """P11/P12 — client_info decomposition (real_parse.pl:250-277).
 

@@ -403,8 +403,54 @@ FROM r GROUP BY yr
 """
 
 
+def q_parse_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 over the (space-free-filename) weblog grammar: position map for
+    the combined format — ip=1, status=9, bytes=10 (1-based)."""
+    from realparse_spark.operators.parse import parse_positional
+
+    events = load_table(spark, sf_dir, "events")
+    lines = synth_weblog(events)
+    parsed = parse_positional(
+        lines,
+        fields={
+            "client_ip_address": 1,
+            "identuser": 2,
+            "authuser": 3,
+            "method": 6,
+            "filename": 7,
+            "status_code": 9,
+            "bytes_sent": 10,
+        },
+    )
+    return parsed.select(
+        "event_id", "client_ip_address", "identuser", "authuser",
+        F.regexp_replace("method", '"', "").alias("method"),
+        "filename",
+        F.col("status_code").cast("int").alias("status_code"),
+        F.col("bytes_sent").cast("long").alias("bytes_sent"),
+    )
+
+
+PARSE_POSITIONAL_SQL = (
+    "WITH "
+    + _WEBLOG_LINES_SQL.strip()
+    + r"""
+SELECT event_id,
+  string_split(value, ' ')[1] AS client_ip_address,
+  string_split(value, ' ')[2] AS identuser,
+  string_split(value, ' ')[3] AS authuser,
+  replace(string_split(value, ' ')[6], '"', '') AS method,
+  string_split(value, ' ')[7] AS filename,
+  CAST(string_split(value, ' ')[9] AS INTEGER) AS status_code,
+  CAST(string_split(value, ' ')[10] AS BIGINT) AS bytes_sent
+FROM lines
+"""
+)
+
+
 QUERIES = {
     "parse_style5": q_parse_style5,
+    "parse_positional": q_parse_positional,
     "parse_weblog": q_parse_weblog,
     "client_info_parse": q_client_info,
     "stats_mask_explode": q_stats_explode,
@@ -413,6 +459,7 @@ QUERIES = {
 
 ORACLES = {
     "parse_style5": PARSE_STYLE5_SQL,
+    "parse_positional": PARSE_POSITIONAL_SQL,
     "parse_weblog": PARSE_WEBLOG_SQL,
     "client_info_parse": CLIENT_INFO_SQL,
     "stats_mask_explode": STATS_EXPLODE_SQL,
