@@ -187,10 +187,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_RANK_SQL = """
 WITH ranked AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER w AS rn,
-         rank() OVER w AS rnk,
-         dense_rank() OVER w AS drnk,
-         ntile(4) OVER w AS quartile
+         CAST(row_number() OVER w AS INTEGER) AS rn,
+         CAST(rank() OVER w AS INTEGER) AS rnk,
+         CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 )

@@ -100,7 +100,7 @@ WITH g AS (
   FROM documents GROUP BY 1
 )
 SELECT count(fp) AS n_unique,
-       sum(group_size) AS n_docs,
+       CAST(sum(group_size) AS BIGINT) AS n_docs,
        count(CASE WHEN group_size > 1 THEN 1 END) AS n_dup_groups,
        max(group_size) AS max_group
 FROM g

@@ -133,8 +133,8 @@ WITH p AS (
 )
 SELECT media_type,
        count(doc_id) AS n_assets,
-       sum(octet_length(payload)) AS total_bytes,
-       max(octet_length(payload)) AS max_bytes,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(payload)) AS INTEGER) AS max_bytes,
        count(DISTINCT sha256(CAST(payload AS VARCHAR))) AS n_distinct_payloads
 FROM p
 GROUP BY media_type

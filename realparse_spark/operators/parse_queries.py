@@ -342,7 +342,7 @@ typed AS (
          ELSE 0 END AS stat_type
   FROM ex
 )
-SELECT event_id, bracket_idx, stat_type,
+SELECT event_id, CAST(bracket_idx AS INTEGER) AS bracket_idx, stat_type,
   CAST(nullif(regexp_extract(tok, '^Stat1:\s*(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s*(\S*)', 1), '') AS INTEGER) AS packets_received,
   CAST(nullif(regexp_extract(tok, '^Stat1:\s*(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s*(\S*)', 2), '') AS INTEGER) AS out_of_order,
   CAST(nullif(regexp_extract(tok, '^Stat1:\s*(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s*(\S*)', 3), '') AS INTEGER) AS missing,
@@ -396,7 +396,7 @@ WITH r AS (
          strftime(strptime(strftime(o_orderdate, '%d/%b/%Y:%H:%M:%S'), '%d/%b/%Y:%H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS dt
   FROM orders
 )
-SELECT yr, count(ep) AS n,
+SELECT CAST(yr AS INTEGER) AS yr, count(ep) AS n,
        min(ep) AS min_epoch, max(ep) AS max_epoch,
        min(dt) AS min_dt, max(dt) AS max_dt
 FROM r GROUP BY yr

@@ -283,7 +283,7 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SURROGATE_KEYS_SQL = """
 WITH keyed AS (
-  SELECT row_number() OVER (ORDER BY c_custkey) AS surrogate_id,
+  SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INTEGER) AS surrogate_id,
          c_custkey, c_mktsegment
   FROM customer
 )
@@ -363,7 +363,7 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_high,
 FROM events
@@ -403,7 +403,7 @@ WITH gaps AS (
   FROM events
 ),
 per_user AS (
-  SELECT user_id, coalesce(sum(new_session), 0) + 1 AS n_sessions
+  SELECT user_id, CAST(coalesce(sum(new_session), 0) + 1 AS BIGINT) AS n_sessions
   FROM gaps GROUP BY user_id
 )
 SELECT n_sessions, count(user_id) AS n_users

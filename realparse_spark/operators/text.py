@@ -119,7 +119,10 @@ WITH tok AS (
     len(regexp_extract_all(text, '\s')) AS n_ws
   FROM documents
 )
-SELECT doc_id, n_chars, n_tokens_ws, n_tokens_bpe,
+SELECT doc_id,
+  CAST(n_chars AS INTEGER) AS n_chars,
+  CAST(n_tokens_ws AS INTEGER) AS n_tokens_ws,
+  CAST(n_tokens_bpe AS INTEGER) AS n_tokens_bpe,
   round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
   round(CAST(n_stop AS DOUBLE) / greatest(n_tokens_ws, 1), 6) AS stopword_ratio,
   round(CAST(n_chars - n_ws AS DOUBLE) / greatest(n_tokens_ws, 1), 6) AS mean_word_len
@@ -136,7 +139,7 @@ def _langid_sql() -> str:
     for lang, words in STOPWORDS.items():
         lst = ", ".join(f"'{w}'" for w in words)
         hit_exprs.append(
-            f"len(list_filter(string_split_regex(text, '\\s+'), x -> list_contains([{lst}], x))) AS hits_{lang}"
+            f"CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> list_contains([{lst}], x))) AS INTEGER) AS hits_{lang}"
         )
     langs = list(STOPWORDS)
     pred = "'und'"

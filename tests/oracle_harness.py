@@ -45,6 +45,18 @@ def canonicalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+_TYPE_MAP = {
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+}
+
+
 def compare_query(spark, con, query_fn, sql: str, sf_dir: str):
     """Return (ok, detail) comparing Spark result vs DuckDB oracle."""
     sdf = query_fn(spark, sf_dir)
@@ -52,12 +64,21 @@ def compare_query(spark, con, query_fn, sql: str, sf_dir: str):
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     register_duck_views(con, sf_dir)
+    rel = con.sql(sql)
+    duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
     res = con.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
     if sorted(spark_cols) != sorted(duck_cols):
         return False, f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    type_diffs = [
+        f"{c}: spark={st} duck={duck_types.get(c)}"
+        for c, st in sdf.dtypes
+        if _TYPE_MAP.get(st, st.upper()) != duck_types.get(c)
+    ]
+    if type_diffs:
+        return False, f"type mismatch: {type_diffs}"
     if len(spark_rows) != len(duck_rows):
         return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
     a = canonicalize(spark_cols, spark_rows)
