@@ -210,8 +210,33 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# exact percentiles (median / p95 view-time analog)
+# ---------------------------------------------------------------------------
+
+def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", [0.5, 0.95])
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p50_price"),
+        F.round(F.element_at(pct, 2), 4).alias("p95_price"),
+        F.count("l_orderkey").alias("n"),
+    )
+
+
+PERCENTILE_METRICS_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       count(l_orderkey) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "rollup_agg": q_rollup_agg,
+    "percentile_metrics": q_percentile_metrics,
     "sliding_window": q_sliding_window,
     "asof_join": q_asof_join,
     "range_band_join": q_range_band_join,
@@ -221,6 +246,7 @@ QUERIES = {
 
 ORACLES = {
     "rollup_agg": ROLLUP_AGG_SQL,
+    "percentile_metrics": PERCENTILE_METRICS_SQL,
     "sliding_window": SLIDING_WINDOW_SQL,
     "asof_join": ASOF_JOIN_SQL,
     "range_band_join": RANGE_BAND_JOIN_SQL,

@@ -43,6 +43,11 @@ def get_spark(app_name: str = "realparse_spark", *, shuffle_partitions: int | No
         # fields instead of aborting the job — required for multi-TB log
         # ingestion where single bad lines are a certainty.
         .config("spark.sql.ansi.enabled", "false")
+        # managed (bucketed) tables land outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/realparse-warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
