@@ -39,8 +39,16 @@ def _client_info_col() -> Column:
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """The fixture parquet is one row group = one scan task; spread the
+    regex-heavy synth+parse across all cores.  (Real log inputs arrive as
+    many file splits, so production pipelines skip this.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def synth_style5(events: DataFrame) -> DataFrame:
     """events -> one style-5 log line per row (column 'value')."""
+    events = _fan_out(events)
     eid, uid = F.col("event_id"), F.col("user_id")
     ip = F.format_string("10.%d.%d.%d", eid % 200, (uid * 7) % 250, 1 + (eid % 250))
     ts_str = F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss")
@@ -76,6 +84,7 @@ def synth_style5(events: DataFrame) -> DataFrame:
 def synth_weblog(events: DataFrame) -> DataFrame:
     """events -> combined-format web line; ~1/3 are non-.wma/.wmv (the F4
     filter must drop them)."""
+    events = _fan_out(events)
     eid, uid = F.col("event_id"), F.col("user_id")
     ip = F.format_string("10.%d.%d.%d", eid % 200, (uid * 7) % 250, 1 + (eid % 250))
     ts_str = F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss")
