@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realparse_spark.operators.text import ws_tokens
-from realparse_spark.sources.tables import load_table
+from realparse_spark.sources.tables import fan_out, load_table
 
 # deterministic MinHash permutation parameters (public textbook scheme:
 # h_i(x) = (a_i * x + b_i) mod p over a Mersenne prime).  p is 31-bit so
@@ -201,8 +201,10 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
     ~3x cheaper than string shingles at bench scale."""
     assert n == 3, "arithmetic shingle combine is specialized to n=3"
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_toks"))
+    # token hashes reduced to 31-bit BEFORE the polynomial combine so every
+    # intermediate stays << 2^63 (no overflow even under ANSI mode)
     hashed = (
-        toks.withColumn("_th", F.expr("transform(_toks, t -> xxhash64(t))"))
+        toks.withColumn("_th", F.expr("transform(_toks, t -> pmod(xxhash64(t), 2147483647))"))
         .select(
             "doc_id",
             F.explode(
@@ -272,7 +274,7 @@ def minhash_lsh_pairs(
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -331,7 +333,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=3 keeps the 4-chunk pigeonhole candidate set complete
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs(fan_out(load_table(spark, sf_dir, "documents")), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

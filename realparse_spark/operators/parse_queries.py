@@ -39,11 +39,7 @@ def _client_info_col() -> Column:
     )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """The fixture parquet is one row group = one scan task; spread the
-    regex-heavy synth+parse across all cores.  (Real log inputs arrive as
-    many file splits, so production pipelines skip this.)"""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+from realparse_spark.sources.tables import fan_out as _fan_out
 
 
 def synth_style5(events: DataFrame) -> DataFrame:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realparse_spark.functions.scalars import duration_hms
-from realparse_spark.sources.tables import load_table
+from realparse_spark.sources.tables import fan_out, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -34,7 +34,7 @@ from realparse_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 def customer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = fan_out(load_table(spark, sf_dir, "lineitem"))  # single-row-group fixture
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 

@@ -38,6 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream operator sees a real timestamp (matches DuckDB's ns->us
     truncation when fetched into Python).
     """
+    # runtime-settable; the session may not have been built by get_spark
+    # (e.g. the verification driver's own session)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
@@ -45,6 +51,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     return df
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count.
+
+    The test fixtures are single-row-group parquet files (one scan task);
+    compute-heavy stages downstream of such a scan would otherwise run on
+    one core.  Production inputs arrive as many splits, where this is a
+    no-op decision the caller simply skips."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
