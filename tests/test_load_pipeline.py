@@ -107,6 +107,22 @@ def test_style5_load_and_idempotence(spark, log_dir, tmp_path):
     assert read_warehouse_table(spark, wh, "access").count() == 4
 
 
+def test_todays_file_mtime_pick(spark, log_dir):
+    """S3 — open_log.pl:22-28 picks the file whose mtime date is today;
+    files just written all have today's mtime."""
+    from realparse_spark.sources.logs import todays_file
+
+    got = {os.path.basename(p) for p in todays_file(spark, log_dir, "rmaccess")}
+    assert got == {
+        "rmaccess.log.20021010",
+        "rmaccess.log.20021012",
+        "rmaccess.log.20021013",
+    }
+    from datetime import date
+
+    assert todays_file(spark, log_dir, "rmaccess", today=date(2001, 1, 1)) == []
+
+
 def test_config_gate(spark, log_dir, tmp_path):
     cfg = tmp_path / "rmserver.cfg"
     cfg.write_text('<Var LoggingStyle="3"/>\n<Var StatsMask="2"/>\n')
