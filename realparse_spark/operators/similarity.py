@@ -131,9 +131,66 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the vectors, probe only
+    the `n_probe` centroids nearest the query, exact re-rank inside.
+
+    At 100 TB this is the other standard scale path next to LSH: the
+    centroid table is tiny (broadcast), assignment is one narrow pass, and
+    the probe reads ~n_probe/n_centroids of the data — with the vector
+    table written partitioned by centroid id, partition pruning makes the
+    probe an actual partial scan.  Uses the public spark.ml KMeans with a
+    fixed seed (deterministic)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.withColumn("features", array_to_vector("embedding"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid_id")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "label", "embedding", "centroid_id")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    q_row = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
+    qv = [float(x) for x in q_row.embedding]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(centroids)), key=lambda i: -_cos(qv, centroids[i]))[:n_probe]
+
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qe"))
+    cand = assigned.filter(
+        F.col("centroid_id").isin(probe) & (F.col("vec_id") != query_vec_id)
+    )
+    return (
+        cand.join(F.broadcast(q))
+        .select(
+            "vec_id", "label", "centroid_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk,
     "sim_ann_lsh": q_sim_ann,
+    "sim_ann_ivf": q_sim_ivf,
 }
 
 ORACLES = {

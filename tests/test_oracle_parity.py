@@ -34,6 +34,7 @@ def test_all_queries_have_oracle_or_reason():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "sim_ann_lsh",
+        "sim_ann_ivf",
         "approx_distinct",
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"

@@ -15,6 +15,16 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, (recall, exact, approx)
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from realparse_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in topk_cosine(emb, query_vec_id=0, k=10).collect()]
+    approx = [r.vec_id for r in ann_ivf_topk(emb, query_vec_id=0, k=10, n_probe=6).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, (recall, exact, approx)
+
+
 def test_ann_scores_match_exact_for_common_hits(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {r.vec_id: r.cos for r in topk_cosine(emb, query_vec_id=0, k=10).collect()}
