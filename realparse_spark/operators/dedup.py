@@ -28,7 +28,7 @@ exact Jaccard) is asserted in tests/test_dedup.py instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realparse_spark.operators.text import ws_tokens
@@ -115,40 +115,45 @@ FROM g
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5, df_cap: int = 1000
 ) -> DataFrame:
-    """Exact Jaccard over distinct word n-grams for every pair sharing at
-    least one (sufficiently rare) n-gram.  Exact for threshold > 0 because
-    J>0 implies a shared n-gram; df_cap drops boilerplate shingles that
-    would otherwise create quadratic candidates (standard practice)."""
-    grams = (
-        docs.select("doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("g"))
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count("g").alias("sz"))
-    rare = grams.join(
-        grams.groupBy("g").agg(F.count("doc_id").alias("df")).filter(F.col("df") <= df_cap),
-        "g",
-    ).select("doc_id", "g")
+    """Jaccard over distinct word n-grams.
 
-    a = rare.alias("a")
-    b = rare.alias("b")
-    shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.round(
-        F.col("inter").cast("double")
-        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        6,
-    )
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    Candidate pairs come from an inverted-index self-join on n-grams with
+    document frequency <= df_cap (dropping boilerplate shingles bounds the
+    quadratic candidate blowup — standard practice).  The SCORE, however,
+    is computed exactly over each candidate pair's FULL shingle sets
+    (array_intersect), so df_cap only affects which pairs are considered,
+    never their Jaccard value.  A pair is guaranteed to be found whenever
+    it shares at least one sub-cap n-gram."""
+    gsets = docs.select(
+        "doc_id", word_ngrams(F.col("text"), n).alias("garr")
+    ).persist()
+    try:
+        grams = gsets.select("doc_id", F.explode("garr").alias("g"))
+        rare = grams.join(
+            grams.groupBy("g").agg(F.count("doc_id").alias("df")).filter(F.col("df") <= df_cap),
+            "g",
+        ).select("doc_id", "g")
+        a = rare.alias("a")
+        b = rare.alias("b")
+        cand = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        ga = gsets.select(F.col("doc_id").alias("doc_a"), F.col("garr").alias("ga"))
+        gb = gsets.select(F.col("doc_id").alias("doc_b"), F.col("garr").alias("gb"))
+        inter = F.size(F.array_intersect("ga", "gb"))
+        jac = F.round(
+            inter.cast("double") / (F.size("ga") + F.size("gb") - inter), 6
+        )
+        return (
+            cand.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    finally:
+        gsets.unpersist()
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,30 +165,32 @@ WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
   FROM documents
 ),
-grams AS (
-  SELECT DISTINCT doc_id, g FROM (
-    SELECT doc_id,
-      unnest(list_transform(range(1, greatest(len(t) - 3, 0) + 2),
-                            i -> array_to_string(t[i:i+2], ' '))) AS g
-    FROM toks
-  )
+gsets AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS garr
+  FROM toks
 ),
-sizes AS (SELECT doc_id, count(g) AS sz FROM grams GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, unnest(garr) AS g FROM gsets
+),
 rare AS (
   SELECT doc_id, g FROM grams
   WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(doc_id) <= 1000)
 ),
-shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+    round(CAST(len(list_intersect(ga.garr, gb.garr)) AS DOUBLE)
+          / (len(ga.garr) + len(gb.garr) - len(list_intersect(ga.garr, gb.garr))), 6) AS jaccard
+  FROM cand
+  JOIN gsets ga ON ga.doc_id = doc_a
+  JOIN gsets gb ON gb.doc_id = doc_b
 )
-SELECT doc_a, doc_b,
-       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
 
 
@@ -199,7 +206,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
     duplicate-insensitive), explode -> K (a*h+b) mod p min() aggregates.
     Single shuffle, constant signature width; the arithmetic shingle is
     ~3x cheaper than string shingles at bench scale."""
-    assert n == 3, "arithmetic shingle combine is specialized to n=3"
+    if n != 3:
+        raise ValueError("arithmetic shingle combine is specialized to n=3")
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_toks"))
     # token hashes reduced to 31-bit BEFORE the polynomial combine so every
     # intermediate stays << 2^63 (no overflow even under ANSI mode)
@@ -233,6 +241,8 @@ def minhash_lsh_pairs(
 
     At scale each band is one narrow groupBy on a 64-bit band key —
     no pairwise work outside hash buckets."""
+    if k % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide signature width k ({k})")
     sig = minhash_signatures(docs, n, k).persist()
     r = k // bands
     try:
@@ -303,20 +313,26 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.  Candidates via
-    the pigeonhole chunk join: 4 chunks of 16 bits — any pair within
-    hamming 3 must agree on >= 1 chunk, so the join is equi (shuffle-hash),
-    never a cross product."""
+    the pigeonhole chunk join: the signature splits into max_hamming+1
+    chunks — any pair within the bound must agree on >= 1 full chunk, so
+    candidate generation is an equi join (shuffle-hash), never a cross
+    product, and the candidate set is provably complete."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 32:
+        raise ValueError("max_hamming > 31 would need 1-bit chunks; use a different method")
+    width = 64 // n_chunks  # chunks cover width*n_chunks bits; remainder bits
+    # ride along in the last chunk via a wider mask
     sig = simhash_signatures(docs)
-    chunks = sig.select(
-        "doc_id", "simhash",
-        *[
-            F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-            for c in range(4)
-        ],
-    ).persist()
+
+    def chunk(c: int) -> F.Column:
+        bits = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        mask = (1 << bits) - 1
+        return F.shiftright("simhash", width * c).bitwiseAND(F.lit(mask)).alias(f"c{c}")
+
+    chunks = sig.select("doc_id", "simhash", *[chunk(c) for c in range(n_chunks)]).persist()
     try:
         cand = None
-        for c in range(4):
+        for c in range(n_chunks):
             l = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("ck"))
             rr = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"c{c}").alias("ck"))
             x = l.join(rr, "ck").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b", "sh_a", "sh_b")
@@ -343,7 +359,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two float arrays, computed in float64 with
-    a sequential left fold so the result is bit-stable across engines."""
+    a sequential left fold so the result is bit-stable across engines.
+
+    Zero-norm vectors (failed/padded embeddings) yield NULL — matching SQL
+    division-by-zero semantics — so they sort LAST under `desc()` instead
+    of NaN sorting first and poisoning top-k results."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -351,7 +371,8 @@ def cosine(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:

@@ -152,10 +152,9 @@ def load_style5(
         _append(network, warehouse, "network")
         counts["network"] = n
 
-        stats = explode_stats_masks(
-            keyed.withColumn("_brackets", F.regexp_extract_all("value", F.lit(r"\[([^\]]*)\]"), 1)),
-            key_cols=("access_id",),
-        ).persist()
+        # parse_style5 already materialized _brackets on keyed — no second
+        # regex pass over the line corpus
+        stats = explode_stats_masks(keyed, key_cols=("access_id",)).persist()
         try:
             s1 = stats.filter(F.col("stat_type") == 1).select(
                 F.col("access_id").alias("id"),

@@ -7,8 +7,13 @@ atomic directory swap.  On a real deployment this is one `MERGE INTO` on a
 table format (Delta/Iceberg); the semantics implemented here are the same:
 latest-wins per key, insert-or-replace.
 
-The swap is atomic at the directory level (write to `<path>.__staging__`,
-then rename) — a reader sees the old or the new table, never a mix.
+The swap is two renames (path -> .__old__, .__staging__ -> path): a reader
+never sees a half-written MIX of old and new rows, but there is a brief
+window between the renames where the path is absent (a concurrent read
+errors cleanly rather than returning wrong data), and a crash inside the
+window leaves the data recoverable under `.__old__`.  Deployments that
+need lock-free concurrent readers use a transactional table format; this
+module keeps the engine dependency-free.
 """
 
 from __future__ import annotations

@@ -20,20 +20,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _natural_key(name: str) -> tuple:
+    """Split digit runs out so 'log.10' sorts after 'log.9' (plain
+    lexicographic order would misorder numeric rotation suffixes)."""
+    return tuple(
+        int(part) if part.isdigit() else part
+        for part in re.split(r"(\d+)", name)
+    )
+
+
 def list_log_files(log_dir: str, prefix: str) -> list[str]:
-    """S1 — enumerate + name-filter + lexicographic sort
-    (real_parse.pl:208-216: drop dotfiles, keep `rmaccess*`, sort)."""
+    """S1 — enumerate + name-filter + sort (real_parse.pl:208-216: drop
+    dotfiles, keep `rmaccess*`).  Natural sort: timestamp suffixes behave
+    as in the reference; numeric suffixes ('log.9' < 'log.10') order
+    correctly too."""
     names = [
         n
         for n in os.listdir(log_dir)
         if not n.startswith(".") and n.startswith(prefix)
     ]
-    return [os.path.join(log_dir, n) for n in sorted(names)]
+    return [os.path.join(log_dir, n) for n in sorted(names, key=_natural_key)]
 
 
 def latest_files(log_dir: str, prefix: str, n: int = 2) -> list[str]:
     """S2 — latest-N rotated files (real_parse.pl:28 keeps the last two of
-    the name-sorted list; rotation suffixes sort chronologically)."""
+    the name-sorted list)."""
     return list_log_files(log_dir, prefix)[-n:]
 
 

@@ -39,9 +39,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation when fetched into Python).
     """
     # runtime-settable; the session may not have been built by get_spark
-    # (e.g. the verification driver's own session)
+    # (e.g. the verification driver's own session).  UTC matters as much as
+    # the nanos flag: epoch/window oracles are naive-UTC in DuckDB.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
