@@ -211,6 +211,121 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cube aggregation (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count("l_orderkey").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+CUBE_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(l_orderkey) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return (
+        events.groupBy(hour.alias("hour"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count("event_id"))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+PIVOT_EVENTS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    # customer keys with orders vs user ids with events: intersect/except
+    a = orders.select(F.col("o_custkey").alias("k")).distinct()
+    b = events.select(F.col("user_id").alias("k")).distinct()
+    both = a.intersect(b).agg(F.count("k").alias("cnt")).select(F.lit("both").alias("side"), "cnt")
+    only_a = a.exceptAll(b).agg(F.count("k").alias("cnt")).select(F.lit("orders_only").alias("side"), "cnt")
+    only_b = b.exceptAll(a).agg(F.count("k").alias("cnt")).select(F.lit("events_only").alias("side"), "cnt")
+    return both.unionByName(only_a).unionByName(only_b)
+
+
+SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+     b AS (SELECT DISTINCT user_id AS k FROM events)
+SELECT 'both' AS side, count(k) AS cnt FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+UNION ALL
+SELECT 'orders_only', count(k) FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+UNION ALL
+SELECT 'events_only', count(k) FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k terms per group (explode + window rank — the frequency-analysis
+# shape every corpus pipeline needs)
+# ---------------------------------------------------------------------------
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realparse_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    ).select("lang", "term", "n", F.col("rnk").cast("int").alias("rnk"))
+
+
+TOP_TERMS_SQL = r"""
+WITH counts AS (
+  SELECT lang, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT lang, term, count(*) AS n FROM counts GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, term, n,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INTEGER) AS rnk
+  FROM agg
+)
+SELECT lang, term, n, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact percentiles (median / p95 view-time analog)
 # ---------------------------------------------------------------------------
 
@@ -236,6 +351,10 @@ GROUP BY l_returnflag
 
 QUERIES = {
     "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
+    "pivot_events": q_pivot_events,
+    "set_ops": q_set_ops,
+    "top_terms": q_top_terms,
     "percentile_metrics": q_percentile_metrics,
     "sliding_window": q_sliding_window,
     "asof_join": q_asof_join,
@@ -246,6 +365,10 @@ QUERIES = {
 
 ORACLES = {
     "rollup_agg": ROLLUP_AGG_SQL,
+    "cube_agg": CUBE_AGG_SQL,
+    "pivot_events": PIVOT_EVENTS_SQL,
+    "set_ops": SET_OPS_SQL,
+    "top_terms": TOP_TERMS_SQL,
     "percentile_metrics": PERCENTILE_METRICS_SQL,
     "sliding_window": SLIDING_WINDOW_SQL,
     "asof_join": ASOF_JOIN_SQL,

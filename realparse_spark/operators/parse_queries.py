@@ -320,8 +320,9 @@ def q_stats_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select(
         "event_id", (F.col("pos") + 1).alias("bracket_idx"), "stat_type",
         "packets_received", "out_of_order", "missing", "early", "late",
-        "bandwidth", "available", "rebuffering", "transport", "startup",
-        "audio_format", "raw_stat",
+        "bandwidth", "available", "highest", "lowest", "average",
+        "requested", "received", "s2_late", "rebuffering", "transport",
+        "startup", "audio_format", "raw_stat",
     )
 
 
@@ -355,6 +356,12 @@ SELECT event_id, CAST(bracket_idx AS INTEGER) AS bracket_idx, stat_type,
   CAST(nullif(regexp_extract(tok, '^Stat1:\s*(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s*(\S*)', 5), '') AS INTEGER) AS late,
   CAST(nullif(regexp_extract(tok, '^Stat2:\s*(\d+)', 1), '') AS INTEGER) AS bandwidth,
   CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){1}(\d+)', 1), '') AS INTEGER) AS available,
+  CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){2}(\d+)', 1), '') AS INTEGER) AS highest,
+  CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){3}(\d+)', 1), '') AS INTEGER) AS lowest,
+  CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){4}(\d+)', 1), '') AS INTEGER) AS average,
+  CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){5}(\d+)', 1), '') AS INTEGER) AS requested,
+  CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){6}(\d+)', 1), '') AS INTEGER) AS received,
+  CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){7}(\d+)', 1), '') AS INTEGER) AS s2_late,
   CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){8}(\d+[.]?\d*)', 1), '') AS DOUBLE) AS rebuffering,
   CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){8}(?:\d+[.]?\d*)\s+(\d+)', 1), '') AS INTEGER) AS transport,
   CAST(nullif(regexp_extract(tok, '^Stat2:\s*(?:\d+\s+){8}(?:\d+[.]?\d*)\s+(?:\d+)\s+(\d+)', 1), '') AS INTEGER) AS startup,
