@@ -113,6 +113,41 @@ def stream_windowed_views(
     )
 
 
+def stream_upsert_access(
+    spark: SparkSession,
+    log_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    prefix: str = "rmaccess",
+):
+    """foreachBatch + key-based upsert: the idempotent MERGE alternative to
+    the strictly-greater watermark (SURVEY.md §2.8).  Re-delivered lines
+    (file re-reads, at-least-once sources) converge to one row per
+    (client_ip_address, event_ts) key instead of duplicating — the
+    exactly-once story when the source cannot checkpoint."""
+    from realparse_spark.operators.upsert import upsert_parquet
+
+    lines = stream_log_lines(spark, log_dir, prefix)
+    access = parsed_stream(lines).select(
+        "client_ip_address", "event_ts", "name", "bytes_sent", "status_code"
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        upsert_parquet(
+            batch_df.sparkSession,
+            batch_df.dropDuplicates(["client_ip_address", "event_ts"]),
+            table_path,
+            keys=["client_ip_address", "event_ts"],
+        )
+
+    return (
+        access.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     log_dir: str,
