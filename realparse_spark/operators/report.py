@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realparse_spark.functions.scalars import duration_hms
-from realparse_spark.sources.tables import fan_out, load_table
+from realparse_spark.sources.tables import load_table
 
 
 # ---------------------------------------------------------------------------
@@ -34,7 +34,9 @@ from realparse_spark.sources.tables import fan_out, load_table
 # ---------------------------------------------------------------------------
 
 def customer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = fan_out(load_table(spark, sf_dir, "lineitem"))  # single-row-group fixture
+    # no fan_out here: both join sides broadcast, so the narrow scan +
+    # map-side partial agg beats paying a repartition shuffle (measured)
+    lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
