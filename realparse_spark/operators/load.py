@@ -91,6 +91,16 @@ def load_style5(
     lines = read_log_lines(spark, log_dir, prefix, latest)
     parsed = parse_style5(lines, line_col="value")
 
+    # Quarantine: a line whose timestamp failed to parse (epoch NULL)
+    # cannot pass any watermark and would silently vanish; at 100 TB
+    # malformed lines are a certainty, so they are preserved for triage
+    # instead of dropped (ANSI-off yields NULLs, not job aborts).
+    bad = parsed.filter(F.col("epoch").isNull()).select("value", "source_file")
+    n_bad = bad.count()
+    if n_bad:
+        _append(bad, warehouse, "quarantine")
+    parsed = parsed.filter(F.col("epoch").isNotNull())
+
     wm = _family_watermark(spark, warehouse, real_family=True)
     if wm is not None:
         parsed = parsed.filter(F.col("epoch") > F.lit(wm))  # F1 strict '>'
@@ -105,9 +115,9 @@ def load_style5(
     try:
         n = keyed.count()
         if n == 0:
-            return {t: 0 for t in ACCESS_TABLES}
+            return {t: 0 for t in ACCESS_TABLES} | {"quarantine": n_bad}
 
-        counts: dict[str, int] = {}
+        counts: dict[str, int] = {"quarantine": n_bad}
 
         access = keyed.select(
             "access_id", "client_ip_address", "identuser", "authuser",
