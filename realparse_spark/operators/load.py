@@ -211,6 +211,12 @@ def load_weblog(
     lines = read_log_lines(spark, log_dir, prefix, latest)
     parsed = parse_weblog(lines, line_col="value")
 
+    bad = parsed.filter(F.col("epoch").isNull()).select("value", "source_file")
+    n_bad = bad.count()
+    if n_bad:
+        _append(bad, warehouse, "quarantine")
+    parsed = parsed.filter(F.col("epoch").isNotNull())
+
     wm = _family_watermark(spark, warehouse, real_family=False)
     if wm is not None:
         parsed = parsed.filter(F.col("epoch") > F.lit(wm))
@@ -222,7 +228,7 @@ def load_weblog(
     try:
         n = keyed.count()
         if n == 0:
-            return {t: 0 for t in ("access", "file", "client")}
+            return {t: 0 for t in ("access", "file", "client")} | {"quarantine": n_bad}
 
         access = keyed.select(
             "access_id", "client_ip_address", "identuser", "authuser",
@@ -256,7 +262,7 @@ def load_weblog(
             "access_id",
         )
         _append(client, warehouse, "client")
-        return {"access": n, "file": n, "client": n}
+        return {"access": n, "file": n, "client": n, "quarantine": n_bad}
     finally:
         keyed.unpersist()
 
