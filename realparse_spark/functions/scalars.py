@@ -21,8 +21,10 @@ def parse_clf_timestamp(col: Column | str) -> Column:
     """C1 — parse common-log-format timestamp to TimestampType.
 
     Reference: real_parse.pl:243-244 (`ParseDate` on 'DD/Mon/YYYY:HH:MM:SS').
+    try_to_timestamp: malformed input -> NULL (quarantine path) under ANY
+    session, instead of aborting an ANSI-mode job.
     """
-    return F.to_timestamp(col, CLF_TS_FORMAT)
+    return F.try_to_timestamp(col, F.lit(CLF_TS_FORMAT))
 
 
 def epoch_seconds(ts: Column | str) -> Column:

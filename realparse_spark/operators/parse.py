@@ -80,28 +80,28 @@ def parse_style5(df: DataFrame, line_col: str = "value") -> DataFrame:
     df = df.withColumn(
         "_toks",
         F.when(
-            F.element_at("_toks_raw", 1).rlike(r"[69_]\w"),
+            F.try_element_at("_toks_raw", F.lit(1)).rlike(r"[69_]\w"),
             F.expr("slice(_toks_raw, 2, size(_toks_raw))"),
         ).otherwise(F.col("_toks_raw")),
     )
     # P7/P8 timestamp from bracket[0]
     df = (
-        df.withColumn("_ts_str", F.regexp_extract(F.element_at("_brackets", 1), r"^(.+) -(\d+)$", 1))
-        .withColumn("gmt_offset", F.regexp_extract(F.element_at("_brackets", 1), r"^(.+) -(\d+)$", 2))
+        df.withColumn("_ts_str", F.regexp_extract(F.try_element_at("_brackets", F.lit(1)), r"^(.+) -(\d+)$", 1))
+        .withColumn("gmt_offset", F.regexp_extract(F.try_element_at("_brackets", F.lit(1)), r"^(.+) -(\d+)$", 2))
         .withColumn("_ts", parse_clf_timestamp(F.col("_ts_str")))
         .withColumn("datetime", format_datetime(F.col("_ts")))
         .withColumn("epoch", epoch_seconds(F.col("_ts")))
     )
     # P5 positional destructure: head 2 + tail-anchored 6
     df = (
-        df.withColumn("status_code", F.element_at("_toks", 1).cast("int"))
-        .withColumn("bytes_sent", F.element_at("_toks", 2).cast("long"))
-        .withColumn("file_size", F.element_at("_toks", -6).cast("long"))
-        .withColumn("file_time", F.element_at("_toks", -5).cast("int"))
-        .withColumn("sent_time", F.element_at("_toks", -4).cast("int"))
-        .withColumn("resends", F.element_at("_toks", -3).cast("int"))
-        .withColumn("failed_resends", F.element_at("_toks", -2).cast("int"))
-        .withColumn("presentation_id", F.element_at("_toks", -1).cast("int"))
+        df.withColumn("status_code", F.try_element_at("_toks", F.lit(1)).cast("int"))
+        .withColumn("bytes_sent", F.try_element_at("_toks", F.lit(2)).cast("long"))
+        .withColumn("file_size", F.try_element_at("_toks", F.lit(-6)).cast("long"))
+        .withColumn("file_time", F.try_element_at("_toks", F.lit(-5)).cast("int"))
+        .withColumn("sent_time", F.try_element_at("_toks", F.lit(-4)).cast("int"))
+        .withColumn("resends", F.try_element_at("_toks", F.lit(-3)).cast("int"))
+        .withColumn("failed_resends", F.try_element_at("_toks", F.lit(-2)).cast("int"))
+        .withColumn("presentation_id", F.try_element_at("_toks", F.lit(-1)).cast("int"))
     )
     # P10 path/name split
     raw_name = F.substring_index("_filename", "/", -1)
@@ -114,8 +114,8 @@ def parse_style5(df: DataFrame, line_col: str = "value") -> DataFrame:
                    F.expr("substring(_filename, 1, length(_filename) - length(substring_index(_filename, '/', -1)) - 1)"))
             .otherwise(F.lit("")),
         )
-        .withColumn("client_info", F.element_at("_brackets", 2))
-        .withColumn("client_GUID", F.element_at("_brackets", 3))
+        .withColumn("client_info", F.try_element_at("_brackets", F.lit(2)))
+        .withColumn("client_GUID", F.try_element_at("_brackets", F.lit(3)))
     )
     return df.drop("_toks_raw", "_toks", "_ts_str", "_ts", "_filename")
 
@@ -136,12 +136,12 @@ def parse_weblog(df: DataFrame, line_col: str = "value") -> DataFrame:
         .withColumn("_filename", F.regexp_extract(line, pat_req, 2))
         .withColumn("protocol_version", F.regexp_extract(line, pat_req, 3))
         .withColumn("user_agent", F.regexp_extract(line, pat_req, 4))
-        .withColumn("status_code", F.element_at("_toks", 1).cast("int"))
-        .withColumn("bytes_sent", F.element_at("_toks", 2).cast("long"))
+        .withColumn("status_code", F.try_element_at("_toks", F.lit(1)).cast("int"))
+        .withColumn("bytes_sent", F.try_element_at("_toks", F.lit(2)).cast("long"))
     )
     df = (
-        df.withColumn("_ts_str", F.regexp_extract(F.element_at("_brackets", 1), r"^(.+) -(\d+)$", 1))
-        .withColumn("gmt_offset", F.regexp_extract(F.element_at("_brackets", 1), r"^(.+) -(\d+)$", 2))
+        df.withColumn("_ts_str", F.regexp_extract(F.try_element_at("_brackets", F.lit(1)), r"^(.+) -(\d+)$", 1))
+        .withColumn("gmt_offset", F.regexp_extract(F.try_element_at("_brackets", F.lit(1)), r"^(.+) -(\d+)$", 2))
         .withColumn("_ts", parse_clf_timestamp(F.col("_ts_str")))
         .withColumn("datetime", format_datetime(F.col("_ts")))
         .withColumn("epoch", epoch_seconds(F.col("_ts")))
@@ -171,7 +171,7 @@ def parse_positional(
     parts = F.split(F.col(line_col), " ")
     out = df
     for name, idx in fields.items():
-        out = out.withColumn(name, F.element_at(parts, idx))
+        out = out.withColumn(name, F.try_element_at(parts, F.lit(idx)))
     return out
 
 
@@ -187,13 +187,13 @@ def parse_client_info(df: DataFrame, info_col: str = "client_info") -> DataFrame
     is_qt = info.rlike(r"^Q")
 
     def rp(i: int) -> Column:
-        return F.when(is_rp, F.element_at(parts, i))
+        return F.when(is_rp, F.try_element_at(parts, F.lit(i)))
 
     return (
         df.withColumn("platform", rp(1))
-        .withColumn("os_version", F.when(is_rp, F.element_at(parts, 2)).when(is_qt, F.regexp_extract(info, qt, 3)))
-        .withColumn("client_version", F.when(is_rp, F.element_at(parts, 3)).when(is_qt, F.regexp_extract(info, qt, 2)))
-        .withColumn("type", F.when(is_rp, F.element_at(parts, 4)).when(is_qt, F.regexp_extract(info, qt, 1)))
+        .withColumn("os_version", F.when(is_rp, F.try_element_at(parts, F.lit(2))).when(is_qt, F.regexp_extract(info, qt, 3)))
+        .withColumn("client_version", F.when(is_rp, F.try_element_at(parts, F.lit(3))).when(is_qt, F.regexp_extract(info, qt, 2)))
+        .withColumn("type", F.when(is_rp, F.try_element_at(parts, F.lit(4))).when(is_qt, F.regexp_extract(info, qt, 1)))
         .withColumn("distribution", rp(5))
         .withColumn("language", rp(6))
         .withColumn("cpu", rp(7))
@@ -218,6 +218,12 @@ def explode_stats_masks(df: DataFrame, brackets_col: str = "_brackets", key_cols
         r"^Stat2:\s*(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)"
         r"\s+(\d+[.]?\d*)\s+(\d+)\s+(\d+)\s*(\S*)"
     )
+
+    def num(pat: str, group: int, typ: str = "int") -> F.Column:
+        # regexp_extract yields '' on no match (e.g. Stat1 fields of a
+        # Stat3 row); nullif keeps the cast legal under ANSI sessions
+        return F.nullif(F.regexp_extract("tok", pat, group), F.lit("")).cast(typ)
+
     return (
         ex.withColumn(
             "stat_type",
@@ -226,22 +232,22 @@ def explode_stats_masks(df: DataFrame, brackets_col: str = "_brackets", key_cols
             .when(F.col("tok").startswith("Stat3:"), 3)
             .otherwise(0),
         )
-        .withColumn("packets_received", F.regexp_extract("tok", stat1, 1).cast("int"))
-        .withColumn("out_of_order", F.regexp_extract("tok", stat1, 2).cast("int"))
-        .withColumn("missing", F.regexp_extract("tok", stat1, 3).cast("int"))
-        .withColumn("early", F.regexp_extract("tok", stat1, 4).cast("int"))
-        .withColumn("late", F.regexp_extract("tok", stat1, 5).cast("int"))
-        .withColumn("bandwidth", F.regexp_extract("tok", stat2, 1).cast("int"))
-        .withColumn("available", F.regexp_extract("tok", stat2, 2).cast("int"))
-        .withColumn("highest", F.regexp_extract("tok", stat2, 3).cast("int"))
-        .withColumn("lowest", F.regexp_extract("tok", stat2, 4).cast("int"))
-        .withColumn("average", F.regexp_extract("tok", stat2, 5).cast("int"))
-        .withColumn("requested", F.regexp_extract("tok", stat2, 6).cast("int"))
-        .withColumn("received", F.regexp_extract("tok", stat2, 7).cast("int"))
-        .withColumn("s2_late", F.regexp_extract("tok", stat2, 8).cast("int"))
-        .withColumn("rebuffering", F.regexp_extract("tok", stat2, 9).cast("double"))
-        .withColumn("transport", F.regexp_extract("tok", stat2, 10).cast("int"))
-        .withColumn("startup", F.regexp_extract("tok", stat2, 11).cast("int"))
+        .withColumn("packets_received", num(stat1, 1))
+        .withColumn("out_of_order", num(stat1, 2))
+        .withColumn("missing", num(stat1, 3))
+        .withColumn("early", num(stat1, 4))
+        .withColumn("late", num(stat1, 5))
+        .withColumn("bandwidth", num(stat2, 1))
+        .withColumn("available", num(stat2, 2))
+        .withColumn("highest", num(stat2, 3))
+        .withColumn("lowest", num(stat2, 4))
+        .withColumn("average", num(stat2, 5))
+        .withColumn("requested", num(stat2, 6))
+        .withColumn("received", num(stat2, 7))
+        .withColumn("s2_late", num(stat2, 8))
+        .withColumn("rebuffering", num(stat2, 9, "double"))
+        .withColumn("transport", num(stat2, 10))
+        .withColumn("startup", num(stat2, 11))
         .withColumn(
             "audio_format",
             F.when(F.col("stat_type") == 1, default_on_empty(F.regexp_extract("tok", stat1, 6)))
