@@ -205,7 +205,12 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
     arithmetic (no per-shingle string building, no distinct — min() is
     duplicate-insensitive), explode -> K (a*h+b) mod p min() aggregates.
     Single shuffle, constant signature width; the arithmetic shingle is
-    ~3x cheaper than string shingles at bench scale."""
+    ~3x cheaper than string shingles at bench scale.
+
+    Docs with fewer than n tokens emit one partial shingle (missing
+    positions hash as 0 via try_element_at -> ifnull) instead of
+    aborting: under the driver's ANSI session a plain element_at on a
+    short token array raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
     if n != 3:
         raise ValueError("arithmetic shingle combine is specialized to n=3")
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_toks"))
@@ -218,9 +223,9 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
             F.explode(
                 F.expr(
                     "transform(sequence(1, greatest(size(_th)-2, 1)),"
-                    " i -> pmod(ifnull(element_at(_th,i),0)*1000003"
-                    "        + ifnull(element_at(_th,i+1),0)*8191"
-                    "        + ifnull(element_at(_th,i+2),0), 2147483647))"
+                    " i -> pmod(ifnull(try_element_at(_th,i),0)*1000003"
+                    "        + ifnull(try_element_at(_th,i+1),0)*8191"
+                    "        + ifnull(try_element_at(_th,i+2),0), 2147483647))"
                 )
             ).alias("h"),
         )

@@ -58,17 +58,22 @@ def pull_report(
         F.count("name").alias("n_views"),
         F.max(F.when(F.col("file_time") != 0, F.col("file_time"))).alias("_clip"),
         F.round(
-            F.sum(
-                F.when(
-                    (F.col("sent_time") != 0) & (F.col("sent_time") <= F.col("file_time")),
-                    F.col("sent_time"),
-                ).cast("decimal(18,2)")
-            ).cast("double")
-            / F.count(
-                F.when(
-                    (F.col("sent_time") != 0) & (F.col("sent_time") <= F.col("file_time")),
-                    F.col("sent_time"),
-                )
+            # try_divide: a group where no row passes the sent_ok guard has
+            # count 0 — ANSI sessions raise DIVIDE_BY_ZERO on plain `/`,
+            # while the DuckDB oracle yields NULL. try_divide yields NULL too.
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        (F.col("sent_time") != 0) & (F.col("sent_time") <= F.col("file_time")),
+                        F.col("sent_time"),
+                    ).cast("decimal(18,2)")
+                ).cast("double"),
+                F.count(
+                    F.when(
+                        (F.col("sent_time") != 0) & (F.col("sent_time") <= F.col("file_time")),
+                        F.col("sent_time"),
+                    )
+                ),
             ),
             0,
         ).alias("_avg"),
@@ -107,8 +112,10 @@ def q_log_report_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("name").alias("n_views"),
         F.max(F.when(F.col("file_time") != 0, F.col("file_time"))).alias("_clip"),
         F.round(
-            F.sum(F.when(sent_ok, F.col("sent_time")).cast("decimal(18,2)")).cast("double")
-            / F.count(F.when(sent_ok, F.col("sent_time"))),
+            F.try_divide(  # zero-count group: NULL, not ANSI DIVIDE_BY_ZERO
+                F.sum(F.when(sent_ok, F.col("sent_time")).cast("decimal(18,2)")).cast("double"),
+                F.count(F.when(sent_ok, F.col("sent_time"))),
+            ),
             0,
         ).alias("_avg"),
         F.max(F.when(sent_ok, F.col("sent_time"))).alias("_longest"),

@@ -23,6 +23,31 @@ for name in sorted(q):
     except Exception as ex:
         failures.append((name, str(ex).splitlines()[0][:120]))
 assert not failures, failures
+
+# ANSI edge cases the sf fixtures don't cover:
+# 1) minhash over docs with <3 tokens — plain element_at would raise
+#    INVALID_ARRAY_INDEX_IN_ELEMENT_AT here (regression for try_element_at).
+from realparse_spark.operators.dedup import minhash_lsh_pairs
+short = spark.createDataFrame(
+    [(1, "hi"), (2, "hi"), (3, "a b"), (4, ""), (5, "one two three four")],
+    "doc_id long, text string",
+)
+minhash_lsh_pairs(short, n=3, k=16, bands=4, threshold=0.0).count()
+
+# 2) pull_report group where NO row passes the sent_ok guard — a plain `/`
+#    would raise DIVIDE_BY_ZERO (regression for try_divide); must yield N/A.
+from realparse_spark.operators.log_report import pull_report
+access = spark.createDataFrame([(1, "10.0.0.1")], "access_id long, client_ip_address string")
+file = spark.createDataFrame(
+    [("clip.rm", 180, 200, 1)],  # sent > file: excluded by F8, count()==0
+    "name string, file_time int, sent_time int, access_id long",
+)
+customers = spark.createDataFrame([(1, "A", "Yes")], "id long, company_name string, hosting string")
+project = spark.createDataFrame([(1, 1)], "project_id long, customer_id long")
+project_file = spark.createDataFrame([(1, "clip%")], "project_id long, pattern string")
+r = pull_report(access, file, customers, project, project_file).collect()[0]
+assert r.avg_view_time == "N/A", r
+
 print("VANILLA_OK", len(q))
 """
 
