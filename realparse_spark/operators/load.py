@@ -89,30 +89,34 @@ def load_style5(
             return {}
 
     lines = read_log_lines(spark, log_dir, prefix, latest)
-    parsed = parse_style5(lines, line_col="value")
-
-    # Quarantine: a line whose timestamp failed to parse (epoch NULL)
-    # cannot pass any watermark and would silently vanish; at 100 TB
-    # malformed lines are a certainty, so they are preserved for triage
-    # instead of dropped (ANSI-off yields NULLs, not job aborts).
-    bad = parsed.filter(F.col("epoch").isNull()).select("value", "source_file")
-    n_bad = bad.count()
-    if n_bad:
-        _append(bad, warehouse, "quarantine")
-    parsed = parsed.filter(F.col("epoch").isNotNull())
-
-    wm = _family_watermark(spark, warehouse, real_family=True)
-    if wm is not None:
-        parsed = parsed.filter(F.col("epoch") > F.lit(wm))  # F1 strict '>'
-
-    base = _next_key_base(spark, warehouse)
-    # J2: one deterministic-enough surrogate per line, derived without any
-    # read-back; monotonically_increasing_id is unique per run, the base
-    # offset keeps runs disjoint (sparse like auto-increment with gaps).
-    keyed = parsed.withColumn(
-        "access_id", F.lit(base) + F.monotonically_increasing_id()
-    ).persist()
+    # Persist the parsed corpus BEFORE the quarantine split: the quarantine
+    # count, the quarantine write, and the keyed main pipeline all branch
+    # off this one DF — without the cache each branch would re-scan and
+    # re-regex the raw text (~3 full parse passes at 100 TB).
+    parsed = parse_style5(lines, line_col="value").persist()
+    keyed = None
     try:
+        # Quarantine: a line whose timestamp failed to parse (epoch NULL)
+        # cannot pass any watermark and would silently vanish; at 100 TB
+        # malformed lines are a certainty, so they are preserved for triage
+        # instead of dropped (ANSI-off yields NULLs, not job aborts).
+        bad = parsed.filter(F.col("epoch").isNull()).select("value", "source_file")
+        n_bad = bad.count()  # materializes the parse cache: the only full parse
+        if n_bad:
+            _append(bad, warehouse, "quarantine")
+        good = parsed.filter(F.col("epoch").isNotNull())
+
+        wm = _family_watermark(spark, warehouse, real_family=True)
+        if wm is not None:
+            good = good.filter(F.col("epoch") > F.lit(wm))  # F1 strict '>'
+
+        base = _next_key_base(spark, warehouse)
+        # J2: one deterministic-enough surrogate per line, derived without any
+        # read-back; monotonically_increasing_id is unique per run, the base
+        # offset keeps runs disjoint (sparse like auto-increment with gaps).
+        keyed = good.withColumn(
+            "access_id", F.lit(base) + F.monotonically_increasing_id()
+        ).persist()
         n = keyed.count()
         if n == 0:
             return {t: 0 for t in ACCESS_TABLES} | {"quarantine": n_bad}
@@ -195,7 +199,9 @@ def load_style5(
             stats.unpersist()
         return counts
     finally:
-        keyed.unpersist()
+        if keyed is not None:
+            keyed.unpersist()
+        parsed.unpersist()
 
 
 def load_weblog(
@@ -209,23 +215,25 @@ def load_weblog(
     filtered to .wma/.wmv, NULL logging_style/stats_mask, server_type=0,
     access+file+client only (no network/stats rows)."""
     lines = read_log_lines(spark, log_dir, prefix, latest)
-    parsed = parse_weblog(lines, line_col="value")
-
-    bad = parsed.filter(F.col("epoch").isNull()).select("value", "source_file")
-    n_bad = bad.count()
-    if n_bad:
-        _append(bad, warehouse, "quarantine")
-    parsed = parsed.filter(F.col("epoch").isNotNull())
-
-    wm = _family_watermark(spark, warehouse, real_family=False)
-    if wm is not None:
-        parsed = parsed.filter(F.col("epoch") > F.lit(wm))
-
-    base = _next_key_base(spark, warehouse)
-    keyed = parsed.withColumn(
-        "access_id", F.lit(base) + F.monotonically_increasing_id()
-    ).persist()
+    # Same single-scan shape as load_style5: one persisted parse feeds the
+    # quarantine count/write and the keyed pipeline.
+    parsed = parse_weblog(lines, line_col="value").persist()
+    keyed = None
     try:
+        bad = parsed.filter(F.col("epoch").isNull()).select("value", "source_file")
+        n_bad = bad.count()
+        if n_bad:
+            _append(bad, warehouse, "quarantine")
+        good = parsed.filter(F.col("epoch").isNotNull())
+
+        wm = _family_watermark(spark, warehouse, real_family=False)
+        if wm is not None:
+            good = good.filter(F.col("epoch") > F.lit(wm))
+
+        base = _next_key_base(spark, warehouse)
+        keyed = good.withColumn(
+            "access_id", F.lit(base) + F.monotonically_increasing_id()
+        ).persist()
         n = keyed.count()
         if n == 0:
             return {t: 0 for t in ("access", "file", "client")} | {"quarantine": n_bad}
@@ -264,7 +272,9 @@ def load_weblog(
         _append(client, warehouse, "client")
         return {"access": n, "file": n, "client": n, "quarantine": n_bad}
     finally:
-        keyed.unpersist()
+        if keyed is not None:
+            keyed.unpersist()
+        parsed.unpersist()
 
 
 def _append(df: DataFrame, warehouse: str, name: str) -> None:

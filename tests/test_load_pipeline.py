@@ -107,6 +107,41 @@ def test_style5_load_and_idempotence(spark, log_dir, tmp_path):
     assert read_warehouse_table(spark, wh, "access").count() == 4
 
 
+def test_load_single_scan(spark, tmp_path):
+    """The load must parse the corpus ONCE: quarantine count/write and the
+    keyed star-schema writes all branch off one persisted parse.  Measured
+    via Hadoop FileSystem byte-read statistics (local mode = one JVM, so
+    driver-side statistics see every task's reads): total 'file'-scheme
+    bytes read during the load must stay well under 2x the raw log size —
+    the pre-fix pipeline re-scanned the text ~3x."""
+    d = tmp_path / "biglogs"
+    d.mkdir()
+    lines = [
+        style5_line(f"10.0.{i % 256}.{i % 250}", f"12/Oct/2002:09:{i % 60:02d}:{i % 60:02d}",
+                    f"/media/x/clip{i}.rm", stats=STATS_FULL)
+        for i in range(8000)
+    ]
+    lines.append("not a parseable line at all")  # exercises the quarantine write
+    (d / "rmaccess.log.20021012").write_text("\n".join(lines) + "\n")
+    log_bytes = os.path.getsize(d / "rmaccess.log.20021012")
+    assert log_bytes > 1_000_000  # big enough that fixed overheads are noise
+
+    jvm = spark.sparkContext._jvm
+    def file_bytes_read():
+        return sum(
+            s.getBytesRead()
+            for s in jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics()
+            if s.getScheme() == "file"
+        )
+
+    before = file_bytes_read()
+    counts = load_style5(spark, str(d), str(tmp_path / "wh_scan"), latest=None)
+    delta = file_bytes_read() - before
+    assert counts["access"] == 8000 and counts["quarantine"] == 1
+    # one text scan + parquet commit overhead; 3 scans would be ~3.0x
+    assert delta < 1.8 * log_bytes, f"read {delta} bytes for a {log_bytes}-byte corpus"
+
+
 def test_todays_file_mtime_pick(spark, log_dir):
     """S3 — open_log.pl:22-28 picks the file whose mtime date is today;
     files just written all have today's mtime."""
