@@ -15,12 +15,29 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, (recall, exact, approx)
 
 
-def test_ivf_recall_vs_bruteforce(spark, sf_dir):
-    from realparse_spark.operators.similarity import ann_ivf_topk
+def test_ivf_recall_vs_bruteforce(spark, sf_dir, tmp_path):
+    """Build/probe split: the index is fit+written ONCE (partitioned by
+    centroid_id); the probe must read only the probed partitions —
+    PartitionFilters, not a full scan — and still recall the exact top-k."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.similarity import build_ivf_index, ivf_probe
+    from realparse_spark.plans import explain as X
 
     emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, str(tmp_path / "ivf"), n_centroids=16, seed=42)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding]
+    probed = ivf_probe(spark, idx, qv, k=10, n_probe=6, exclude_vec_id=0)
+
+    plan = X.full_explain(probed)
+    # centroid predicate prunes at plan time (reads n_probe partitions),
+    # it does not degrade to a row filter over the whole index
+    assert re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*\]", plan), plan[-2000:]
+
     exact = [r.vec_id for r in topk_cosine(emb, query_vec_id=0, k=10).collect()]
-    approx = [r.vec_id for r in ann_ivf_topk(emb, query_vec_id=0, k=10, n_probe=6).collect()]
+    approx = [r.vec_id for r in probed.collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.5, (recall, exact, approx)
 
