@@ -265,16 +265,41 @@ LIMIT 2
 # ---------------------------------------------------------------------------
 # surrogate_keys — J2/A2: the reference assigns surrogate keys by per-row
 # INSERT + SELECT max(id) read-back (real_parse.pl:96-114) — a serialization
-# point.  Distributed replacement: row_number() over a natural-key order,
-# projected into child tables from the same DF (no read-back, no join).
+# point.  Distributed replacement: dense global ranks via TWO-PHASE
+# assignment — range-partition on the natural key, per-partition
+# row_number, then add per-partition offsets from a tiny counts table.
+# Every stage is parallel: no Window.orderBy over the whole table (which
+# would force an Exchange SinglePartition — the one plan shape that cannot
+# survive 100 TB; asserted absent in tests/test_plan_quality.py).
 # ---------------------------------------------------------------------------
 
 def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("c_custkey")
-    keyed = customer.select(
-        F.row_number().over(w).alias("surrogate_id"), "c_custkey", "c_mktsegment"
+    # RangePartitioner assigns ascending key ranges to ascending partition
+    # ids, so (pid, local row_number) orders exactly like the global sort.
+    parts = (
+        customer.select("c_custkey", "c_mktsegment")
+        .repartitionByRange(32, "c_custkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = parts.withColumn(
+        "local_rn", F.row_number().over(Window.partitionBy("pid").orderBy("c_custkey"))
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # offsets via a tiny triangular self-join (P^2 rows, P=32) instead of an
+    # unpartitioned running-sum window — keeps the whole plan free of
+    # single-partition exchanges.
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    )
+    keyed = local.join(F.broadcast(offsets), "pid").select(
+        (F.col("offset") + F.col("local_rn")).cast("int").alias("surrogate_id"),
+        "c_custkey",
+        "c_mktsegment",
     )
     return (
         orders.join(keyed, orders.o_custkey == keyed.c_custkey)

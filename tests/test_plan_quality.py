@@ -83,6 +83,16 @@ def test_no_python_in_extension_hot_paths(spark, queries):
         assert X.python_eval_nodes(df) == 0, name
 
 
+def test_surrogate_keys_no_global_sort(spark, queries):
+    df = queries["surrogate_keys"](spark, SF)
+    plan = X.executed_plan(df)
+    # two-phase id assignment: every exchange is parallel — a global
+    # Window.orderBy would show up as Exchange SinglePartition (the one
+    # plan shape that cannot survive 100 TB)
+    assert "Exchange SinglePartition" not in plan, plan[-2000:]
+    assert X.python_eval_nodes(df) == 0
+
+
 def test_topk_uses_take_ordered(spark, queries):
     df = queries["sim_topk_cosine"](spark, SF)
     # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
