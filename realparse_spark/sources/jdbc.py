@@ -37,6 +37,11 @@ def jdbc_reader(
     With `partition_column` bounds, Spark issues `num_partitions` range
     queries in parallel; predicates and column pruning push into the DB.
     """
+    if partition_column is not None and (lower_bound is None or upper_bound is None):
+        raise ValueError(
+            "partition_column requires both lower_bound and upper_bound "
+            "(Spark would otherwise receive the literal option value 'None')"
+        )
     r = (
         spark.read.format("jdbc")
         .option("url", url)
