@@ -15,8 +15,10 @@ from __future__ import annotations
 
 import os
 import shutil
+import urllib.parse
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -31,24 +33,77 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, total
 
 
+def _leaf_partition_bytes(path: str, partition_by: list[str]) -> dict[tuple, int]:
+    """Per-partition-VALUE data bytes, keyed by the string values parsed
+    from the hive-style `k=v` directory names.  Pure filesystem metadata —
+    no data read; at 100 TB this is the cheap listing pass every
+    metastore-style compactor already does."""
+    stats: dict[tuple, int] = {}
+    for root, _dirs, files in os.walk(path):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if not pq:
+            continue
+        vals: dict[str, str] = {}
+        for part in os.path.relpath(root, path).split(os.sep):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                vals[k] = urllib.parse.unquote(v)
+        key = tuple(vals.get(c) for c in partition_by)
+        stats[key] = stats.get(key, 0) + sum(
+            os.path.getsize(os.path.join(root, f)) for f in pq
+        )
+    return stats
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
 ) -> tuple[int, int]:
-    """Rewrite `path` into max(1, total_bytes // target_file_bytes) files
-    (per partition when `partition_by` given).  Returns (files_before,
-    files_after)."""
+    """Rewrite `path` into ~target_file_bytes files.  Unpartitioned: one
+    coalesce to total//target files.  Partitioned: each partition VALUE is
+    salted into ceil(its_bytes / target) buckets — sized from the listing
+    pass, so a hot partition splits into many ~target files instead of one
+    giant single-task file (a skewed `repartition(n, *partition_by)` would
+    hash every row of a partition value into ONE task).  Returns
+    (files_before, files_after)."""
     before, total = table_file_stats(spark, path)
-    n_files = max(1, total // target_file_bytes)
 
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".__compact__"
-    writer = df.coalesce(int(n_files)) if not partition_by else df.repartition(int(n_files), *partition_by)
-    w = writer.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
+    if not partition_by:
+        n_files = max(1, total // target_file_bytes)
+        w = df.coalesce(int(n_files)).write.mode("overwrite")
+    else:
+        leaf = _leaf_partition_bytes(path, partition_by)
+        salt_rows = [
+            (
+                *[None if v == "__HIVE_DEFAULT_PARTITION__" else v for v in key],
+                max(1, -(-b // target_file_bytes)),
+            )
+            for key, b in leaf.items()
+        ]
+        schema = ", ".join(f"__pv_{c} string" for c in partition_by) + ", __n_salt int"
+        salts = spark.createDataFrame(salt_rows, schema)
+        # eqNullSafe: rows in a null-valued partition dir must not be
+        # dropped by the salt join
+        cond = [df[c].cast("string").eqNullSafe(salts[f"__pv_{c}"]) for c in partition_by]
+        data_cols = df.columns
+        salted = (
+            df.join(F.broadcast(salts), cond)
+            # uniform within a partition value: hash of the whole row
+            .withColumn(
+                "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("__n_salt"))
+            )
+        )
+        n_tasks = int(sum(r[-1] for r in salt_rows))
+        w = (
+            salted.repartition(max(1, n_tasks), *partition_by, "__salt")
+            .select(*data_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+        )
     w.parquet(staging)
 
     backup = path.rstrip("/") + ".__old__"
