@@ -39,6 +39,18 @@ from realparse_spark.sources.logs import read_log_lines, read_server_config
 
 ACCESS_TABLES = ("access", "file", "client", "network", "stats_mask1", "stats_mask2", "stats_mask3")
 
+# real_parse.pl:43 locks a `components` table that is never written — a
+# declared-but-unimplemented placeholder for stream components (the unused
+# $stream_components at open_log.pl:41).  Parity: the warehouse declares the
+# typed table, written empty once, never row-appended.
+COMPONENTS_SCHEMA = "component_id long, access_id long, component string"
+
+
+def _ensure_components(spark: SparkSession, warehouse: str) -> None:
+    p = os.path.join(warehouse, "components")
+    if not os.path.exists(p):
+        spark.createDataFrame([], COMPONENTS_SCHEMA).write.mode("overwrite").parquet(p)
+
 
 def _table_path(warehouse: str, name: str) -> str:
     return os.path.join(warehouse, name)
@@ -117,6 +129,7 @@ def load_style5(
         keyed = good.withColumn(
             "access_id", F.lit(base) + F.monotonically_increasing_id()
         ).persist()
+        _ensure_components(spark, warehouse)
         n = keyed.count()
         if n == 0:
             return {t: 0 for t in ACCESS_TABLES} | {"quarantine": n_bad}

@@ -142,6 +142,19 @@ def test_load_single_scan(spark, tmp_path):
     assert delta < 1.8 * log_bytes, f"read {delta} bytes for a {log_bytes}-byte corpus"
 
 
+def test_components_placeholder(spark, log_dir, tmp_path):
+    """real_parse.pl:43 locks a `components` table it never writes; the
+    warehouse mirrors it: typed, empty, present after any load, never
+    appended to."""
+    wh = str(tmp_path / "wh_comp")
+    load_style5(spark, str(log_dir), wh)
+    comp = read_warehouse_table(spark, wh, "components")
+    assert comp.count() == 0
+    assert comp.columns == ["component_id", "access_id", "component"]
+    load_style5(spark, str(log_dir), wh)  # second run: still empty, no append
+    assert read_warehouse_table(spark, wh, "components").count() == 0
+
+
 def test_todays_file_mtime_pick(spark, log_dir):
     """S3 — open_log.pl:22-28 picks the file whose mtime date is today;
     files just written all have today's mtime."""
