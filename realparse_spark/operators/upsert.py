@@ -3,27 +3,56 @@
 strictly-greater watermark).
 
 Parquet has no transactional MERGE; the public pattern is read + combine +
-atomic directory swap.  On a real deployment this is one `MERGE INTO` on a
-table format (Delta/Iceberg); the semantics implemented here are the same:
-latest-wins per key, insert-or-replace.
+swap.  On a real deployment this is one `MERGE INTO` on a table format
+(Delta/Iceberg); the semantics implemented here are the same: latest-wins
+per key, insert-or-replace.
 
-The swap is two renames (path -> .__old__, .__staging__ -> path): a reader
-never sees a half-written MIX of old and new rows, but there is a brief
-window between the renames where the path is absent (a concurrent read
-errors cleanly rather than returning wrong data), and a crash inside the
-window leaves the data recoverable under `.__old__`.  Deployments that
-need lock-free concurrent readers use a transactional table format; this
-module keeps the engine dependency-free.
+Scale shape: the table is stored hash-BUCKETED on the merge keys
+(`__bucket = pmod(xxhash64(keys), n_buckets)` as a hive partition dir).
+A merge batch touches only the buckets its keys hash into, so the job
+reads + rewrites O(batch) partitions, not O(table) — the property that
+makes a streaming foreachBatch MERGE sustainable: at 100 TB a trigger
+rewrites a few buckets, never restates the table.  Untouched bucket
+directories are not opened, rewritten, or renamed (byte-identical,
+asserted in tests/test_upsert.py).
+
+Swap protocol: per touched bucket, rename old dir aside then staged dir
+in.  A reader never sees a half-written MIX of old and new rows within a
+bucket; the brief per-bucket absence window and the cross-bucket
+non-atomicity are the documented trade-offs of staying dependency-free —
+deployments needing lock-free concurrent readers use a transactional
+table format.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+_BUCKET = "__bucket"
+_META = "_upsert_meta.json"
+
+
+def _bucket_expr(keys: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def _read_meta(path: str) -> dict | None:
+    p = os.path.join(path, _META)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
+
+
+def _write_meta(path: str, n_buckets: int, keys: list[str]) -> None:
+    with open(os.path.join(path, _META), "w") as fh:
+        json.dump({"n_buckets": n_buckets, "keys": keys}, fh)
 
 
 def upsert_parquet(
@@ -32,23 +61,55 @@ def upsert_parquet(
     path: str,
     keys: list[str],
     order_col: str | None = None,
+    n_buckets: int = 32,
 ) -> int:
     """Insert-or-replace by `keys`; when both sides carry a key, the row
     with the greatest `order_col` wins (new side wins ties/absence).
-    Returns the resulting row count."""
-    try:
-        existing = spark.read.parquet(path)
-        has_existing = True
-    except Exception:
-        existing = None
-        has_existing = False
+    Returns the resulting row count.
 
-    if not has_existing:
-        new_df.write.mode("overwrite").parquet(path)
+    The stored layout is partitioned by a key-hash bucket; `n_buckets` is
+    fixed at table creation (recorded in a sidecar — later calls use the
+    recorded value, because re-bucketing would silently split a key across
+    buckets and break the merge)."""
+    meta = _read_meta(path)
+    if meta is not None:
+        if meta["keys"] != keys:
+            raise ValueError(f"table at {path} was bucketed on keys {meta['keys']}, got {keys}")
+        n_buckets = int(meta["n_buckets"])
+
+    data_cols = new_df.columns
+    newb = new_df.withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
+
+    if meta is None and not os.path.exists(path):
+        newb.write.mode("overwrite").partitionBy(_BUCKET).parquet(path)
+        _write_meta(path, n_buckets, keys)
         return spark.read.parquet(path).count()
 
-    tagged_new = new_df.withColumn("_src", F.lit(1))
-    tagged_old = existing.select(*new_df.columns).withColumn("_src", F.lit(0))
+    # pre-bucketing table (no sidecar): one-time full-merge migration into
+    # the bucketed layout — the O(table) cost is paid once, not per batch
+    legacy = meta is None
+
+    if legacy:
+        touched = None
+        existing = (
+            spark.read.parquet(path)
+            .select(*data_cols)
+            .withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
+        )
+    else:
+        # buckets present in this batch: tiny distinct collect (<= n_buckets)
+        touched = sorted(
+            r[_BUCKET] for r in newb.select(_BUCKET).distinct().collect()
+        )
+        if not touched:
+            return spark.read.parquet(path).count()
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(_BUCKET).isin(touched))  # partition pruning: O(batch) read
+            .select(*data_cols, F.col(_BUCKET).cast("int").alias(_BUCKET))
+        )
+    tagged_new = newb.withColumn("_src", F.lit(1))
+    tagged_old = existing.withColumn("_src", F.lit(0))
     unioned = tagged_new.unionByName(tagged_old)
 
     order = [F.col(order_col).desc()] if order_col else []
@@ -60,11 +121,26 @@ def upsert_parquet(
     )
 
     staging = path.rstrip("/") + ".__staging__"
-    merged.write.mode("overwrite").parquet(staging)
-    n = spark.read.parquet(staging).count()
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
+
     backup = path.rstrip("/") + ".__old__"
     shutil.rmtree(backup, ignore_errors=True)
-    os.rename(path, backup)
-    os.rename(staging, path)
+    if legacy:
+        # whole-directory swap into the new layout
+        os.rename(path, backup)
+        os.rename(staging, path)
+        _write_meta(path, n_buckets, keys)
+    else:
+        # swap ONLY the touched bucket dirs; untouched dirs stay byte-identical
+        os.makedirs(backup)
+        for b in touched:
+            src = os.path.join(staging, f"{_BUCKET}={b}")
+            dst = os.path.join(path, f"{_BUCKET}={b}")
+            if os.path.exists(dst):
+                os.rename(dst, os.path.join(backup, f"{_BUCKET}={b}"))
+            if os.path.exists(src):  # merged always has the batch's rows
+                os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(backup, ignore_errors=True)
-    return n
+    return spark.read.parquet(path).count()

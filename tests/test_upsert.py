@@ -32,6 +32,71 @@ def test_upsert_latest_wins(spark, tmp_path):
     assert got[2] == "b2"
 
 
+def _file_snapshot(path: str) -> dict[str, tuple[int, bytes]]:
+    """data-file -> (size, content digest) for every parquet file under path."""
+    import hashlib
+
+    snap = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    snap[os.path.relpath(p, path)] = (
+                        os.path.getsize(p),
+                        hashlib.md5(fh.read()).digest(),
+                    )
+    return snap
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB property: a merge batch reads+rewrites only the bucket
+    partitions its keys hash into; every other bucket's data files stay
+    BYTE-identical (same paths, sizes, contents) — the table is never
+    restated per batch."""
+    path = str(tmp_path / "bucketed")
+    first = spark.range(200).select(
+        F.col("id").alias("k"), F.lit("v0").alias("v"), F.lit(1).cast("long").alias("ver")
+    )
+    assert upsert_parquet(spark, first, path, ["k"], "ver", n_buckets=8) == 200
+    before = _file_snapshot(path)
+    buckets_before = {p.split(os.sep)[0] for p in before}
+    assert len(buckets_before) > 4  # keys actually spread over buckets
+
+    batch = spark.createDataFrame([(5, "v1", 2)], "k long, v string, ver long")
+    assert upsert_parquet(spark, batch, path, ["k"], "ver") == 200
+    after = _file_snapshot(path)
+
+    changed_dirs = {
+        p.split(os.sep)[0]
+        for p in set(before) ^ set(after) | {p for p in before if p in after and before[p] != after[p]}
+    }
+    assert len(changed_dirs) == 1, changed_dirs  # exactly the bucket of k=5
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(path).collect()}
+    assert got[5] == ("v1", 2) and got[6] == ("v0", 1)
+
+
+def test_upsert_migrates_legacy_unbucketed_table(spark, tmp_path):
+    """A pre-bucketing table (plain parquet, no sidecar) is migrated into
+    the bucketed layout on the first merge — once — with latest-wins
+    semantics intact."""
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k long, v string, ver long"
+    ).write.parquet(path)
+
+    batch = spark.createDataFrame([(2, "b2", 20), (3, "c", 20)], "k long, v string, ver long")
+    assert upsert_parquet(spark, batch, path, ["k"], "ver", n_buckets=8) == 3
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    # second merge takes the pruned path (sidecar now present)
+    assert upsert_parquet(
+        spark, spark.createDataFrame([(1, "a2", 30)], "k long, v string, ver long"),
+        path, ["k"], "ver",
+    ) == 3
+    assert {r.v for r in spark.read.parquet(path).filter(F.col("k") == 1).collect()} == {"a2"}
+
+
 def test_gzip_log_ingestion(spark, tmp_path):
     """Rotated logs arrive gzipped in practice; spark.read.text handles
     .gz transparently, so the whole load pipeline works unchanged."""
