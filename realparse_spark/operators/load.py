@@ -65,15 +65,27 @@ def read_warehouse_table(spark: SparkSession, warehouse: str, name: str) -> Data
 
 
 def _family_watermark(spark: SparkSession, warehouse: str, real_family: bool) -> int | None:
-    """F1/F2 — max loaded epoch for one source family, discriminated by
-    logging_style NULLness (real_parse.pl:47 vs web_parse.pl:42)."""
-    access = read_warehouse_table(spark, warehouse, "access")
-    if access is None:
+    """F1/F2 — max loaded epoch for one source family (real_parse.pl:47 vs
+    web_parse.pl:42; the logging_style NULLness discriminator maps 1:1 to
+    the server_type partition value, 1=real / 0=web).
+
+    Scale shape: the access layout is partitioned by (server_type,
+    access_date), and the max datetime can only live in the
+    lexicographically-latest date partition of the family — so the read is
+    ONE partition directory, not a full-family scan (at 100 TB a cron-run
+    watermark fetch must not scan years of history).  Crash-safe by
+    construction: derived from the data itself, no sidecar to desync."""
+    server_type = 1 if real_family else 0
+    stdir = os.path.join(_table_path(warehouse, "access"), f"server_type={server_type}")
+    if not os.path.isdir(stdir):
         return None
-    fam = access.filter(
-        F.col("logging_style").isNotNull() if real_family else F.col("logging_style").isNull()
+    dates = sorted(
+        d.split("=", 1)[1] for d in os.listdir(stdir) if d.startswith("access_date=")
     )
-    row = fam.agg(F.max(F.unix_timestamp("datetime")).alias("wm")).collect()[0]
+    if not dates:
+        return None
+    latest = spark.read.parquet(os.path.join(stdir, f"access_date={dates[-1]}"))
+    row = latest.agg(F.max(F.unix_timestamp("datetime")).alias("wm")).collect()[0]
     return row.wm
 
 
@@ -142,6 +154,7 @@ def load_style5(
             F.lit(logging_style).cast("int").alias("logging_style"),
             F.lit(stats_mask).cast("int").alias("stats_mask"),
             F.lit(1).cast("int").alias("server_type"),  # real_parse.pl:16
+            F.to_date(F.to_timestamp("datetime")).alias("access_date"),
         )
         _append(access, warehouse, "access")
         counts["access"] = n
@@ -257,6 +270,7 @@ def load_weblog(
             F.lit(None).cast("int").alias("logging_style"),  # web_parse.pl:87
             F.lit(None).cast("int").alias("stats_mask"),
             F.lit(0).cast("int").alias("server_type"),  # web_parse.pl:15
+            F.to_date(F.to_timestamp("datetime")).alias("access_date"),
         )
         _append(access, warehouse, "access")
 
@@ -292,9 +306,10 @@ def load_weblog(
 
 def _append(df: DataFrame, warehouse: str, name: str) -> None:
     """S7 — batched columnar append; replaces per-row INSERT round-trips.
-    At scale: partition `access` by server_type (+ date) so the F2 family
-    discriminator and time-range reports prune partitions."""
+    `access` is partitioned by (server_type, access_date): the F2 family
+    discriminator, time-range reports, AND the per-run watermark read all
+    prune to a handful of partitions instead of scanning the table."""
     writer = df.write.mode("append")
     if name == "access":
-        writer = writer.partitionBy("server_type")
+        writer = writer.partitionBy("server_type", "access_date")
     writer.parquet(_table_path(warehouse, name))

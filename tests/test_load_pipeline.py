@@ -142,6 +142,57 @@ def test_load_single_scan(spark, tmp_path):
     assert delta < 1.8 * log_bytes, f"read {delta} bytes for a {log_bytes}-byte corpus"
 
 
+def test_watermark_reads_only_latest_date_partition(spark, tmp_path):
+    """The per-run watermark fetch must read ONE (server_type, access_date)
+    partition dir, not scan the whole family: with a large old-date
+    partition and a tiny new-date one, the bytes read by _family_watermark
+    must stay far below the old partition's size."""
+    from realparse_spark.operators.load import _family_watermark
+
+    d = tmp_path / "wmlogs"
+    d.mkdir()
+    old = [
+        style5_line(f"10.0.{i % 256}.{i % 250}", f"11/Oct/2002:09:{i % 60:02d}:{i % 60:02d}",
+                    f"/media/x/old{i}.rm", stats=STATS_FULL)
+        for i in range(6000)
+    ]
+    (d / "rmaccess.log.20021011").write_text("\n".join(old) + "\n")
+    wh = str(tmp_path / "wh_wm")
+    load_style5(spark, str(d), wh)
+
+    (d / "rmaccess.log.20021012").write_text(
+        style5_line("10.0.0.9", "12/Oct/2002:10:00:00", "/media/x/new.rm", stats=STATS_FULL) + "\n"
+    )
+    load_style5(spark, str(d), wh)
+
+    access_dir = os.path.join(wh, "access", "server_type=1")
+    sizes = {
+        p: sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, files in os.walk(os.path.join(access_dir, p))
+            for f in files if f.endswith(".parquet")
+        )
+        for p in os.listdir(access_dir) if p.startswith("access_date=")
+    }
+    assert len(sizes) == 2
+    old_bytes = sizes["access_date=2002-10-11"]
+
+    jvm = spark.sparkContext._jvm
+    def file_bytes_read():
+        return sum(
+            s.getBytesRead()
+            for s in jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics()
+            if s.getScheme() == "file"
+        )
+
+    before = file_bytes_read()
+    wm = _family_watermark(spark, wh, real_family=True)
+    delta = file_bytes_read() - before
+    assert wm is not None
+    # reading the big old partition would cost >= old_bytes
+    assert delta < 0.5 * old_bytes, (delta, old_bytes)
+
+
 def test_components_placeholder(spark, log_dir, tmp_path):
     """real_parse.pl:43 locks a `components` table it never writes; the
     warehouse mirrors it: typed, empty, present after any load, never
