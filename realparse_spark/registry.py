@@ -16,6 +16,7 @@ _MODULES = (
     "realparse_spark.operators.report",
     "realparse_spark.operators.parse_queries",
     "realparse_spark.operators.log_report",
+    "realparse_spark.operators.load_query",
     "realparse_spark.operators.text",
     "realparse_spark.operators.dedup",
     "realparse_spark.operators.similarity",
