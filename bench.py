@@ -82,6 +82,19 @@ def main() -> None:
         warm[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
 
+    # regression gate: warm timings must stay within 2x of the committed
+    # baseline (previous round's driver numbers) at the baseline's sf
+    regressions: list[str] = []
+    baseline_path = os.path.join(REPO, "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            baseline = json.load(fh)
+        if sf == baseline.get("sf"):
+            for name, floor in baseline.get("warm", {}).items():
+                got = warm.get(name)
+                if got is not None and got > 2.0 * floor:
+                    regressions.append(f"{name}: {got}s vs baseline {floor}s (> 2x)")
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -90,7 +103,11 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "sf": sf,
+        "regressions": regressions,
     }))
+    if regressions:
+        print("BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
