@@ -160,8 +160,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
-DEDUP_NGRAM_SQL = r"""
-WITH toks AS (
+_NGRAM_CTES = r"""toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
   FROM documents
 ),
@@ -189,9 +188,11 @@ scored AS (
   FROM cand
   JOIN gsets ga ON ga.doc_id = doc_a
   JOIN gsets gb ON gb.doc_id = doc_b
+)"""
+
+DEDUP_NGRAM_SQL = (
+    "WITH " + _NGRAM_CTES + "\nSELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5\n"
 )
-SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -203,9 +204,11 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
     """K-permutation MinHash signatures over word-n-gram shingles.
     Shape: hash each token ONCE (xxhash64), combine per-window with integer
     arithmetic (no per-shingle string building, no distinct — min() is
-    duplicate-insensitive), explode -> K (a*h+b) mod p min() aggregates.
-    Single shuffle, constant signature width; the arithmetic shingle is
-    ~3x cheaper than string shingles at bench scale.
+    duplicate-insensitive), then take each permutation's minimum with
+    `array_min(transform(...))` INSIDE the row.  The whole signature build
+    is a narrow projection: zero shuffles, scan-speed at any scale (the
+    previous shape exploded shingles into rows and re-grouped by doc_id —
+    a full shuffle of |docs| x |shingles| rows that this plan deletes).
 
     Docs with fewer than n tokens emit one partial shingle (missing
     positions hash as 0 via try_element_at -> ifnull) instead of
@@ -215,26 +218,28 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
         raise ValueError("arithmetic shingle combine is specialized to n=3")
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_toks"))
     # token hashes reduced to 31-bit BEFORE the polynomial combine so every
-    # intermediate stays << 2^63 (no overflow even under ANSI mode)
-    hashed = (
-        toks.withColumn("_th", F.expr("transform(_toks, t -> pmod(xxhash64(t), 2147483647))"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(_th)-2, 1)),"
-                    " i -> pmod(ifnull(try_element_at(_th,i),0)*1000003"
-                    "        + ifnull(try_element_at(_th,i+1),0)*8191"
-                    "        + ifnull(try_element_at(_th,i+2),0), 2147483647))"
-                )
-            ).alias("h"),
-        )
+    # intermediate stays << 2^63 (a < p and h < p, so a*h+b < 2^62 — no
+    # silent overflow even under ANSI mode)
+    hashed = toks.withColumn(
+        "_th", F.expr("transform(_toks, t -> pmod(xxhash64(t), 2147483647))")
+    ).withColumn(
+        "_sh",
+        F.expr(
+            "transform(sequence(1, greatest(size(_th)-2, 1)),"
+            " i -> pmod(ifnull(try_element_at(_th,i),0)*1000003"
+            "        + ifnull(try_element_at(_th,i+1),0)*8191"
+            "        + ifnull(try_element_at(_th,i+2),0), 2147483647))"
+        ),
     )
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(k))
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(f"transform(_sh, h -> pmod(h * {a}L + {b}L, {MINHASH_P}L))")
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_params(k))
+        ],
+    )
 
 
 def minhash_lsh_pairs(
@@ -412,12 +417,101 @@ SELECT label, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.9
 """
 
 
+# ---------------------------------------------------------------------------
+# dup clusters — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Turn a near-dup PAIR list into dedup GROUPS: connected components,
+    cluster_id = min doc_id in the component (what a pipeline keeps).
+
+    Distributed union-find replacement: iterative min-label propagation —
+    per round each vertex takes the min of its own label and its
+    neighbors', one equi-join + one groupBy per round, converging in
+    O(component diameter) rounds (near-dup clusters are small; max_iter
+    bounds adversarial chains).  Every step is hash-partitioned on doc_id;
+    driver sees only the 1-row convergence count.  Labels are persisted
+    per round so lineage stays O(1) instead of O(iterations)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    to_free = [edges, labels]
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+                .select(
+                    labels.doc_id,
+                    F.least(
+                        labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                    ).alias("label"),
+                    (F.col("nbr_label") < labels.label).alias("_chg"),
+                )
+                .persist()
+            )
+            to_free.append(stepped)
+            n_changed = stepped.filter(F.col("_chg")).count()
+            labels = stepped.drop("_chg")
+            if n_changed == 0:
+                break
+        return labels.select(F.col("label").alias("cluster_id"), "doc_id")
+    finally:
+        # keep the final labels' cache alive for the caller's action; freeing
+        # earlier rounds is safe (the result no longer depends on them)
+        for df in to_free[:-1]:
+            df.unpersist()
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return dup_clusters(pairs)
+
+
+# transitive closure is exactly what SQL recursion is for: the oracle
+# reproduces the same components with a recursive CTE over the same pairs
+DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + r""",
+spairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM spairs
+  UNION
+  SELECT doc_b, doc_a FROM spairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT least(a, min(b)) AS cluster_id, a AS doc_id
+FROM reach GROUP BY a
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -427,4 +521,5 @@ ORACLES = {
     # reproducible in DuckDB -> rows-only driver check; quality asserted in
     # tests/test_dedup.py against exact Jaccard / hamming ground truth.
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }

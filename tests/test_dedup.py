@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from realparse_spark.operators.dedup import (
+    dup_clusters,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -69,3 +70,35 @@ def test_simhash_finds_near_dups(spark):
     assert pairs[(1, 3)] == 0          # exact dup -> identical signature
     assert (1, 2) in pairs             # one-word change -> small hamming
     assert (4, 5) not in pairs         # unrelated -> far apart
+
+
+def test_dup_clusters_match_union_find(spark):
+    """Label propagation must produce exactly the components a reference
+    union-find does — chains (diameter > 1), a triangle, isolated pairs."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # chain: min label walks 4 hops
+        (10, 11), (11, 12), (10, 12),        # triangle
+        (20, 21),                            # isolated pair
+        (31, 30),                            # reversed order pair
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    want = {}
+    for v in list(parent):
+        want.setdefault(find(v), set()).add(v)
+    expected = {min(c): frozenset(c) for c in want.values()}
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got: dict[int, set[int]] = {}
+    for r in dup_clusters(df).collect():
+        got.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert {k: frozenset(v) for k, v in got.items()} == expected
