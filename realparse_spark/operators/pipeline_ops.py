@@ -1,0 +1,180 @@
+"""Training-data pipeline ops over `documents`: deterministic splits,
+length bucketing, and sequence packing — the reproducibility layer of an
+LLM data pipeline (companions to dedup/similarity/text in SURVEY.md's
+extension set).
+
+All three are pure column/window expressions (zero UDFs, partitioned
+windows only — nothing global), and all three are DETERMINISTIC by
+construction, which is the property that matters operationally:
+
+- `hash_split`    : md5-bucket assignment — a document's train/val/test
+                    membership is a function of its key alone, stable
+                    across runs, machines, and re-partitioning (Bernoulli
+                    `sample()` is none of those).
+- `length_buckets`: integer-edge token-length histogram (no float log2 —
+                    libm differences would flake the bucket of edge
+                    lengths across engines).
+- `pack_sequences`: assign docs to fixed-token-budget context windows by
+                    running per-source token cumsum (integer division
+                    only).  The window is partitioned by `source`; at
+                    100 TB packing parallelizes per source shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.text import ws_tokens
+from realparse_spark.sources.tables import load_table
+
+
+def _hash_bucket(key: Column, n: int = 100) -> Column:
+    """Deterministic bucket in [0, n): first 8 md5 hex chars as an int.
+    md5 (not xxhash64) so any engine — DuckDB, Trino, Python — reproduces
+    the exact assignment."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(n),
+    )
+
+
+def hash_split(
+    df: DataFrame, key_col: str = "doc_id", train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Add a stable `split` column (train/val/test) keyed on `key_col`."""
+    b = _hash_bucket(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def length_bucket(n_tokens: Column) -> Column:
+    """Integer-edge length bucket label."""
+    return (
+        F.when(n_tokens <= 16, F.lit("0-16"))
+        .when(n_tokens <= 32, F.lit("17-32"))
+        .when(n_tokens <= 64, F.lit("33-64"))
+        .when(n_tokens <= 128, F.lit("65-128"))
+        .otherwise(F.lit("129+"))
+    )
+
+
+def pack_sequences(df: DataFrame, ctx_len: int = 256) -> DataFrame:
+    """Assign each doc to a context-window pack: running token cumsum per
+    `source` (ordered by doc_id — deterministic), pack_id = how many full
+    budgets precede the doc.  Integer division keeps both engines exact."""
+    n_tok = F.size(ws_tokens(F.col("text")))
+    with_tok = df.withColumn("n_tok", n_tok)
+    return with_tok.select(
+        "doc_id", "source", "n_tok",
+        F.expr(f"(sum(n_tok) over (partition by source order by doc_id) - n_tok) div {ctx_len}")
+        .alias("pack_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = hash_split(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+DOC_SPLIT_SQL = r"""
+WITH s AS (
+  SELECT source, n_chars,
+    CASE
+      WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+      WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM documents
+)
+SELECT source, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY source, split
+"""
+
+
+def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(ws_tokens(F.col("text")))
+    return (
+        docs.select("lang", length_bucket(n_tok).alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.max("n_tok").cast("int").alias("max_tokens"),
+        )
+    )
+
+
+DOC_LENGTH_BUCKETS_SQL = r"""
+WITH t AS (
+  SELECT lang, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT lang, n_tok,
+    CASE
+      WHEN n_tok <= 16 THEN '0-16'
+      WHEN n_tok <= 32 THEN '17-32'
+      WHEN n_tok <= 64 THEN '33-64'
+      WHEN n_tok <= 128 THEN '65-128'
+      ELSE '129+'
+    END AS bucket
+  FROM t
+)
+SELECT lang, bucket, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+  CAST(max(n_tok) AS INTEGER) AS max_tokens
+FROM b GROUP BY lang, bucket
+"""
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pack_sequences(load_table(spark, sf_dir, "documents"), ctx_len=256)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+    )
+
+
+DOC_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT source,
+    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 256 AS pack_id,
+    n_tok
+  FROM t
+)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+FROM p GROUP BY source, pack_id
+"""
+
+
+QUERIES = {
+    "doc_split": q_doc_split,
+    "doc_length_buckets": q_doc_length_buckets,
+    "doc_pack": q_doc_pack,
+}
+
+ORACLES = {
+    "doc_split": DOC_SPLIT_SQL,
+    "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
+    "doc_pack": DOC_PACK_SQL,
+}

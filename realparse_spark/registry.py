@@ -21,6 +21,7 @@ _MODULES = (
     "realparse_spark.operators.dedup",
     "realparse_spark.operators.similarity",
     "realparse_spark.operators.multimodal",
+    "realparse_spark.operators.pipeline_ops",
     "realparse_spark.operators.advanced",
 )
 

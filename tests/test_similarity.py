@@ -48,3 +48,15 @@ def test_ann_scores_match_exact_for_common_hits(spark, sf_dir):
     approx = {r.vec_id: r.cos for r in ann_lsh_topk(emb, query_vec_id=0, k=10, radius=6).collect()}
     for vid in set(exact) & set(approx):
         assert exact[vid] == approx[vid]  # same re-rank metric, same value
+
+
+def test_arrow_cosine_matches_expression_path(spark, sf_dir):
+    """The mapInPandas/numpy scoring kernel must reproduce the JVM fold
+    expression exactly (same rounded scores, same order) — callers pick
+    per embedding width, results must not depend on the choice."""
+    from realparse_spark.operators.similarity import topk_cosine_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = [tuple(r) for r in topk_cosine(emb, query_vec_id=0, k=10).collect()]
+    b = [tuple(r) for r in topk_cosine_arrow(emb, query_vec_id=0, k=10).collect()]
+    assert a == b
