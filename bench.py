@@ -36,6 +36,16 @@ HEADLINE = [
     "text_quality",         # text feature extraction
 ]
 
+# newer queries benched separately so the headline totals stay comparable
+# round-over-round (they are not in bench_baseline.json)
+EXTRA = [
+    "dedup_ngram_jaccard",  # exact inverted-index near-dup
+    "dedup_clusters",       # connected components (iterative joins)
+    "sim_topk_cosine_arrow",  # Arrow/numpy scoring kernel
+    "doc_split",            # deterministic md5 split
+    "doc_pack",             # sequence packing (partitioned window)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,23 +73,28 @@ def main() -> None:
         # full evaluation while returning one tiny row
         df.select(F.max(F.hash(*df.columns)).alias("h")).collect()
 
-    timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # steady-state: best of two re-executions (codegen/broadcast
-        # cached; min damps GC/compaction noise on the shared local JVM)
-        runs = []
-        for _ in range(2):
+    def bench_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        cold: dict[str, float] = {}
+        steady: dict[str, float] = {}
+        for name in names:
+            fn = queries.get(name)
+            if fn is None:
+                continue
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        warm[name] = round(min(runs), 3)
+            cold[name] = round(time.perf_counter() - t0, 3)
+            # steady-state: best of two re-executions (codegen/broadcast
+            # cached; min damps GC/compaction noise on the shared local JVM)
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            steady[name] = round(min(runs), 3)
+        return cold, steady
+
+    timings, warm = bench_set(HEADLINE)
+    extra, extra_warm = bench_set(EXTRA)
     total = round(sum(timings.values()), 3)
 
     # regression gate: warm timings must stay within 2x of the committed
@@ -102,6 +117,9 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "queries_extra": extra,
+        "queries_extra_warm": extra_warm,
+        "extra_warm_total": round(sum(extra_warm.values()), 3),
         "sf": sf,
         "regressions": regressions,
     }))
