@@ -98,6 +98,62 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+# scheme): polynomial rolling hash over character k-grams, then the minimum
+# hash of every w-hash window, deduplicated.  Guarantees any shared substring
+# of length >= k + w - 1 produces a shared fingerprint.
+WINNOW_K = 5  # k-gram length (chars)
+WINNOW_W = 4  # winnowing window (hashes)
+WINNOW_B = 257  # polynomial base
+WINNOW_P = 1_000_000_007  # modulus; (P-1)*B + 127 fits comfortably in int64
+
+
+def _poly_hash_expr(k: int) -> str:
+    # Horner evaluation with mod at each step so intermediates stay < P*B
+    e = "element_at(_codes, i)"
+    for j in range(1, k):
+        e = f"(({e}) * {WINNOW_B} + element_at(_codes, i + {j})) % {WINNOW_P}"
+    return e
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints — one row per selected k-gram hash.
+
+    All JVM-side codegen (transform/slice/array_min over a char-code array):
+    O(len·k) arithmetic per document, shuffle-free, runs at scan speed.
+    Normalization strips non-alphanumerics (standard for winnowing, so
+    whitespace/punctuation differences don't perturb fingerprints).  Docs
+    shorter than k chars yield no rows.  Fewer than w hashes -> one
+    fingerprint (min of all), preserving the containment guarantee."""
+    hashes = (
+        f"CASE WHEN size(_codes) >= {k} THEN "
+        f"transform(sequence(1, size(_codes) - {k} + 1), i -> {_poly_hash_expr(k)}) "
+        f"ELSE cast(array() AS array<bigint>) END"
+    )
+    mins = (
+        "CASE WHEN size(_h) = 0 THEN cast(array() AS array<bigint>) ELSE "
+        f"array_distinct(transform(sequence(1, greatest(size(_h) - {w} + 1, 1)), "
+        f"j -> array_min(slice(_h, j, {w})))) END"
+    )
+    return (
+        df.withColumn(
+            "_norm", F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+        )
+        .withColumn(
+            "_codes",
+            F.expr(
+                "CASE WHEN length(_norm) = 0 THEN cast(array() AS array<bigint>) "
+                "ELSE transform(sequence(1, length(_norm)), "
+                "i -> cast(ascii(substring(_norm, i, 1)) AS bigint)) END"
+            ),
+        )
+        .withColumn("_h", F.expr(hashes))
+        .select("doc_id", F.explode(F.expr(mins)).alias("fp"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver queries
 # ---------------------------------------------------------------------------
@@ -170,14 +226,47 @@ FROM documents
 """
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_WINNOW_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '.'),
+                   ch -> CAST(ord(ch) AS BIGINT)) AS codes
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CASE WHEN len(codes) >= 5 THEN
+      list_transform(range(1, len(codes) - 5 + 2), i ->
+        ((((((((codes[i] * 257 + codes[i+1]) % 1000000007) * 257 + codes[i+2]) % 1000000007)
+            * 257 + codes[i+3]) % 1000000007) * 257 + codes[i+4]) % 1000000007))
+    ELSE [] END AS hs
+  FROM c
+),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN []
+    ELSE list_distinct(list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                                      j -> list_min(hs[j:j+3]))) END AS fps
+  FROM h
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM m
+"""
+
+
 QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnow": q_text_winnow,
 }
 
 ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_winnow": TEXT_WINNOW_SQL,
 }

@@ -73,6 +73,58 @@ def test_tail_anchored_destructure(spark, rows):
 
 
 @settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab1 .\nXY",  # case-folding, strip-chars, whitespace
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_winnow_matches_python_reference(spark, texts):
+    """Winnowing fingerprints must equal a direct Python implementation of
+    the SIGMOD'03 scheme — including short-doc edge cases (len < k, fewer
+    than w hashes)."""
+    import re
+
+    from realparse_spark.operators.text import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_P,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    def ref(text):
+        norm = re.sub(r"[^a-z0-9]", "", text.lower())
+        codes = [ord(c) for c in norm]
+        if len(codes) < WINNOW_K:
+            return set()
+        hs = []
+        for i in range(len(codes) - WINNOW_K + 1):
+            h = codes[i]
+            for j in range(1, WINNOW_K):
+                h = (h * WINNOW_B + codes[i + j]) % WINNOW_P
+            hs.append(h)
+        return {
+            min(hs[j : j + WINNOW_W])
+            for j in range(max(len(hs) - WINNOW_W + 1, 1))
+        }
+
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got: dict[str, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(texts):
+        assert got.get(str(i), set()) == ref(t), (i, t)
+
+
+@settings(**_SETTINGS)
 @given(secs=st.lists(st.integers(0, 10**6), min_size=1, max_size=50))
 def test_duration_format_matches_python(spark, secs):
     from realparse_spark.functions.scalars import duration_hms
