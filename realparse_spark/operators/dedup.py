@@ -495,6 +495,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def canonical_docs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-document keep/drop decision: cluster near-dup pairs, then keep
+    exactly one canonical doc per cluster — the one with the most
+    whitespace tokens (ties -> lowest doc_id).  Singletons (docs in no
+    pair) are their own cluster and always kept.
+
+    The ranking window partitions by cluster_id (hash-shuffled; near-dup
+    clusters are small, so no skew) — never a global sort."""
+    from pyspark.sql import Window
+
+    from realparse_spark.operators.text import token_count_ws
+
+    clusters = dup_clusters(pairs)
+    base = docs.select("doc_id", token_count_ws(F.col("text")).alias("n_tok"))
+    labeled = base.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "n_tok",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        "n_tok",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return canonical_docs(docs, pairs)
+
+
 # transitive closure is exactly what SQL recursion is for: the oracle
 # reproduces the same components with a recursive CTE over the same pairs
 DEDUP_CLUSTERS_SQL = (
@@ -517,6 +551,40 @@ FROM reach GROUP BY a
 """
 )
 
+DEDUP_CANONICAL_SQL = (
+    "WITH RECURSIVE "
+    + _NGRAM_CTES
+    + r""",
+spairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM spairs
+  UNION
+  SELECT doc_b, doc_a FROM spairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clus AS (
+  SELECT least(a, min(b)) AS cluster_id, a AS doc_id
+  FROM reach GROUP BY a
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tok
+  FROM documents
+),
+labeled AS (
+  SELECT b.doc_id, coalesce(c.cluster_id, b.doc_id) AS cluster_id, b.n_tok
+  FROM base b LEFT JOIN clus c ON c.doc_id = b.doc_id
+)
+SELECT doc_id, cluster_id, n_tok,
+  row_number() OVER (PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id ASC) = 1 AS is_canonical
+FROM labeled
+"""
+)
+
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
@@ -525,6 +593,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
 }
 
 ORACLES = {
@@ -535,4 +604,5 @@ ORACLES = {
     # tests/test_dedup.py against exact Jaccard / hamming ground truth.
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_canonical": DEDUP_CANONICAL_SQL,
 }
