@@ -76,9 +76,46 @@ def pack_sequences(df: DataFrame, ctx_len: int = 256) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# driver queries + oracles
-# ---------------------------------------------------------------------------
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 50,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (source rebalancing): keep a
+    row iff md5('sample:'||key) % 100 < the stratum's percentage.  Like
+    hash_split, membership is a pure function of the key — stable across
+    runs/partitioning, and any engine reproduces it (Bernoulli sample()
+    is not reproducible).  The salt prefix decorrelates the sampling
+    bucket from the split bucket.  Pure filter: no shuffle, pushes past
+    column pruning at 100 TB."""
+    pct: Column = F.lit(default_pct)
+    for stratum, p in sorted(rates_pct.items()):
+        pct = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(pct)
+    b = _hash_bucket(F.concat(F.lit("sample:"), F.col(key_col).cast("string")))
+    return df.filter(b < pct)
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization: q[i] = floor(v[i]*127/amax + 0.5) with
+    amax = max |v[i]| (zero vectors -> all-zero codes).  floor(x + 0.5)
+    instead of round() so both engines share exact IEEE-double semantics.
+    All JVM-side array expressions — at 100 TB this is a scan-speed map,
+    and int8 codes cut ANN shuffle bytes 4x vs float32."""
+    return (
+        df.withColumn("_vd", F.expr(f"transform({vec_col}, x -> cast(x AS double))"))
+        .withColumn("_amax", F.expr("array_max(transform(_vd, x -> abs(x)))"))
+        .withColumn(
+            "q",
+            F.expr(
+                "CASE WHEN _amax = 0.0d THEN transform(_vd, x -> 0) "
+                "ELSE transform(_vd, x -> cast(floor(x * 127.0d / _amax + 0.5d) AS int)) END"
+            ),
+        )
+        .withColumn("scale", F.round(F.expr("_amax / 127.0d"), 6))
+        .drop("_vd", "_amax")
+    )
 
 
 def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,14 +204,89 @@ FROM p GROUP BY source, pack_id
 """
 
 
+# per-source sampling rates for the driver query: crawl-heavy sources
+# downsampled hard, curated ones kept — the classic mixture-rebalance shape
+SAMPLE_RATES = {"src0": 100, "src1": 25, "src2": 10}
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sampled = stratified_sample(load_table(spark, sf_dir, "documents"), SAMPLE_RATES)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        # membership checksum: order-insensitive, catches any off-by-one
+        # in the hash-threshold rule that counts alone would miss
+        F.sum(F.col("doc_id") * F.col("doc_id")).alias("id_checksum"),
+    )
+
+
+DOC_SAMPLE_SQL = r"""
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+    CAST('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b,
+    CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 25 WHEN 'src2' THEN 10 ELSE 50 END AS pct
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id * doc_id) AS BIGINT) AS id_checksum
+FROM s WHERE b < pct GROUP BY source
+"""
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qd = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    # positional checksum (sum q[i]*i) pins every code's position without
+    # comparing raw arrays across engines
+    return qd.select(
+        "vec_id",
+        "scale",
+        F.expr("cast(array_min(q) AS int)").alias("q_min"),
+        F.expr("cast(array_max(q) AS int)").alias("q_max"),
+        F.expr("aggregate(q, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+        F.expr(
+            "aggregate(zip_with(q, sequence(1, size(q)), (x, i) -> cast(x AS bigint) * i), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("q_dot"),
+    )
+
+
+EMB_QUANTIZE_SQL = r"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS amax FROM v
+),
+q AS (
+  SELECT vec_id, amax,
+    CASE WHEN amax = 0.0 THEN list_transform(vd, x -> 0)
+    ELSE list_transform(vd, x -> CAST(floor(x * 127.0 / amax + 0.5) AS INTEGER)) END AS qv
+  FROM a
+)
+SELECT vec_id,
+  round(amax / 127.0, 6) AS scale,
+  CAST(list_min(qv) AS INTEGER) AS q_min,
+  CAST(list_max(qv) AS INTEGER) AS q_max,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS BIGINT) * i)) AS BIGINT) AS q_dot
+FROM q
+"""
+
+
 QUERIES = {
     "doc_split": q_doc_split,
     "doc_length_buckets": q_doc_length_buckets,
     "doc_pack": q_doc_pack,
+    "doc_sample": q_doc_sample,
+    "emb_quantize": q_emb_quantize,
 }
 
 ORACLES = {
     "doc_split": DOC_SPLIT_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "doc_pack": DOC_PACK_SQL,
+    "doc_sample": DOC_SAMPLE_SQL,
+    "emb_quantize": EMB_QUANTIZE_SQL,
 }
