@@ -349,8 +349,49 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# unpivot / melt (wide metrics -> long) — inverse of pivot_events
+# ---------------------------------------------------------------------------
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-doc stats melted to (doc_id, metric, value) rows via the
+    native unpivot operator (Expand node: one pass, no join/shuffle)."""
+    from realparse_spark.operators.text import token_count_bpe, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+    )
+    return wide.unpivot(
+        ids="doc_id",
+        values=["n_chars", "n_tokens_ws", "n_tokens_bpe"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_METRICS_SQL = r"""
+WITH wide AS (
+  SELECT doc_id,
+    CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens_bpe
+  FROM documents
+)
+SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM wide
+UNION ALL
+SELECT doc_id, 'n_tokens_ws', n_tokens_ws FROM wide
+UNION ALL
+SELECT doc_id, 'n_tokens_bpe', n_tokens_bpe FROM wide
+"""
+
+
 QUERIES = {
     "rollup_agg": q_rollup_agg,
+    "unpivot_metrics": q_unpivot_metrics,
     "cube_agg": q_cube_agg,
     "pivot_events": q_pivot_events,
     "set_ops": q_set_ops,
@@ -365,6 +406,7 @@ QUERIES = {
 
 ORACLES = {
     "rollup_agg": ROLLUP_AGG_SQL,
+    "unpivot_metrics": UNPIVOT_METRICS_SQL,
     "cube_agg": CUBE_AGG_SQL,
     "pivot_events": PIVOT_EVENTS_SQL,
     "set_ops": SET_OPS_SQL,
