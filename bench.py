@@ -41,9 +41,12 @@ HEADLINE = [
 EXTRA = [
     "dedup_ngram_jaccard",  # exact inverted-index near-dup
     "dedup_clusters",       # connected components (iterative joins)
+    "dedup_canonical",      # cluster + keep-best selection
     "sim_topk_cosine_arrow",  # Arrow/numpy scoring kernel
     "doc_split",            # deterministic md5 split
     "doc_pack",             # sequence packing (partitioned window)
+    "text_winnow",          # rolling-hash winnowing fingerprints
+    "emb_quantize",         # int8 vector quantization
 ]
 
 

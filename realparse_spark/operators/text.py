@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realparse_spark.sources.tables import load_table
+from realparse_spark.sources.tables import fan_out, load_table
 
 # A small fixed stopword inventory per language for the n-gram/stopword
 # language-ID heuristic.  Deterministic and oracle-expressible; not a
@@ -227,7 +227,10 @@ FROM documents
 
 
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    # fan_out: fixture parquet is a single row group -> one scan task; the
+    # O(len·k) hash build must run on all cores (at real scale input splits
+    # provide the parallelism and the repartition is unnecessary)
+    return winnow_fingerprints(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 TEXT_WINNOW_SQL = r"""
