@@ -446,10 +446,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     bounds adversarial chains).  Every step is hash-partitioned on doc_id;
     driver sees only the 1-row convergence count.  Labels are persisted
     per round so lineage stays O(1) instead of O(iterations)."""
+    # cut the pair lineage first: the symmetric union references `pairs`
+    # twice, so without materialization the (expensive) pair computation
+    # runs twice just to build the edge list
+    p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    # no .distinct(): duplicate edges are harmless under min-aggregation,
+    # and near-dup pair lists are already unique — dropping it removes a
+    # full shuffle of the edge list
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
     labels = (
