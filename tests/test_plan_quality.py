@@ -98,3 +98,23 @@ def test_topk_uses_take_ordered(spark, queries):
     # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
     # heaps), not a global sort
     assert "TakeOrderedAndProject" in X.executed_plan(df)
+
+
+def test_scan_speed_ops_are_shuffle_free(spark, queries):
+    # winnow / quantize / sample / unpivot are per-row maps or filters: any
+    # Exchange beyond the fixture fan-out means the op stopped being a
+    # scan-speed transform (the property that matters at 100 TB)
+    from realparse_spark.operators.pipeline_ops import quantize_embeddings, stratified_sample
+    from realparse_spark.operators.text import winnow_fingerprints
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    for name, df in (
+        ("winnow", winnow_fingerprints(docs)),
+        ("quantize", quantize_embeddings(emb)),
+        ("sample", stratified_sample(docs, {"src0": 100})),
+        ("unpivot", queries["unpivot_metrics"](spark, SF)),
+    ):
+        assert X.count_shuffles(df) == 0, name
+        assert X.python_eval_nodes(df) == 0, name
