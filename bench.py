@@ -47,6 +47,7 @@ EXTRA = [
     "doc_pack",             # sequence packing (partitioned window)
     "text_winnow",          # rolling-hash winnowing fingerprints
     "emb_quantize",         # int8 vector quantization
+    "pricing_summary",      # TPC-H Q1-shape wide decimal agg
 ]
 
 

@@ -389,9 +389,114 @@ SELECT doc_id, 'n_tokens_bpe', n_tokens_bpe FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape) — the canonical wide-agg scan
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregate over the fact table with exact-decimal money math
+    (house decimal rule: exact decimal sums, ONE IEEE division at the end,
+    identical in both engines).  The 3-factor charge product is staged
+    through decimal(18,4) so neither engine exceeds decimal width 38.
+    Plan shape at 100 TB: scan (shipdate filter pushed) -> partial agg ->
+    one exchange on the 6-group key -> final agg."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    one_minus_disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    one_plus_tax = (F.lit(1.0) + F.col("l_tax")).cast("decimal(18,2)")
+    disc_price = (ep * one_minus_disc).cast("decimal(18,4)")
+    charge = (disc_price * one_plus_tax).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+        F.round(F.sum(ep).cast("double") / n, 4).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / n, 6
+        ).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-doc distinctive terms (tf-idf analog on integer keys)
+# ---------------------------------------------------------------------------
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document: rank by term frequency desc,
+    then GLOBAL document frequency asc (rarer term wins the tie — the
+    tf-idf ordering re-expressed on integer keys so both engines agree
+    bit-for-bit; float idf logs differ across libms).  Shape at scale:
+    explode -> (doc,term) agg -> term-df agg joined back on term -> per-doc
+    window (hash-partitioned by doc_id, never global)."""
+    from realparse_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+DOC_TOP_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+    CAST(row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS INTEGER) AS rnk
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "rollup_agg": q_rollup_agg,
     "unpivot_metrics": q_unpivot_metrics,
+    "pricing_summary": q_pricing_summary,
+    "doc_top_terms": q_doc_top_terms,
     "cube_agg": q_cube_agg,
     "pivot_events": q_pivot_events,
     "set_ops": q_set_ops,
@@ -407,6 +512,8 @@ QUERIES = {
 ORACLES = {
     "rollup_agg": ROLLUP_AGG_SQL,
     "unpivot_metrics": UNPIVOT_METRICS_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "doc_top_terms": DOC_TOP_TERMS_SQL,
     "cube_agg": CUBE_AGG_SQL,
     "pivot_events": PIVOT_EVENTS_SQL,
     "set_ops": SET_OPS_SQL,

@@ -118,3 +118,12 @@ def test_scan_speed_ops_are_shuffle_free(spark, queries):
     ):
         assert X.count_shuffles(df) == 0, name
         assert X.python_eval_nodes(df) == 0, name
+
+
+def test_pricing_summary_scan_agg_shape(spark, queries):
+    df = queries["pricing_summary"](spark, SF)
+    # shipdate predicate must reach the parquet scan; the whole query is
+    # scan -> partial agg -> ONE exchange on the group key -> final agg
+    assert X.has_pushed_filter(df, "l_shipdate")
+    assert X.count_shuffles(df) == 1
+    assert X.python_eval_nodes(df) == 0
