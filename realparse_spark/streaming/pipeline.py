@@ -148,6 +148,39 @@ def stream_upsert_access(
     )
 
 
+def stream_dedup_docs(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay: str = "10 minutes",
+):
+    """Streaming ingest dedup for a document pipeline: fingerprint each
+    arriving JSON-lines doc (md5 of normalized text — the exact-dedup key)
+    and drop re-deliveries ACROSS batches with
+    ``dropDuplicatesWithinWatermark``: unlike ``dropDuplicates``, the
+    dedup state is bounded — fingerprints older than the watermark delay
+    are evicted, so state stays O(docs-per-delay-window) instead of
+    O(all-docs-ever), the only version that survives an unbounded stream.
+    Explicit schema (no streaming inference pass)."""
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    docs = spark.readStream.schema(schema).json(in_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    deduped = (
+        docs.withColumn("fp_md5", F.md5(norm))
+        .withWatermark("ingest_ts", delay)
+        .dropDuplicatesWithinWatermark(["fp_md5"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     log_dir: str,

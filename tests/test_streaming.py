@@ -90,6 +90,54 @@ def test_stream_windowed_views(spark, stream_log_dir, tmp_path):
     assert got.get((9, "b.rm")) == 2
 
 
+def test_stream_dedup_docs(spark, tmp_path):
+    """Cross-batch fingerprint dedup: a re-delivered document (same text,
+    new doc_id/timestamp, within the watermark delay) must not appear
+    twice in the sink; genuinely new docs must."""
+    import json
+
+    from realparse_spark.streaming.pipeline import stream_dedup_docs
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+
+    def doc(i, text, ts):
+        return json.dumps({"doc_id": i, "text": text, "ingest_ts": ts})
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                doc(1, "alpha beta gamma", "2002-10-12T09:00:00Z"),
+                # same normalized text, different id -> in-batch dup
+                doc(2, "  alpha  beta gamma ", "2002-10-12T09:00:30Z"),
+                doc(3, "delta epsilon", "2002-10-12T09:01:00Z"),
+            ]
+        )
+        + "\n"
+    )
+    q = stream_dedup_docs(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    # batch 2: re-delivery of doc 1's text (cross-batch dup) + one new doc
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                doc(4, "alpha beta gamma", "2002-10-12T09:02:00Z"),
+                doc(5, "zeta eta", "2002-10-12T09:03:00Z"),
+            ]
+        )
+        + "\n"
+    )
+    q2 = stream_dedup_docs(spark, str(src), out, ckpt)
+    q2.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {r.doc_id for r in back.collect()} == {1, 3, 5}
+
+
 def test_stream_sessionize(spark, stream_log_dir, tmp_path):
     from realparse_spark.streaming.pipeline import stream_sessionize
 
