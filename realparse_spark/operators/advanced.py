@@ -492,11 +492,46 @@ SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# numeric histogram (width_bucket binning)
+# ---------------------------------------------------------------------------
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type — the binning
+    primitive behind quality-score / length distribution dashboards.
+    Binning is floor(value / width) with one IEEE division + exact floor,
+    so both engines bin identically (width_bucket's internal formula is
+    engine-specific; DuckDB doesn't have it at all).  One shuffle on the
+    (event_type, bucket) key."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+    return (
+        ev.groupBy("event_type", b.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT event_type,
+  CAST(least(floor(value / 50.0), 9) AS INTEGER) AS bucket,
+  count(*) AS n,
+  round(min(value), 6) AS lo,
+  round(max(value), 6) AS hi
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "rollup_agg": q_rollup_agg,
     "unpivot_metrics": q_unpivot_metrics,
     "pricing_summary": q_pricing_summary,
     "doc_top_terms": q_doc_top_terms,
+    "value_histogram": q_value_histogram,
     "cube_agg": q_cube_agg,
     "pivot_events": q_pivot_events,
     "set_ops": q_set_ops,
@@ -514,6 +549,7 @@ ORACLES = {
     "unpivot_metrics": UNPIVOT_METRICS_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "doc_top_terms": DOC_TOP_TERMS_SQL,
+    "value_histogram": VALUE_HISTOGRAM_SQL,
     "cube_agg": CUBE_AGG_SQL,
     "pivot_events": PIVOT_EVENTS_SQL,
     "set_ops": SET_OPS_SQL,
