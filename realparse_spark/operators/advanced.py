@@ -526,12 +526,91 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# grouped vector aggregation: per-label embedding centroids
+# ---------------------------------------------------------------------------
+
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, pos, centroid) —
+    the grouped-vector-mean primitive an IVF index build runs (see
+    similarity.build_ivf_index).  posexplode -> one shuffle on
+    (label, pos); sums are exact decimals with ONE IEEE division, so both
+    engines agree bit-for-bit despite float inputs.
+
+    Cross-engine cast rule: DuckDB casts FLOAT->DECIMAL through the
+    shortest decimal string (0.1f -> 0.100000000) while Spark goes through
+    the binary double value (0.1f -> 0.100000001); the oracle must cast
+    FLOAT->DOUBLE->DECIMAL to match Spark."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    n = F.count(F.lit(1))
+    return ex.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        n.alias("n"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / n, 6
+        ).alias("centroid"),
+    )
+
+
+EMB_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label,
+    unnest(range(0, len(embedding))) AS pos,
+    unnest(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS v
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos, count(*) AS n,
+  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS centroid
+FROM ex GROUP BY label, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# window-relative filter: parts priced above their brand average
+# ---------------------------------------------------------------------------
+
+def q_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows above their group's average — the correlated-scalar-subquery
+    shape, expressed as a window aggregate (one shuffle on the group key;
+    a correlated subquery would be a second scan + join).  The average is
+    an exact decimal sum with one IEEE division in both engines, so the
+    > comparison can't flake at the boundary."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        part.withColumn("brand_avg", brand_avg)
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey", "p_brand", "p_retailprice",
+            F.round("brand_avg", 4).alias("brand_avg"),
+        )
+    )
+
+
+ABOVE_AVG_PARTS_SQL = """
+WITH w AS (
+  SELECT p_partkey, p_brand, p_retailprice,
+    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS DOUBLE)
+      / count(*) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part
+)
+SELECT p_partkey, p_brand, p_retailprice, round(brand_avg, 4) AS brand_avg
+FROM w WHERE p_retailprice > brand_avg
+"""
+
+
 QUERIES = {
     "rollup_agg": q_rollup_agg,
     "unpivot_metrics": q_unpivot_metrics,
     "pricing_summary": q_pricing_summary,
     "doc_top_terms": q_doc_top_terms,
     "value_histogram": q_value_histogram,
+    "emb_centroids": q_emb_centroids,
+    "above_avg_parts": q_above_avg_parts,
     "cube_agg": q_cube_agg,
     "pivot_events": q_pivot_events,
     "set_ops": q_set_ops,
@@ -550,6 +629,8 @@ ORACLES = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "doc_top_terms": DOC_TOP_TERMS_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
+    "emb_centroids": EMB_CENTROIDS_SQL,
+    "above_avg_parts": ABOVE_AVG_PARTS_SQL,
     "cube_agg": CUBE_AGG_SQL,
     "pivot_events": PIVOT_EVENTS_SQL,
     "set_ops": SET_OPS_SQL,
