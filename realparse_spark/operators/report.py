@@ -438,6 +438,43 @@ FROM per_user GROUP BY n_sessions
 """
 
 
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation (F.session_window) — the same
+    30-minute-gap semantics as `sessionize`, but as Spark's built-in
+    merging session operator (one shuffle on user_id; sessions merge in
+    the aggregation, no window-function pass).  Spark merges two events
+    iff their gap is STRICTLY under the 30-min gap, so the oracle's break
+    condition is >= 1800s (the lag-cumsum `sessionize` uses > 1800 — a
+    deliberate boundary difference between the two formulations)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_NATIVE_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800.0
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # anti_semi_join — §2.4 note: semi/anti joins come free in the rebuild.
 # Anti: customers with no orders; semi: nations that have suppliers.
@@ -494,6 +531,7 @@ QUERIES = {
     "tumbling_window": tumbling_window,
     "json_props": json_props,
     "sessionize": sessionize,
+    "session_window_native": session_window_native,
     "anti_semi_join": anti_semi_join,
 }
 
@@ -509,5 +547,6 @@ ORACLES = {
     "tumbling_window": TUMBLING_WINDOW_SQL,
     "json_props": JSON_PROPS_SQL,
     "sessionize": SESSIONIZE_SQL,
+    "session_window_native": SESSION_WINDOW_NATIVE_SQL,
     "anti_semi_join": ANTI_SEMI_JOIN_SQL,
 }
