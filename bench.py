@@ -48,6 +48,7 @@ EXTRA = [
     "text_winnow",          # rolling-hash winnowing fingerprints
     "emb_quantize",         # int8 vector quantization
     "pricing_summary",      # TPC-H Q1-shape wide decimal agg
+    "revenue_by_nation",    # TPC-H Q5-shape 6-table star join
 ]
 
 

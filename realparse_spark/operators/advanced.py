@@ -527,6 +527,63 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# revenue by nation (TPC-H Q5 shape) — the canonical multi-way join
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join: fact (lineitem) against orders + four dims,
+    with the local-supplier condition (customer and supplier in the same
+    nation).  Plan at scale: region/nation/supplier/customer broadcast
+    (explicit hints), so the fact table shuffles only for the
+    lineitem⋈orders equi-join and the final 5-group agg; date and region
+    filters are pushed to the scans.  Exact-decimal revenue."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # grouped vector aggregation: per-label embedding centroids
 # ---------------------------------------------------------------------------
 
@@ -609,6 +666,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "doc_top_terms": q_doc_top_terms,
     "value_histogram": q_value_histogram,
+    "revenue_by_nation": q_revenue_by_nation,
     "emb_centroids": q_emb_centroids,
     "above_avg_parts": q_above_avg_parts,
     "cube_agg": q_cube_agg,
@@ -629,6 +687,7 @@ ORACLES = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "doc_top_terms": DOC_TOP_TERMS_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
+    "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "emb_centroids": EMB_CENTROIDS_SQL,
     "above_avg_parts": ABOVE_AVG_PARTS_SQL,
     "cube_agg": CUBE_AGG_SQL,
