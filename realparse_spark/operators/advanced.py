@@ -400,6 +400,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     through decimal(18,4) so neither engine exceeds decimal width 38.
     Plan shape at 100 TB: scan (shipdate filter pushed) -> partial agg ->
     one exchange on the 6-group key -> final agg."""
+    # (no fan_out: measured — the cost here is the unsplittable
+    # single-row-group fixture scan itself, not the agg, so a repartition
+    # only adds a shuffle.  Real inputs arrive as many splits.)
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
