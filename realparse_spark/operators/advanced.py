@@ -211,6 +211,26 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# approximate quantiles (KLL-style sketch) — rows-only; bounds in tests
+# ---------------------------------------------------------------------------
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch per group (approx_percentile): partial
+    sketches map-side, one exchange to merge — the only percentile that
+    scales to 100 TB (exact percentiles need a sort or full value
+    collection per group; see percentile_metrics for the exact twin).
+    Sketch internals are engine-specific -> rows-only driver check;
+    accuracy vs the exact percentile is gated in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.approx_percentile("value", F.lit([0.5, 0.95]), F.lit(10000))
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p50_approx"),
+        F.round(F.element_at(pct, 2), 4).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cube aggregation (all grouping-set combinations)
 # ---------------------------------------------------------------------------
 
@@ -682,6 +702,7 @@ QUERIES = {
     "range_band_join": q_range_band_join,
     "window_rank": q_window_rank,
     "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
 }
 
 ORACLES = {

@@ -22,3 +22,27 @@ def test_approx_distinct_within_rsd(spark):
     }
     for et, e in exact.items():
         assert abs(approx[et] - e) / e < 0.1, (et, approx[et], e)
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    from realparse_spark.operators.advanced import q_approx_quantiles
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p95_approx)
+        for r in q_approx_quantiles(spark, ORACLE_SF).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in load_table(spark, ORACLE_SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    for et, (e50, e95) in exact.items():
+        a50, a95 = approx[et]
+        # sketch with accuracy=10000 over ~60k rows: within 2% relative
+        assert abs(a50 - e50) / max(e50, 1e-9) < 0.02, (et, a50, e50)
+        assert abs(a95 - e95) / max(e95, 1e-9) < 0.02, (et, a95, e95)

@@ -36,5 +36,6 @@ def test_all_queries_have_oracle_or_reason():
         "sim_ann_lsh",
         "sim_ann_ivf",
         "approx_distinct",
+        "approx_quantiles",
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"

@@ -120,6 +120,23 @@ def test_scan_speed_ops_are_shuffle_free(spark, queries):
         assert X.python_eval_nodes(df) == 0, name
 
 
+def test_revenue_star_join_broadcasts_dims(spark, queries):
+    df = queries["revenue_by_nation"](spark, SF)
+    # all four dims (+ AQE may add orders) broadcast; the fact table is
+    # never sort-merge-joined at this SF, and region/date filters push
+    assert X.broadcast_join_count(df) >= 4
+    assert X.has_pushed_filter(df, "r_name")
+    assert X.has_pushed_filter(df, "o_orderdate")
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_emb_centroids_single_agg_exchange(spark, queries):
+    df = queries["emb_centroids"](spark, SF)
+    # posexplode is narrow; the only exchange is the (label,pos) groupBy
+    assert X.count_shuffles(df) == 1
+    assert X.python_eval_nodes(df) == 0
+
+
 def test_pricing_summary_scan_agg_shape(spark, queries):
     df = queries["pricing_summary"](spark, SF)
     # shipdate predicate must reach the parquet scan; the whole query is
