@@ -607,6 +607,58 @@ GROUP BY n_name
 
 
 # ---------------------------------------------------------------------------
+# funnel conversion (event-sequence analytics)
+# ---------------------------------------------------------------------------
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> purchase funnel: for each user's FIRST view, the first
+    purchase within the next hour.  Shape: two filtered scans of the same
+    fact (each filter pushed), an equi-join on user_id with a range
+    predicate on ts (hash join + residual filter — never a cross product),
+    one groupBy.  At 100 TB both sides partition by user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = views.join(
+        purch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("first_view"))
+        & (F.col("p_ts") <= F.col("first_view") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("user_id", "first_view").agg(
+        F.min("p_ts").alias("first_purchase"),
+        F.max(F.col("p_ts").isNotNull()).alias("converted"),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH views AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+purch AS (
+  SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.first_view,
+  min(p.p_ts) AS first_purchase,
+  coalesce(max(p.p_ts IS NOT NULL), false) AS converted
+FROM views v
+LEFT JOIN purch p
+  ON v.user_id = p.p_user
+ AND p.p_ts >= v.first_view
+ AND p.p_ts <= v.first_view + INTERVAL 1 HOUR
+GROUP BY v.user_id, v.first_view
+"""
+
+
+# ---------------------------------------------------------------------------
 # grouped vector aggregation: per-label embedding centroids
 # ---------------------------------------------------------------------------
 
@@ -690,6 +742,7 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "value_histogram": q_value_histogram,
     "revenue_by_nation": q_revenue_by_nation,
+    "funnel_conversion": q_funnel_conversion,
     "emb_centroids": q_emb_centroids,
     "above_avg_parts": q_above_avg_parts,
     "cube_agg": q_cube_agg,
@@ -712,6 +765,7 @@ ORACLES = {
     "doc_top_terms": DOC_TOP_TERMS_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "emb_centroids": EMB_CENTROIDS_SQL,
     "above_avg_parts": ABOVE_AVG_PARTS_SQL,
     "cube_agg": CUBE_AGG_SQL,
