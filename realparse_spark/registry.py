@@ -23,6 +23,7 @@ _MODULES = (
     "realparse_spark.operators.multimodal",
     "realparse_spark.operators.pipeline_ops",
     "realparse_spark.operators.advanced",
+    "realparse_spark.operators.privacy",
 )
 
 
