@@ -275,12 +275,107 @@ FROM q
 """
 
 
+def q_doc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data pipeline, end-to-end in ONE lazy plan:
+    quality filter -> language ID -> exact dedup (keep lowest doc_id per
+    normalized-text fingerprint) -> stratified downsample -> train/val/test
+    split -> per-(lang, split) corpus stats.  Every stage is one of this
+    repo's operators unchanged — the point is that they compose into a
+    single Catalyst plan (filters/projections fuse; the only shuffles are
+    the dedup groupBy and the final agg).
+
+    Mirrors what `load_e2e` proves for the log-warehouse side
+    (real_parse.pl §3.1), for the documents side."""
+    from pyspark.sql import Window
+
+    from realparse_spark.operators.text import langid_expr, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_ws(F.col("text"))
+    qual = docs.filter(n_tok >= 20).withColumn("n_tok", n_tok)
+    # exact dedup: min doc_id per normalized-text md5 (fingerprint op)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy(F.md5(norm)).orderBy("doc_id")
+    deduped = qual.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    sampled = stratified_sample(deduped, SAMPLE_RATES)
+    split = hash_split(sampled)
+    _, pred = langid_expr(F.col("text"))
+    return (
+        split.withColumn("pred_lang", pred)
+        .groupBy("pred_lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum(F.col("doc_id") * F.col("doc_id")).alias("id_checksum"),
+        )
+    )
+
+
+def _doc_pipeline_sql() -> str:
+    from realparse_spark.operators.text import STOPWORDS
+
+    hit_exprs = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_exprs.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) AS hits_{lang}"
+        )
+    langs = list(STOPWORDS)
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN hits_{lang} = best AND best > 0 THEN '{lang}' ELSE {pred} END"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, source,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+qual AS (
+  SELECT *, len(toks) AS n_tok FROM base WHERE len(toks) >= 20
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+  FROM qual
+),
+sampled AS (
+  SELECT * FROM dedup
+  WHERE rn = 1
+    AND CAST('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+        < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 25 WHEN 'src2' THEN 10 ELSE 50 END
+),
+split AS (
+  SELECT *,
+    CASE
+      WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+      WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM sampled
+),
+hits AS (
+  SELECT doc_id, split, n_tok, {', '.join(hit_exprs)} FROM split
+),
+lang AS (
+  SELECT *, greatest({', '.join('hits_' + lang for lang in langs)}) AS best FROM hits
+)
+SELECT {pred} AS pred_lang, split,
+  count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+  CAST(sum(doc_id * doc_id) AS BIGINT) AS id_checksum
+FROM lang
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "doc_split": q_doc_split,
     "doc_length_buckets": q_doc_length_buckets,
     "doc_pack": q_doc_pack,
     "doc_sample": q_doc_sample,
     "emb_quantize": q_emb_quantize,
+    "doc_pipeline_e2e": q_doc_pipeline_e2e,
 }
 
 ORACLES = {
@@ -289,4 +384,5 @@ ORACLES = {
     "doc_pack": DOC_PACK_SQL,
     "doc_sample": DOC_SAMPLE_SQL,
     "emb_quantize": EMB_QUANTIZE_SQL,
+    "doc_pipeline_e2e": _doc_pipeline_sql(),
 }

@@ -69,16 +69,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-overlap language ID: argmax of per-language stopword hit
-    counts; ties broken by fixed language order; 'und' when zero hits."""
-    t = F.col(text_col)
-    hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+def langid_expr(text: Column) -> tuple[dict[str, Column], Column]:
+    """(per-language hit counts, predicted language) as composable column
+    expressions — argmax of stopword hits, ties broken by fixed language
+    order, 'und' when zero hits."""
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     pred = F.lit("und")
     # reversed so earlier languages win ties (en > es > de > fr)
     for lang in reversed(list(STOPWORDS)):
         pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return hits, pred
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: argmax of per-language stopword hit
+    counts; ties broken by fixed language order; 'und' when zero hits."""
+    hits, pred = langid_expr(F.col(text_col))
     return df.select(
         "doc_id",
         *[hits[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
