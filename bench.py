@@ -49,6 +49,8 @@ EXTRA = [
     "emb_quantize",         # int8 vector quantization
     "pricing_summary",      # TPC-H Q1-shape wide decimal agg
     "revenue_by_nation",    # TPC-H Q5-shape 6-table star join
+    "doc_pipeline_e2e",     # composed quality->langid->dedup->sample->split
+    "anonymize_ips",        # parse + IP pseudonymization
 ]
 
 
@@ -110,10 +112,11 @@ def main() -> None:
         with open(baseline_path) as fh:
             baseline = json.load(fh)
         if sf == baseline.get("sf"):
-            for name, floor in baseline.get("warm", {}).items():
-                got = warm.get(name)
-                if got is not None and got > 2.0 * floor:
-                    regressions.append(f"{name}: {got}s vs baseline {floor}s (> 2x)")
+            for section, got_map in (("warm", warm), ("extra_warm", extra_warm)):
+                for name, floor in baseline.get(section, {}).items():
+                    got = got_map.get(name)
+                    if got is not None and got > 2.0 * floor:
+                        regressions.append(f"{name}: {got}s vs baseline {floor}s (> 2x)")
 
     print(json.dumps({
         "metric": "headline_queries_total",
