@@ -435,21 +435,70 @@ SELECT label, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.9
 # ---------------------------------------------------------------------------
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _local_components(p: DataFrame) -> DataFrame:
+    """Single-task union-find over a small pair list (Arrow-batched
+    applyInPandas; executor-side, never the driver).  Same output contract
+    as the iterative path: (cluster_id = min doc_id in component, doc_id)
+    for every vertex that appears in a pair."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        verts = set(pdf["doc_a"]) | set(pdf["doc_b"])
+        rows = [(find(v), v) for v in sorted(verts)]
+        return pd.DataFrame(rows, columns=["cluster_id", "doc_id"])
+
+    return p.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        uf, "cluster_id long, doc_id long"
+    )
+
+
+# below this many pairs the component graph comfortably fits one task and
+# local union-find beats rounds of tiny shuffles (the same size-adaptive
+# logic as Spark's broadcast-join threshold)
+LOCAL_COMPONENTS_THRESHOLD = 2_000_000
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    local_threshold: int = LOCAL_COMPONENTS_THRESHOLD,
+) -> DataFrame:
     """Turn a near-dup PAIR list into dedup GROUPS: connected components,
     cluster_id = min doc_id in the component (what a pipeline keeps).
 
-    Distributed union-find replacement: iterative min-label propagation —
-    per round each vertex takes the min of its own label and its
-    neighbors', one equi-join + one groupBy per round, converging in
-    O(component diameter) rounds (near-dup clusters are small; max_iter
-    bounds adversarial chains).  Every step is hash-partitioned on doc_id;
-    driver sees only the 1-row convergence count.  Labels are persisted
-    per round so lineage stays O(1) instead of O(iterations)."""
+    Size-adaptive: the pair list is counted once (it is materialized
+    anyway); small graphs (< LOCAL_COMPONENTS_THRESHOLD pairs) run
+    single-task union-find (O(E α) — one Arrow batch, no per-round
+    shuffles), large graphs run distributed iterative min-label
+    propagation — per round each vertex takes the min of its own label
+    and its neighbors', one equi-join + one groupBy per round, converging
+    in O(component diameter) rounds (near-dup clusters are small;
+    max_iter bounds adversarial chains).  Every step is hash-partitioned
+    on doc_id; the driver sees only counts.  Labels are persisted per
+    round so lineage stays O(1) instead of O(iterations)."""
     # cut the pair lineage first: the symmetric union references `pairs`
     # twice, so without materialization the (expensive) pair computation
     # runs twice just to build the edge list
     p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    from pyspark.sql.types import LongType
+
+    ids_are_long = isinstance(p.schema["doc_a"].dataType, LongType)
+    if ids_are_long and p.count() < local_threshold:
+        return _local_components(p)
     # no .distinct(): duplicate edges are harmless under min-aggregation,
     # and near-dup pair lists are already unique — dropping it removes a
     # full shuffle of the edge list

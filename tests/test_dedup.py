@@ -98,7 +98,11 @@ def test_dup_clusters_match_union_find(spark):
     expected = {min(c): frozenset(c) for c in want.values()}
 
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-    got: dict[int, set[int]] = {}
-    for r in dup_clusters(df).collect():
-        got.setdefault(r.cluster_id, set()).add(r.doc_id)
-    assert {k: frozenset(v) for k, v in got.items()} == expected
+    # both strategies must agree with the reference: the single-task
+    # union-find (small graphs) AND the distributed min-label iteration
+    # (forced via local_threshold=0)
+    for threshold in (10**6, 0):
+        got: dict[int, set[int]] = {}
+        for r in dup_clusters(df, local_threshold=threshold).collect():
+            got.setdefault(r.cluster_id, set()).add(r.doc_id)
+        assert {k: frozenset(v) for k, v in got.items()} == expected, threshold
