@@ -137,6 +137,31 @@ def test_emb_centroids_single_agg_exchange(spark, queries):
     assert X.python_eval_nodes(df) == 0
 
 
+def test_doc_pipeline_composes_into_two_shuffles(spark, queries):
+    df = queries["doc_pipeline_e2e"](spark, SF)
+    # quality filter / sample / split / langid all fuse into the scans
+    # around exactly two exchanges: the dedup window and the final agg
+    assert X.count_shuffles(df) == 2
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_funnel_is_hash_join_not_cartesian(spark, queries):
+    df = queries["funnel_conversion"](spark, SF)
+    plan = X.executed_plan(df)
+    # the ts-range predicate must ride the user_id equi-join as a
+    # residual condition, never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_anonymize_is_scan_speed(spark, queries):
+    df = queries["anonymize_ips"](spark, SF)
+    # parse + pseudonymize is a pure map: only the fixture fan-out shuffle
+    assert X.count_shuffles(df) <= 1
+    assert X.python_eval_nodes(df) == 0
+
+
 def test_pricing_summary_scan_agg_shape(spark, queries):
     df = queries["pricing_summary"](spark, SF)
     # shipdate predicate must reach the parquet scan; the whole query is
