@@ -607,6 +607,35 @@ GROUP BY n_name
 
 
 # ---------------------------------------------------------------------------
+# SQL interface (spark.sql over registered views — API parity proof)
+# ---------------------------------------------------------------------------
+
+# one statement, two engines: the exact same text runs under spark.sql and
+# DuckDB (the decimal-cast rule keeps the aggregates bit-identical)
+_SQL_INTERFACE_TEXT = """
+SELECT o.o_orderpriority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: the same ANSI text the DuckDB oracle
+    runs goes through spark.sql over registered views — Catalyst plans it
+    like any DataFrame query (broadcast dim, pushed filter).  Views are
+    session-scoped temp views over the parquet tables."""
+    from realparse_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_SQL_INTERFACE_TEXT)
+
+
+# ---------------------------------------------------------------------------
 # funnel conversion (event-sequence analytics)
 # ---------------------------------------------------------------------------
 
@@ -743,6 +772,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "revenue_by_nation": q_revenue_by_nation,
     "funnel_conversion": q_funnel_conversion,
+    "sql_interface": q_sql_interface,
     "emb_centroids": q_emb_centroids,
     "above_avg_parts": q_above_avg_parts,
     "cube_agg": q_cube_agg,
@@ -766,6 +796,7 @@ ORACLES = {
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
+    "sql_interface": _SQL_INTERFACE_TEXT,
     "emb_centroids": EMB_CENTROIDS_SQL,
     "above_avg_parts": ABOVE_AVG_PARTS_SQL,
     "cube_agg": CUBE_AGG_SQL,
