@@ -550,6 +550,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def dedup_incremental(incoming: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Daily-ingest dedup: drop incoming docs whose exact fingerprint
+    already exists in the historical corpus (LEFT ANTI join — at scale the
+    corpus side is a bucketed fingerprint store, so the join co-locates),
+    then collapse in-batch duplicates to the lowest doc_id.  Returns the
+    surviving rows with their fingerprint (what gets appended to the
+    store)."""
+    fp = lambda c: F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))  # noqa: E731
+    inc = incoming.withColumn("fp_md5", fp(F.col("text")))
+    seen = corpus.select(fp(F.col("text")).alias("fp_md5")).distinct()
+    fresh = inc.join(seen, "fp_md5", "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp_md5").orderBy("doc_id")
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "fp_md5", "source")
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic corpus/incoming partition of the fixture: every 5th
+    # doc is "incoming", the rest are the historical corpus
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup_incremental(incoming, corpus)
+
+
+DEDUP_INCREMENTAL_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5,
+    doc_id % 5 = 0 AS is_incoming
+  FROM documents
+),
+fresh AS (
+  SELECT i.* FROM fp i
+  WHERE i.is_incoming
+    AND NOT EXISTS (SELECT 1 FROM fp c WHERE NOT c.is_incoming AND c.fp_md5 = i.fp_md5)
+),
+ranked AS (
+  SELECT doc_id, fp_md5, source,
+    row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
+  FROM fresh
+)
+SELECT doc_id, fp_md5, source FROM ranked WHERE rn = 1
+"""
+
+
 def canonical_docs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Per-document keep/drop decision: cluster near-dup pairs, then keep
     exactly one canonical doc per cluster — the one with the most
@@ -649,6 +700,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
@@ -660,4 +712,5 @@ ORACLES = {
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }
