@@ -141,5 +141,38 @@ GROUP BY media_type
 """
 
 
-QUERIES = {"multimodal_meta": q_multimodal_meta}
-ORACLES = {"multimodal_meta": MULTIMODAL_META_SQL}
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over the payloads: one row per sampled byte
+    offset (the addressing a real frame decoder would use), all JVM-side
+    sequence/posexplode — Python only ever sees the (stubbed) decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(attach_payload(docs), every_n_bytes=64)
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type
+  FROM documents
+),
+o AS (
+  SELECT doc_id, media_type,
+         unnest(range(0, greatest(n_bytes - 1, 0) + 1, 64)) AS byte_offset
+  FROM p
+)
+SELECT doc_id, media_type,
+  CAST(byte_offset // 64 AS INTEGER) AS frame_no,
+  CAST(byte_offset AS INTEGER) AS byte_offset
+FROM o
+"""
+
+
+QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
+}
+ORACLES = {
+    "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+}
