@@ -267,11 +267,73 @@ SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM m
 """
 
 
+def contamination_pairs(
+    fps: DataFrame, is_bench: Column, min_shared: int = 3, fp_cap: int = 200
+) -> DataFrame:
+    """Benchmark decontamination: (bench_doc, train_doc) pairs sharing >=
+    min_shared winnowing fingerprints — the overlap check an LLM pipeline
+    runs before training so eval data doesn't leak into the train split.
+
+    `fps` is one (doc_id, fp) table (winnow_fingerprints output) covering
+    both populations; `is_bench` splits it.  Fingerprints present in more
+    than fp_cap docs are boilerplate and carry no containment signal —
+    dropping them bounds the join fan-out exactly like the ngram df cap
+    (at 100 TB the fp join is the shuffle; the cap keeps hot fps from
+    exploding it)."""
+    sides = fps.withColumn("_bench", is_bench)
+    rare = (
+        sides.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") <= fp_cap)
+        .select("fp")
+    )
+    capped = sides.join(rare, "fp")
+    bench = capped.filter(F.col("_bench")).select(F.col("doc_id").alias("bench_doc"), "fp")
+    train = capped.filter(~F.col("_bench")).select(F.col("doc_id").alias("train_doc"), "fp")
+    return (
+        bench.join(train, "fp")
+        .groupBy("bench_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic demo split: every 20th doc is the "benchmark" set
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(docs)
+    return contamination_pairs(fps, F.col("doc_id") % 20 == 0)
+
+
+# extends the winnow CTE chain: fingerprint rows -> df cap -> bench/train
+# self-join -> shared-fp counts
+TEXT_CONTAMINATION_SQL = TEXT_WINNOW_SQL.replace(
+    "SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM m",
+    """,
+fp_rows AS (
+  SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM m
+),
+rare AS (
+  SELECT fp FROM fp_rows GROUP BY fp HAVING count(*) <= 200
+),
+capped AS (
+  SELECT r.doc_id, r.fp FROM fp_rows r JOIN rare USING (fp)
+)
+SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc, count(*) AS n_shared
+FROM capped b
+JOIN capped t ON b.fp = t.fp
+WHERE b.doc_id % 20 = 0 AND t.doc_id % 20 <> 0
+GROUP BY 1, 2
+HAVING count(*) >= 3""",
+)
+
+
 QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow": q_text_winnow,
+    "text_contamination": q_text_contamination,
 }
 
 ORACLES = {
@@ -279,4 +341,5 @@ ORACLES = {
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_winnow": TEXT_WINNOW_SQL,
+    "text_contamination": TEXT_CONTAMINATION_SQL,
 }
