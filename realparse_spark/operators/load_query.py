@@ -56,29 +56,36 @@ def q_load_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     newer = synth_style5(events.filter(F.unix_timestamp("ts") > split))
 
     root = tempfile.mkdtemp(prefix="realparse_e2e_")
-    logs = os.path.join(root, "logs")
-    os.makedirs(logs)
-    wh = os.path.join(root, "wh")
+    try:
+        logs = os.path.join(root, "logs")
+        os.makedirs(logs)
+        wh = os.path.join(root, "wh")
 
-    _write_rotation(older, root, logs, "rmaccess.log.20021011")
-    load_style5(spark, logs, wh, latest=2)  # cron run 1: backfill
-    _write_rotation(newer, root, logs, "rmaccess.log.20021012")
-    load_style5(spark, logs, wh, latest=2)  # cron run 2: incremental — the
-    # older rotation is re-read (S2 keeps two files) but the F1 watermark
-    # filters every already-loaded line
+        _write_rotation(older, root, logs, "rmaccess.log.20021011")
+        load_style5(spark, logs, wh, latest=2)  # cron run 1: backfill
+        _write_rotation(newer, root, logs, "rmaccess.log.20021012")
+        load_style5(spark, logs, wh, latest=2)  # cron run 2: incremental — the
+        # older rotation is re-read (S2 keeps two files) but the F1 watermark
+        # filters every already-loaded line
 
-    access = read_warehouse_table(spark, wh, "access")
-    file = read_warehouse_table(spark, wh, "file")
-    return (
-        access.join(file, "access_id")  # J2: keys propagated, no read-back
-        .groupBy("path")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("bytes_sent").alias("sum_bytes"),
-            F.count_distinct("client_ip_address").alias("n_ips"),
-            F.max(F.date_format("datetime", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
+        access = read_warehouse_table(spark, wh, "access")
+        file = read_warehouse_table(spark, wh, "file")
+        out = (
+            access.join(file, "access_id")  # J2: keys propagated, no read-back
+            .groupBy("path")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("bytes_sent").alias("sum_bytes"),
+                F.count_distinct("client_ip_address").alias("n_ips"),
+                F.max(F.date_format("datetime", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
+            )
         )
-    )
+        # materialize to driver rows so the temp warehouse can be deleted
+        # immediately (the bench harness runs each query 3×; leaving a
+        # synthesized log+warehouse tree per invocation leaks /tmp)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 LOAD_E2E_SQL = (

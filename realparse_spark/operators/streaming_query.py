@@ -1,0 +1,84 @@
+"""Driver-visible Structured Streaming lifecycle query (SURVEY.md §2.8).
+
+Puts the streaming incremental load (`streaming/pipeline.py:45`,
+`stream_load_access`) under the DuckDB oracle in one CORRECTNESS row —
+the streaming counterpart of `load_query.q_load_e2e`, covering the
+reference's cron re-read semantics (real_parse.pl:27-28,47-52) with the
+file-source checkpoint instead of the manual high-watermark:
+
+1. synthesize two rotated style-5 log files from the ``events`` table
+   (deterministic, same arithmetic as the parse oracles);
+2. run the availableNow stream over rotation 1 (backfill);
+3. drop rotation 2 into the same directory and run again with the SAME
+   checkpoint: the file source's processed-file log makes the second run
+   read ONLY the new file — exactly-once per file, no manual watermark;
+4. read the parquet sink back and aggregate per path.
+
+The oracle aggregates the same synthesized lines directly: any double-load
+(rotation 1 re-processed), dropped file, or parse divergence breaks the
+row-count/value-hash compare.  The stream's row-level
+``dropDuplicates([client_ip_address, event_ts])`` is a provable no-op on
+this corpus — (ip, second) is unique by construction
+(`tests/test_streaming_query.py` asserts it) — so the oracle needs no
+dedup mirror.
+
+The result is materialized to driver rows and re-wrapped as a local
+DataFrame before the temp warehouse is deleted (no /tmp leak per run —
+the bench harness invokes each query repeatedly).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.load_query import LOAD_E2E_SQL, _write_rotation
+from realparse_spark.operators.parse_queries import synth_style5
+from realparse_spark.sources.tables import load_table
+from realparse_spark.streaming.pipeline import stream_load_access
+
+
+def q_stream_load_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # lifecycle split on event time (same boundary rule as q_load_e2e): the
+    # split only decides which file each line lands in, never the final table
+    split = events.agg(F.avg(F.unix_timestamp("ts"))).collect()[0][0]
+    older = synth_style5(events.filter(F.unix_timestamp("ts") <= split))
+    newer = synth_style5(events.filter(F.unix_timestamp("ts") > split))
+
+    root = tempfile.mkdtemp(prefix="realparse_stream_e2e_")
+    try:
+        logs = os.path.join(root, "logs")
+        os.makedirs(logs)
+        wh = os.path.join(root, "wh")
+        ck = os.path.join(root, "ck")
+
+        _write_rotation(older, root, logs, "rmaccess.log.20021011")
+        stream_load_access(spark, logs, wh, ck).awaitTermination()  # run 1: backfill
+        _write_rotation(newer, root, logs, "rmaccess.log.20021012")
+        stream_load_access(spark, logs, wh, ck).awaitTermination()  # run 2:
+        # rotation 1 is still in the directory, but the checkpoint's
+        # processed-file log skips it — exactly-once without re-read filters
+
+        access = spark.read.parquet(wh)
+        out = access.groupBy("path").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bytes_sent").alias("sum_bytes"),
+            F.count_distinct("client_ip_address").alias("n_ips"),
+            F.max(F.date_format("datetime", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
+        )
+        # materialize before the finally deletes the files under the plan
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# The streaming lifecycle's contract is identical to the batch loader's:
+# after both runs every synthesized line is in the warehouse exactly once,
+# so the oracle IS the load_e2e oracle (aggregate the lines directly).
+QUERIES = {"stream_load_e2e": q_stream_load_e2e}
+ORACLES = {"stream_load_e2e": LOAD_E2E_SQL}

@@ -17,6 +17,7 @@ _MODULES = (
     "realparse_spark.operators.parse_queries",
     "realparse_spark.operators.log_report",
     "realparse_spark.operators.load_query",
+    "realparse_spark.operators.streaming_query",
     "realparse_spark.operators.text",
     "realparse_spark.operators.dedup",
     "realparse_spark.operators.similarity",
@@ -24,6 +25,38 @@ _MODULES = (
     "realparse_spark.operators.pipeline_ops",
     "realparse_spark.operators.advanced",
     "realparse_spark.operators.privacy",
+)
+
+# The driver's CORRECTNESS run caps at the first 50 registered queries, so
+# registration order decides which queries earn a hard driver-verified row
+# each round.  Names listed here are emitted FIRST (in this order); everything
+# else follows in module order.  Rotate per round so every query accumulates
+# driver rows: round 3 fronts the 18 entries that fell outside the r2 window
+# (8 never checked in any round + 10 checked only in r1) plus the queries new
+# this round.
+_PRIORITY = (
+    # never driver-checked in any round
+    "value_histogram",
+    "revenue_by_nation",
+    "funnel_conversion",
+    "sql_interface",
+    "emb_centroids",
+    "above_avg_parts",
+    "anonymize_ips",
+    "approx_quantiles",
+    # checked in r1 only, fell out of the r2 window
+    "cube_agg",
+    "pivot_events",
+    "set_ops",
+    "top_terms",
+    "percentile_metrics",
+    "sliding_window",
+    "asof_join",
+    "range_band_join",
+    "window_rank",
+    "approx_distinct",
+    # new in round 3
+    "stream_load_e2e",
 )
 
 
@@ -38,8 +71,14 @@ def _load():
             assert name not in queries, f"duplicate query name: {name}"
             queries[name] = fn
         for name, sql in getattr(mod, "ORACLES", {}).items():
+            assert name not in oracles, f"duplicate oracle name: {name}"
             oracles[name] = sql
-    return queries, oracles
+
+    missing = [n for n in _PRIORITY if n not in queries]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    ordered = {n: queries[n] for n in _PRIORITY}
+    ordered.update((n, f) for n, f in queries.items() if n not in ordered)
+    return ordered, oracles
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

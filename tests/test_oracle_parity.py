@@ -17,7 +17,10 @@ def _pairs():
     return [(name, q[name], o[name]) for name in sorted(q) if name in o]
 
 
-@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+_PAIRS = _pairs()
+
+
+@pytest.mark.parametrize("name,fn,sql", _PAIRS, ids=[p[0] for p in _PAIRS])
 def test_query_matches_oracle(spark, duck, name, fn, sql):
     ok, detail = compare_query(spark, duck, fn, sql, SF_DIR_ORACLE)
     assert ok, f"{name}: {detail}"
