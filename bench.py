@@ -97,7 +97,21 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
-            steady[name] = round(min(runs), 3)
+            if min(runs) < 1.0:
+                # sub-second queries are dominated by scheduler jitter on a
+                # shared host: take the median of 5 re-executions instead of
+                # min-of-2 so round-over-round comparisons aren't one
+                # noisy sample (r2 flagged two sub-second "regressions"
+                # that were exactly this)
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    materialize(fn(spark, sf_dir))
+                    runs.append(time.perf_counter() - t0)
+                import statistics
+
+                steady[name] = round(statistics.median(runs), 3)
+            else:
+                steady[name] = round(min(runs), 3)
         return cold, steady
 
     timings, warm = bench_set(HEADLINE)

@@ -610,29 +610,40 @@ GROUP BY n_name
 # SQL interface (spark.sql over registered views — API parity proof)
 # ---------------------------------------------------------------------------
 
-# one statement, two engines: the exact same text runs under spark.sql and
-# DuckDB (the decimal-cast rule keeps the aggregates bit-identical)
+# one statement template, two engines: the same text (modulo table names)
+# runs under spark.sql and DuckDB (the decimal-cast rule keeps the
+# aggregates bit-identical).  Table names are templated so the Spark side
+# can scope its temp views per sf_dir — fixed view names would make two
+# sf_dirs in one session collide (the oracle keeps the plain names the
+# driver pre-registers).
 _SQL_INTERFACE_TEXT = """
 SELECT o.o_orderpriority,
   count(*) AS n_orders,
   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
   round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_total
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
+FROM {orders} o
+JOIN {customer} c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o.o_orderpriority
 """
 
 
 def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's SQL front door: the same ANSI text the DuckDB oracle
-    runs goes through spark.sql over registered views — Catalyst plans it
-    like any DataFrame query (broadcast dim, pushed filter).  Views are
-    session-scoped temp views over the parquet tables."""
-    from realparse_spark.sources.tables import register_views
+    """The engine's SQL front door: the same ANSI statement the DuckDB
+    oracle runs goes through spark.sql over registered views — Catalyst
+    plans it like any DataFrame query (broadcast dim, pushed filter).
+    Views are temp views over the parquet tables, name-scoped by a hash of
+    the sf_dir so concurrent/sequential use of several sf_dirs in one
+    session stays correct and independent."""
+    import hashlib
+    import os
 
-    register_views(spark, sf_dir, ("orders", "customer"))
-    return spark.sql(_SQL_INTERFACE_TEXT)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    names = {}
+    for t in ("orders", "customer"):
+        names[t] = f"{t}_{tag}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(names[t])
+    return spark.sql(_SQL_INTERFACE_TEXT.format(**names))
 
 
 # ---------------------------------------------------------------------------
@@ -796,7 +807,7 @@ ORACLES = {
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
-    "sql_interface": _SQL_INTERFACE_TEXT,
+    "sql_interface": _SQL_INTERFACE_TEXT.format(orders="orders", customer="customer"),
     "emb_centroids": EMB_CENTROIDS_SQL,
     "above_avg_parts": ABOVE_AVG_PARTS_SQL,
     "cube_agg": CUBE_AGG_SQL,

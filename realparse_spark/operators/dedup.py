@@ -256,14 +256,29 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, k: int = 32, bands: int = 8, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH banding: signature split into `bands` rows of k/bands hashes;
     docs agreeing on any full band become candidates; candidates are
     scored by full-signature agreement (estimated Jaccard) and filtered.
 
     At scale each band is one narrow groupBy on a 64-bit band key —
-    no pairwise work outside hash buckets."""
+    no pairwise work outside hash buckets.
+
+    Skew guard: a (band, bucket) group with B docs would emit B²/2
+    candidate rows from the all-pairs self-join — on boilerplate-heavy
+    corpora (thousands of identical docs) one hot bucket dominates the
+    whole job.  Buckets larger than `max_bucket` switch to STAR pairs
+    (every member paired with the bucket's min doc_id): candidates become
+    O(B) per hot bucket, and since hot-bucket members share a full band
+    (near-identical signatures), the star edges keep every true duplicate
+    connected for downstream `dup_clusters` — the trade-off is pairwise
+    completeness inside hot buckets, mirroring the ngram df_cap policy."""
     if k % bands != 0:
         raise ValueError(f"bands ({bands}) must divide signature width k ({k})")
     sig = minhash_signatures(docs, n, k).persist()
@@ -278,17 +293,31 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ]
         )
+        from pyspark.sql import Window
+
+        # bucket size + representative in ONE pass (window over the same
+        # partitioning the join needs — no extra shuffle vs groupBy+join)
+        wb = Window.partitionBy("band_no", "bk")
         banded = sig.select(
             "doc_id", F.posexplode(band_arr).alias("band_no", "bk")
+        ).select(
+            "doc_id", "band_no", "bk",
+            F.count(F.lit(1)).over(wb).alias("_sz"),
+            F.min("doc_id").over(wb).alias("_rep"),
         )
-        l = banded.select(F.col("doc_id").alias("doc_a"), "band_no", "bk")
-        rr = banded.select(F.col("doc_id").alias("doc_b"), "band_no", "bk")
-        cand = (
+        small = banded.filter(F.col("_sz") <= max_bucket)
+        l = small.select(F.col("doc_id").alias("doc_a"), "band_no", "bk")
+        rr = small.select(F.col("doc_id").alias("doc_b"), "band_no", "bk")
+        pair_small = (
             l.join(rr, ["band_no", "bk"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
-            .distinct()
         )
+        pair_hot = (
+            banded.filter((F.col("_sz") > max_bucket) & (F.col("doc_id") != F.col("_rep")))
+            .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+        cand = pair_small.union(pair_hot).distinct()
 
         sa = sig.select(F.col("doc_id").alias("doc_a"), F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_a"))
         sb = sig.select(F.col("doc_id").alias("doc_b"), F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_b"))
@@ -515,12 +544,19 @@ def dup_clusters(
     )
     to_free = [edges, labels]
     try:
+        n_changed = 0
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.dst == labels.doc_id)
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # localCheckpoint (eager), NOT persist: each round's plan
+            # references `labels` twice, so without a lineage cut the
+            # logical plan doubles per round — ~2^rounds nodes, a
+            # multi-GB plan string and driver OOM past ~12 rounds.
+            # Checkpointing materializes the (small) label table and
+            # restarts the lineage at O(1) every round.
             stepped = (
                 labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
                 .select(
@@ -530,18 +566,27 @@ def dup_clusters(
                     ).alias("label"),
                     (F.col("nbr_label") < labels.label).alias("_chg"),
                 )
-                .persist()
+                .localCheckpoint()
             )
-            to_free.append(stepped)
             n_changed = stepped.filter(F.col("_chg")).count()
             labels = stepped.drop("_chg")
             if n_changed == 0:
                 break
+        if n_changed != 0:
+            # returning the partially-propagated labels would silently split
+            # one true component into several clusters (component diameter
+            # exceeded max_iter rounds) — fail loudly instead
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iter} rounds "
+                f"({n_changed} labels still changing); raise max_iter (a "
+                "diameter this large usually means the pair threshold is "
+                "admitting chains, not near-dup clusters)"
+            )
         return labels.select(F.col("label").alias("cluster_id"), "doc_id")
     finally:
-        # keep the final labels' cache alive for the caller's action; freeing
-        # earlier rounds is safe (the result no longer depends on them)
-        for df in to_free[:-1]:
+        # the returned labels are checkpointed (self-contained), so the
+        # edge/seed caches can be freed unconditionally
+        for df in to_free:
             df.unpersist()
 
 

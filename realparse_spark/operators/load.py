@@ -79,10 +79,19 @@ def _family_watermark(spark: SparkSession, warehouse: str, real_family: bool) ->
     stdir = os.path.join(_table_path(warehouse, "access"), f"server_type={server_type}")
     if not os.path.isdir(stdir):
         return None
-    dates = sorted(
-        d.split("=", 1)[1] for d in os.listdir(stdir) if d.startswith("access_date=")
-    )
+    entries = [e for e in os.listdir(stdir) if not e.startswith(("_", "."))]
+    dates = sorted(e.split("=", 1)[1] for e in entries if e.startswith("access_date="))
     if not dates:
+        if entries:
+            # Legacy layout: a warehouse written before the (server_type,
+            # access_date) two-level partitioning has data files directly
+            # under server_type=N.  Silently returning None here would lose
+            # the watermark and re-load every already-loaded line as a
+            # duplicate — fall back to the full-family scan instead (the
+            # pre-partition-pruning behavior: correct, just not one-dir cheap).
+            legacy = spark.read.parquet(stdir)
+            row = legacy.agg(F.max(F.unix_timestamp("datetime")).alias("wm")).collect()[0]
+            return row.wm
         return None
     latest = spark.read.parquet(os.path.join(stdir, f"access_date={dates[-1]}"))
     row = latest.agg(F.max(F.unix_timestamp("datetime")).alias("wm")).collect()[0]

@@ -252,7 +252,12 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (os.path.abspath(sf_dir), 16, 42)
+    # cache key includes a source fingerprint (mtime+size of the embeddings
+    # parquet): if the fixture is regenerated in place, a stale on-disk index
+    # from a previous process must NOT be reused (sim_ann_ivf has no oracle,
+    # so outdated neighbors would go unnoticed)
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 16, 42)
     path = _IVF_INDEX.get(key)
     if path is None:
         path = os.path.join(

@@ -46,3 +46,19 @@ def test_approx_quantiles_close_to_exact(spark):
         # sketch with accuracy=10000 over ~60k rows: within 2% relative
         assert abs(a50 - e50) / max(e50, 1e-9) < 0.02, (et, a50, e50)
         assert abs(a95 - e95) / max(e95, 1e-9) < 0.02, (et, a95, e95)
+
+
+def test_sql_interface_sf_scoped_views(spark):
+    """View hygiene: two sf_dirs queried through the SQL front door in ONE
+    session must produce correct, independent results (fixed temp-view
+    names would make the second registration clobber the first)."""
+    from realparse_spark.operators.advanced import q_sql_interface
+
+    df_small = q_sql_interface(spark, "/root/testdata/sf0.001")
+    df_big = q_sql_interface(spark, "/root/testdata/sf0.01")
+    n_small = sum(r.n_orders for r in df_small.collect())
+    n_big = sum(r.n_orders for r in df_big.collect())
+    assert 0 < n_small < n_big
+    # re-collecting the first AFTER the second registration still gives
+    # the sf0.001 numbers
+    assert sum(r.n_orders for r in df_small.collect()) == n_small

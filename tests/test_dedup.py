@@ -106,3 +106,63 @@ def test_dup_clusters_match_union_find(spark):
         for r in dup_clusters(df, local_threshold=threshold).collect():
             got.setdefault(r.cluster_id, set()).add(r.doc_id)
         assert {k: frozenset(v) for k, v in got.items()} == expected, threshold
+
+
+def test_ngram_cap_binding_pins_subcap_jaccard(spark):
+    """ADVICE pin: when df_cap binds, Jaccard is computed over sub-cap
+    shingles only (boilerplate grams excluded from candidates AND scores);
+    with a non-binding cap the score is the exact full-set Jaccard."""
+    docs = spark.createDataFrame(
+        [(1, "common alpha beta"), (2, "common alpha gamma"), (3, "common delta eps")],
+        "doc_id long, text string",
+    )
+    # cap binds: 'common' (df=3 > 2) is dropped -> J(1,2) = |{alpha}| / |{alpha,beta,gamma}|
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=1, threshold=0.1, df_cap=2).collect()
+    }
+    assert capped == {(1, 2): 0.333333}
+    # cap does not bind: exact full-set Jaccard, 'common' counts
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=1, threshold=0.1, df_cap=1000).collect()
+    }
+    assert full[(1, 2)] == 0.5
+    assert full[(1, 3)] == full[(2, 3)] == 0.2
+
+
+def test_dup_clusters_raises_on_nonconvergence(spark):
+    """ADVICE fix: the iterative path must fail loudly (not return
+    partially-propagated labels) when the component diameter exceeds
+    max_iter rounds."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        # local_threshold=0 forces the distributed iterative path
+        dup_clusters(chain, max_iter=2, local_threshold=0).collect()
+    # and with enough rounds the same graph converges to one component
+    ok = dup_clusters(chain, max_iter=25, local_threshold=0)
+    assert ok.select("cluster_id").distinct().count() == 1
+
+
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """Skew guard: an adversarial corpus (1k identical docs) must produce a
+    LINEAR candidate/pair count (star pairs to the bucket representative),
+    not the ~B²/2 all-pairs blowup — while still connecting every doc into
+    one dup cluster."""
+    n_docs = 1000
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(n_docs)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket=64).persist()
+    n_pairs = pairs.count()
+    # star shape: exactly n-1 edges (identical docs share every band; each
+    # band contributes the same rep->member stars, deduped by distinct)
+    assert n_pairs == n_docs - 1, n_pairs
+    clusters = dup_clusters(pairs)
+    assert clusters.select("cluster_id").distinct().count() == 1
+    assert clusters.count() == n_docs
+    pairs.unpersist()

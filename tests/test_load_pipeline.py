@@ -252,3 +252,27 @@ def test_weblog_load(spark, tmp_path):
     # both families share the warehouse: style-5 watermark is independent (F2)
     counts2 = load_weblog(spark, str(d), wh)
     assert counts2["access"] == 0
+
+
+def test_watermark_legacy_layout_fallback(spark, tmp_path):
+    """ADVICE fix: a warehouse written by the old layout (partitionBy
+    server_type only, no access_date= subdirs) must still yield its
+    watermark via the full-family scan — silently returning None would
+    re-load already-loaded lines as duplicates."""
+    from realparse_spark.operators.load import _family_watermark
+
+    wh = str(tmp_path / "wh_legacy")
+    legacy = spark.createDataFrame(
+        [("10.0.0.1", "2002-10-12 09:00:00"), ("10.0.0.2", "2002-10-13 09:03:38")],
+        "client_ip_address string, datetime string",
+    ).select("client_ip_address", F.to_timestamp("datetime").alias("datetime"))
+    legacy.write.parquet(os.path.join(wh, "access", "server_type=1"))
+
+    wm = _family_watermark(spark, wh, real_family=True)
+    expected = legacy.agg(F.max(F.unix_timestamp("datetime"))).collect()[0][0]
+    assert wm == expected
+
+    # an empty server_type dir (no data at all) still reports no watermark
+    wh2 = str(tmp_path / "wh_empty")
+    os.makedirs(os.path.join(wh2, "access", "server_type=1"))
+    assert _family_watermark(spark, wh2, real_family=True) is None

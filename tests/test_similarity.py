@@ -60,3 +60,27 @@ def test_arrow_cosine_matches_expression_path(spark, sf_dir):
     a = [tuple(r) for r in topk_cosine(emb, query_vec_id=0, k=10).collect()]
     b = [tuple(r) for r in topk_cosine_arrow(emb, query_vec_id=0, k=10).collect()]
     assert a == b
+
+
+def test_ivf_cache_invalidated_on_source_change(spark, sf_dir, tmp_path):
+    """ADVICE fix: the per-process IVF index cache must key on a source
+    fingerprint — regenerating the embeddings fixture in place must trigger
+    a rebuild, never reuse of a stale on-disk index."""
+    import os
+    import shutil
+
+    from realparse_spark.operators.similarity import _IVF_INDEX, q_sim_ivf
+
+    d = str(tmp_path / "sfcopy")
+    os.makedirs(d)
+    p = os.path.join(d, "embeddings.parquet")
+    shutil.copy(os.path.join(sf_dir, "embeddings.parquet"), p)
+
+    q_sim_ivf(spark, d)
+    keys1 = {k for k in _IVF_INDEX if k[0] == os.path.abspath(d)}
+    assert len(keys1) == 1
+
+    os.utime(p, ns=(1, 1))  # "regenerated" fixture: same path, new mtime
+    q_sim_ivf(spark, d)
+    keys2 = {k for k in _IVF_INDEX if k[0] == os.path.abspath(d)}
+    assert len(keys2) == 2, "stale index reused after source change"
