@@ -14,44 +14,38 @@ pruning keeps working on the result.
 from __future__ import annotations
 
 import os
-import shutil
 import urllib.parse
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from realparse_spark.fs import LOCAL, WarehouseFS
 
-def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+
+def table_file_stats(spark: SparkSession, path: str, fs: WarehouseFS = LOCAL) -> tuple[int, int]:
     """(n_data_files, total_bytes) for a parquet table path."""
     n = 0
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += 1
-                total += os.path.getsize(os.path.join(root, f))
+    for _p, size in fs.data_files(path):
+        n += 1
+        total += size
     return n, total
 
 
-def _leaf_partition_bytes(path: str, partition_by: list[str]) -> dict[tuple, int]:
+def _leaf_partition_bytes(path: str, partition_by: list[str], fs: WarehouseFS = LOCAL) -> dict[tuple, int]:
     """Per-partition-VALUE data bytes, keyed by the string values parsed
     from the hive-style `k=v` directory names.  Pure filesystem metadata —
-    no data read; at 100 TB this is the cheap listing pass every
-    metastore-style compactor already does."""
+    no data read; at 100 TB this is the manifest/snapshot listing every
+    metastore-style compactor already does (see fs.py's mapping table)."""
     stats: dict[tuple, int] = {}
-    for root, _dirs, files in os.walk(path):
-        pq = [f for f in files if f.endswith(".parquet")]
-        if not pq:
-            continue
+    for p, size in fs.data_files(path):
         vals: dict[str, str] = {}
-        for part in os.path.relpath(root, path).split(os.sep):
+        for part in os.path.relpath(os.path.dirname(p), path).split(os.sep):
             if "=" in part:
                 k, v = part.split("=", 1)
                 vals[k] = urllib.parse.unquote(v)
         key = tuple(vals.get(c) for c in partition_by)
-        stats[key] = stats.get(key, 0) + sum(
-            os.path.getsize(os.path.join(root, f)) for f in pq
-        )
+        stats[key] = stats.get(key, 0) + size
     return stats
 
 
@@ -60,6 +54,7 @@ def compact_table(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
+    fs: WarehouseFS = LOCAL,
 ) -> tuple[int, int]:
     """Rewrite `path` into ~target_file_bytes files.  Unpartitioned: one
     coalesce to total//target files.  Partitioned: each partition VALUE is
@@ -68,7 +63,7 @@ def compact_table(
     giant single-task file (a skewed `repartition(n, *partition_by)` would
     hash every row of a partition value into ONE task).  Returns
     (files_before, files_after)."""
-    before, total = table_file_stats(spark, path)
+    before, total = table_file_stats(spark, path, fs)
 
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".__compact__"
@@ -76,7 +71,7 @@ def compact_table(
         n_files = max(1, total // target_file_bytes)
         w = df.coalesce(int(n_files)).write.mode("overwrite")
     else:
-        leaf = _leaf_partition_bytes(path, partition_by)
+        leaf = _leaf_partition_bytes(path, partition_by, fs)
         salt_rows = [
             (
                 *[None if v == "__HIVE_DEFAULT_PARTITION__" else v for v in key],
@@ -107,9 +102,9 @@ def compact_table(
     w.parquet(staging)
 
     backup = path.rstrip("/") + ".__old__"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup, ignore_errors=True)
-    after, _ = table_file_stats(spark, path)
+    fs.rmtree(backup)
+    fs.rename(path, backup)
+    fs.rename(staging, path)
+    fs.rmtree(backup)
+    after, _ = table_file_stats(spark, path, fs)
     return before, after

@@ -35,6 +35,7 @@ from realparse_spark.operators.parse import (
     parse_style5,
     parse_weblog,
 )
+from realparse_spark.fs import LOCAL, WarehouseFS
 from realparse_spark.sources.logs import read_log_lines, read_server_config
 
 ACCESS_TABLES = ("access", "file", "client", "network", "stats_mask1", "stats_mask2", "stats_mask3")
@@ -46,9 +47,9 @@ ACCESS_TABLES = ("access", "file", "client", "network", "stats_mask1", "stats_ma
 COMPONENTS_SCHEMA = "component_id long, access_id long, component string"
 
 
-def _ensure_components(spark: SparkSession, warehouse: str) -> None:
+def _ensure_components(spark: SparkSession, warehouse: str, fs: WarehouseFS = LOCAL) -> None:
     p = os.path.join(warehouse, "components")
-    if not os.path.exists(p):
+    if not fs.exists(p):
         spark.createDataFrame([], COMPONENTS_SCHEMA).write.mode("overwrite").parquet(p)
 
 
@@ -64,7 +65,9 @@ def read_warehouse_table(spark: SparkSession, warehouse: str, name: str) -> Data
         return None
 
 
-def _family_watermark(spark: SparkSession, warehouse: str, real_family: bool) -> int | None:
+def _family_watermark(
+    spark: SparkSession, warehouse: str, real_family: bool, fs: WarehouseFS = LOCAL
+) -> int | None:
     """F1/F2 — max loaded epoch for one source family (real_parse.pl:47 vs
     web_parse.pl:42; the logging_style NULLness discriminator maps 1:1 to
     the server_type partition value, 1=real / 0=web).
@@ -77,9 +80,9 @@ def _family_watermark(spark: SparkSession, warehouse: str, real_family: bool) ->
     construction: derived from the data itself, no sidecar to desync."""
     server_type = 1 if real_family else 0
     stdir = os.path.join(_table_path(warehouse, "access"), f"server_type={server_type}")
-    if not os.path.isdir(stdir):
+    if not fs.is_dir(stdir):
         return None
-    entries = [e for e in os.listdir(stdir) if not e.startswith(("_", "."))]
+    entries = [e for e in fs.list_dir(stdir) if not e.startswith(("_", "."))]
     dates = sorted(e.split("=", 1)[1] for e in entries if e.startswith("access_date="))
     if not dates:
         if entries:

@@ -28,11 +28,12 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+from realparse_spark.fs import LOCAL, WarehouseFS
 
 _BUCKET = "__bucket"
 _META = "_upsert_meta.json"
@@ -42,17 +43,15 @@ def _bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
-def _read_meta(path: str) -> dict | None:
+def _read_meta(path: str, fs: WarehouseFS) -> dict | None:
     p = os.path.join(path, _META)
-    if os.path.exists(p):
-        with open(p) as fh:
-            return json.load(fh)
+    if fs.exists(p):
+        return json.loads(fs.read_text(p))
     return None
 
 
-def _write_meta(path: str, n_buckets: int, keys: list[str]) -> None:
-    with open(os.path.join(path, _META), "w") as fh:
-        json.dump({"n_buckets": n_buckets, "keys": keys}, fh)
+def _write_meta(path: str, n_buckets: int, keys: list[str], fs: WarehouseFS) -> None:
+    fs.write_text(os.path.join(path, _META), json.dumps({"n_buckets": n_buckets, "keys": keys}))
 
 
 def upsert_parquet(
@@ -62,6 +61,7 @@ def upsert_parquet(
     keys: list[str],
     order_col: str | None = None,
     n_buckets: int = 32,
+    fs: WarehouseFS = LOCAL,
 ) -> int:
     """Insert-or-replace by `keys`; when both sides carry a key, the row
     with the greatest `order_col` wins (new side wins ties/absence).
@@ -71,7 +71,7 @@ def upsert_parquet(
     fixed at table creation (recorded in a sidecar — later calls use the
     recorded value, because re-bucketing would silently split a key across
     buckets and break the merge)."""
-    meta = _read_meta(path)
+    meta = _read_meta(path, fs)
     if meta is not None:
         if meta["keys"] != keys:
             raise ValueError(f"table at {path} was bucketed on keys {meta['keys']}, got {keys}")
@@ -80,9 +80,9 @@ def upsert_parquet(
     data_cols = new_df.columns
     newb = new_df.withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
 
-    if meta is None and not os.path.exists(path):
+    if meta is None and not fs.exists(path):
         newb.write.mode("overwrite").partitionBy(_BUCKET).parquet(path)
-        _write_meta(path, n_buckets, keys)
+        _write_meta(path, n_buckets, keys, fs)
         return spark.read.parquet(path).count()
 
     # pre-bucketing table (no sidecar): one-time full-merge migration into
@@ -121,26 +121,63 @@ def upsert_parquet(
     )
 
     staging = path.rstrip("/") + ".__staging__"
-    shutil.rmtree(staging, ignore_errors=True)
+    fs.rmtree(staging)
     merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
 
     backup = path.rstrip("/") + ".__old__"
-    shutil.rmtree(backup, ignore_errors=True)
+    fs.rmtree(backup)
     if legacy:
         # whole-directory swap into the new layout
-        os.rename(path, backup)
-        os.rename(staging, path)
-        _write_meta(path, n_buckets, keys)
+        fs.rename(path, backup)
+        fs.rename(staging, path)
+        _write_meta(path, n_buckets, keys, fs)
     else:
         # swap ONLY the touched bucket dirs; untouched dirs stay byte-identical
-        os.makedirs(backup)
+        fs.makedirs(backup)
         for b in touched:
             src = os.path.join(staging, f"{_BUCKET}={b}")
             dst = os.path.join(path, f"{_BUCKET}={b}")
-            if os.path.exists(dst):
-                os.rename(dst, os.path.join(backup, f"{_BUCKET}={b}"))
-            if os.path.exists(src):  # merged always has the batch's rows
-                os.rename(src, dst)
-        shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(backup, ignore_errors=True)
+            if fs.exists(dst):
+                fs.rename(dst, os.path.join(backup, f"{_BUCKET}={b}"))
+            if fs.exists(src):  # merged always has the batch's rows
+                fs.rename(src, dst)
+        fs.rmtree(staging)
+    fs.rmtree(backup)
     return spark.read.parquet(path).count()
+
+
+class MergeBackend:
+    """MERGE seam (SCALE.md §Maintenance): same contract as a table
+    format's ``MERGE INTO`` — insert-or-replace by `keys`, greatest
+    `order_col` wins, new side wins ties.  A Delta/Iceberg deployment
+    implements this with one SQL statement; the default backend is the
+    dependency-free bucketed-parquet implementation above."""
+
+    def merge(
+        self,
+        spark: SparkSession,
+        new_df: DataFrame,
+        table: str,
+        keys: list[str],
+        order_col: str | None = None,
+    ) -> int:
+        raise NotImplementedError
+
+
+class BucketedParquetMerge(MergeBackend):
+    def __init__(self, n_buckets: int = 32, fs: WarehouseFS = LOCAL) -> None:
+        self.n_buckets = n_buckets
+        self.fs = fs
+
+    def merge(
+        self,
+        spark: SparkSession,
+        new_df: DataFrame,
+        table: str,
+        keys: list[str],
+        order_col: str | None = None,
+    ) -> int:
+        return upsert_parquet(
+            spark, new_df, table, keys, order_col,
+            n_buckets=self.n_buckets, fs=self.fs,
+        )

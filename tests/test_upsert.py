@@ -111,3 +111,18 @@ def test_gzip_log_ingestion(spark, tmp_path):
     counts = load_style5(spark, str(d), wh)
     assert counts["access"] == 1
     assert read_warehouse_table(spark, wh, "file").collect()[0].name == "zipped.rm"
+
+
+def test_merge_backend_seam(spark, tmp_path):
+    """BucketedParquetMerge implements the MergeBackend contract over the
+    same bucketed-parquet upsert (SCALE.md §Maintenance seam)."""
+    from realparse_spark.operators.upsert import BucketedParquetMerge
+
+    path = str(tmp_path / "seam")
+    be = BucketedParquetMerge(n_buckets=4)
+    df1 = spark.createDataFrame([(1, "a", 10), (2, "b", 10)], "k long, v string, ver long")
+    assert be.merge(spark, df1, path, keys=["k"], order_col="ver") == 2
+    df2 = spark.createDataFrame([(2, "B", 20), (3, "c", 20)], "k long, v string, ver long")
+    assert be.merge(spark, df2, path, keys=["k"], order_col="ver") == 3
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
