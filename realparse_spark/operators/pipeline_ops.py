@@ -369,6 +369,56 @@ GROUP BY 1, 2
 """
 
 
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Training-mix accounting: per-source doc/token counts, each source's
+    share of total tokens, and the up/down-sampling weight that would give
+    a uniform target mix (weight = target_share / actual_share).  The
+    weights feed `stratified_sample`-style rate maps when rebalancing a
+    corpus toward a prescribed domain mixture.
+
+    Shape: one groupBy(source) plus a broadcast 1-row total — two tiny
+    aggregations; the weight math never touches the docs again."""
+    from realparse_spark.operators.text import token_count_ws
+
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("_t"),
+        F.count(F.lit(1)).alias("_ns"),
+    )
+    share = F.col("n_tokens") / F.col("_t")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round((F.lit(1.0) / F.col("_ns")) / share, 6).alias("weight_uniform"),
+        )
+    )
+
+
+def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_mix(load_table(spark, sf_dir, "documents"))
+
+
+DOC_SOURCE_MIX_SQL = r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t, count(*) AS ns FROM per)
+SELECT source, n_docs, n_tokens,
+  round(n_tokens / t, 6) AS token_share,
+  round((1.0 / ns) / (n_tokens / t), 6) AS weight_uniform
+FROM per, tot
+"""
+
+
 QUERIES = {
     "doc_split": q_doc_split,
     "doc_length_buckets": q_doc_length_buckets,
@@ -376,6 +426,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "emb_quantize": q_emb_quantize,
     "doc_pipeline_e2e": q_doc_pipeline_e2e,
+    "doc_source_mix": q_doc_source_mix,
 }
 
 ORACLES = {
@@ -385,4 +436,5 @@ ORACLES = {
     "doc_sample": DOC_SAMPLE_SQL,
     "emb_quantize": EMB_QUANTIZE_SQL,
     "doc_pipeline_e2e": _doc_pipeline_sql(),
+    "doc_source_mix": DOC_SOURCE_MIX_SQL,
 }

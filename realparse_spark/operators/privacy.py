@@ -79,5 +79,70 @@ FROM named
     )
 
 
-QUERIES = {"anonymize_ips": q_anonymize_ips}
-ORACLES = {"anonymize_ips": _anonymize_sql()}
+# ---------------------------------------------------------------------------
+# PII redaction (emails / phone-shaped numbers) for document corpora
+# ---------------------------------------------------------------------------
+
+# dialect-portable patterns: same semantics under Java regex (Spark) and
+# RE2 (DuckDB) — no lookarounds, no backrefs
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and mask email addresses and phone-shaped numbers in a text
+    column.  Pure column expressions (two regexp_replace passes + two
+    regexp_count) — scan-speed, shuffle-free, the shape a 100 TB corpus
+    scrub must have.  Counts are kept so the pipeline can audit how much
+    PII each source carries before/after."""
+    t = F.col(text_col)
+    return docs.withColumn("n_emails", F.regexp_count(t, F.lit(_EMAIL_RE))).withColumn(
+        "n_phones", F.regexp_count(t, F.lit(_PHONE_RE))
+    ).withColumn(
+        text_col,
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture corpus carries no PII, so the query plants a
+    deterministic email + phone per doc (same arithmetic in the oracle)
+    and scrubs it — the redaction itself is what's under test."""
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%d@example.com or call 555-%04d now",
+                F.col("doc_id"),
+                F.pmod(F.col("doc_id"), F.lit(10000)),
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select("doc_id", "n_emails", "n_phones", "text")
+
+
+REDACT_PII_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || printf(' contact user%d@example.com or call 555-%04d now',
+                   doc_id, doc_id % 10000) AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS n_phones,
+  regexp_replace(
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS text
+FROM planted
+"""
+
+
+QUERIES = {"anonymize_ips": q_anonymize_ips, "redact_pii": q_redact_pii}
+ORACLES = {"anonymize_ips": _anonymize_sql(), "redact_pii": REDACT_PII_SQL}

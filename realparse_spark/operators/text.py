@@ -328,7 +328,85 @@ HAVING count(*) >= 3""",
 )
 
 
+def repetition_features(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition metrics: duplicate-word
+    fraction and the most-repeated word bigram's share of all bigrams.
+    High values mark boilerplate/spam that length or punctuation filters
+    miss (Rae et al. 2021 'repetition' filters).
+
+    Shape: one narrow per-doc token/distinct count, plus an explode +
+    (doc_id, gram) count + per-doc max — two hash aggregations keyed by
+    doc_id, no window, no cross-doc shuffle wider than the doc's own
+    bigrams.  Docs with fewer than 2 tokens are excluded (no bigrams)."""
+    toks = ws_tokens(F.col("text"))
+    # NON-distinct bigram list (word_ngrams dedups, repetition must not)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        bigrams.alias("_bg"),
+    ).filter(F.col("n_tokens") >= 2)
+    per_gram = base.select("doc_id", F.explode("_bg").alias("g")).groupBy(
+        "doc_id", "g"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    top = per_gram.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_cnt"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    return (
+        base.select("doc_id", "n_tokens", "n_distinct")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_word_frac"),
+            "top_bigram_cnt",
+            F.round(
+                F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+    list_transform(range(1, greatest(len(t) - 2, 0) + 2),
+      i -> t[i] || CASE WHEN i + 1 <= len(t) THEN ' ' || t[i+1] ELSE '' END) AS bg
+  FROM toks
+  WHERE len(t) >= 2
+),
+ex AS (SELECT doc_id, unnest(bg) AS g FROM base),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, max(c) AS top_bigram_cnt, CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM cnt GROUP BY 1
+)
+SELECT b.doc_id,
+  CAST(b.n_tokens AS INTEGER) AS n_tokens,
+  round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_word_frac,
+  t.top_bigram_cnt,
+  round(CAST(t.top_bigram_cnt AS DOUBLE) / t.n_bigrams, 6) AS top_bigram_frac
+FROM base b JOIN top t USING (doc_id)
+"""
+
+
 QUERIES = {
+    "text_repetition": q_text_repetition,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -337,6 +415,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_repetition": TEXT_REPETITION_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -57,6 +57,9 @@ _PRIORITY = (
     "approx_distinct",
     # new in round 3
     "stream_load_e2e",
+    "text_repetition",
+    "redact_pii",
+    "doc_source_mix",
 )
 
 

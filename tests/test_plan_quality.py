@@ -169,3 +169,14 @@ def test_pricing_summary_scan_agg_shape(spark, queries):
     assert X.has_pushed_filter(df, "l_shipdate")
     assert X.count_shuffles(df) == 1
     assert X.python_eval_nodes(df) == 0
+
+
+def test_new_text_ops_stay_jvm_side(spark, queries):
+    """Round-3 additions (repetition metrics, PII redaction, source mix)
+    must be pure JVM column expressions — no Python eval in the plan —
+    and redaction must stay shuffle-free (scan-speed scrub)."""
+    for name in ("text_repetition", "redact_pii", "doc_source_mix"):
+        df = queries[name](spark, SF)
+        assert X.python_eval_nodes(df) == 0, name
+    # fan_out is not used here: the scrub is a pure projection
+    assert X.count_shuffles(queries["redact_pii"](spark, SF)) == 0
