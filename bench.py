@@ -51,6 +51,9 @@ EXTRA = [
     "revenue_by_nation",    # TPC-H Q5-shape 6-table star join
     "doc_pipeline_e2e",     # composed quality->langid->dedup->sample->split
     "anonymize_ips",        # parse + IP pseudonymization
+    "text_repetition",      # per-row sorted-run repetition metrics
+    "redact_pii",           # shuffle-free PII scrub
+    "doc_source_mix",       # source-mix shares + resampling weights
 ]
 
 

@@ -334,43 +334,56 @@ def repetition_features(docs: DataFrame) -> DataFrame:
     High values mark boilerplate/spam that length or punctuation filters
     miss (Rae et al. 2021 'repetition' filters).
 
-    Shape: one narrow per-doc token/distinct count, plus an explode +
-    (doc_id, gram) count + per-doc max — two hash aggregations keyed by
-    doc_id, no window, no cross-doc shuffle wider than the doc's own
-    bigrams.  Docs with fewer than 2 tokens are excluded (no bigrams)."""
+    Shape: a pure narrow projection — zero shuffles.  The most-repeated
+    bigram's count equals the longest run in the SORTED bigram array, so
+    it is computed per-row with array_sort + aggregate (JVM higher-order
+    functions) instead of explode + two hash aggregations + a join back;
+    and the bigram total is just n_tokens - 1.  Bigram identity is an
+    xxhash64 of the token pair (sorting longs, not concatenated strings —
+    ~4x cheaper; a 64-bit collision within one document would be needed
+    to change a count).  Docs with fewer than 2 tokens are excluded."""
     toks = ws_tokens(F.col("text"))
-    # NON-distinct bigram list (word_ngrams dedups, repetition must not)
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    # NON-distinct bigram identities (word_ngrams dedups, repetition must
+    # not): hash adjacent pairs via zip_with against the shifted array,
+    # then drop the final (token, null) pad element
+    pair_hashes = F.zip_with(
+        toks, F.slice(toks, 2, F.size(toks)), lambda a, b: F.xxhash64(a, b)
     )
-    base = docs.select(
+    bigrams = F.slice(pair_hashes, 1, F.greatest(F.size(toks) - 1, F.lit(1)))
+
+    def _run(st, g):
+        new_run = F.when(g.eqNullSafe(st["prev"]), st["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            new_run.cast("long").alias("run"),
+            F.greatest(st["best"], new_run.cast("long")).alias("best"),
+        )
+
+    top_cnt = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _run,
+        lambda st: st["best"],
+    )
+    return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        bigrams.alias("_bg"),
-    ).filter(F.col("n_tokens") >= 2)
-    per_gram = base.select("doc_id", F.explode("_bg").alias("g")).groupBy(
-        "doc_id", "g"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    top = per_gram.groupBy("doc_id").agg(
-        F.max("c").alias("top_bigram_cnt"),
-        F.sum("c").alias("n_bigrams"),
-    )
-    return (
-        base.select("doc_id", "n_tokens", "n_distinct")
-        .join(top, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(
-                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
-            ).alias("dup_word_frac"),
-            "top_bigram_cnt",
-            F.round(
-                F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams"), 6
-            ).alias("top_bigram_frac"),
-        )
+        top_cnt.alias("top_bigram_cnt"),
+    ).filter(F.col("n_tokens") >= 2).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_word_frac"),
+        "top_bigram_cnt",
+        F.round(
+            F.col("top_bigram_cnt").cast("double") / (F.col("n_tokens") - 1), 6
+        ).alias("top_bigram_frac"),
     )
 
 

@@ -180,3 +180,5 @@ def test_new_text_ops_stay_jvm_side(spark, queries):
         assert X.python_eval_nodes(df) == 0, name
     # fan_out is not used here: the scrub is a pure projection
     assert X.count_shuffles(queries["redact_pii"](spark, SF)) == 0
+    # repetition metrics are a sorted-run scan per row, not explode+agg
+    assert X.count_shuffles(queries["text_repetition"](spark, SF)) == 0
