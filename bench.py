@@ -54,6 +54,7 @@ EXTRA = [
     "text_repetition",      # per-row sorted-run repetition metrics
     "redact_pii",           # shuffle-free PII scrub
     "doc_source_mix",       # source-mix shares + resampling weights
+    "text_unigram_logprob", # unigram-LM perplexity-filter score
 ]
 
 

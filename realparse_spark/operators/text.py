@@ -418,8 +418,69 @@ FROM base b JOIN top t USING (doc_id)
 """
 
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-self-scored unigram language-model quality metric: per
+    document, the mean log-probability of its tokens under the corpus's
+    own unigram distribution — the shape of KenLM-style perplexity
+    filtering (CCNet, Wenzek et al. 2020) with the LM replaced by an
+    exactly-oracle-checkable unigram model.
+
+    Shape: the explode runs exactly ONCE.  (doc_id, tok) term
+    frequencies get the per-token corpus count via an unbounded window
+    sum partitioned by tok — no vocab self-join (whose HOF-laden scan
+    subtree defeats ReuseExchange canonicalization and would re-run the
+    explode); the corpus token total is a narrow no-explode scan
+    broadcast as a 1-row aggregate.  Three shuffles total — (doc_id,
+    tok) combine, tok window, doc_id score — all map-side combinable or
+    key-partitioned; nothing quadratic, nothing collected."""
+    from pyspark.sql import Window
+
+    toks = ws_tokens(F.col("text"))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    with_cnt = tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("tok")))
+    # corpus token total never needs the explode: one narrow scan
+    total = docs.agg(F.sum(F.size(toks)).cast("long").alias("total"))
+    return (
+        with_cnt.join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("total")))
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_tokens,
+  round(sum(tf * ln(CAST(cnt AS DOUBLE) / total)) / sum(tf), 6) AS avg_logprob
+FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_repetition": q_text_repetition,
+    "text_unigram_logprob": q_text_unigram_logprob,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -429,6 +490,7 @@ QUERIES = {
 
 ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
+    "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -60,6 +60,7 @@ _PRIORITY = (
     "text_repetition",
     "redact_pii",
     "doc_source_mix",
+    "text_unigram_logprob",
 )
 
 

@@ -182,3 +182,9 @@ def test_new_text_ops_stay_jvm_side(spark, queries):
     assert X.count_shuffles(queries["redact_pii"](spark, SF)) == 0
     # repetition metrics are a sorted-run scan per row, not explode+agg
     assert X.count_shuffles(queries["text_repetition"](spark, SF)) == 0
+    # unigram LM score: the expensive explode must appear exactly once
+    # (window vocab count, not a self-join that re-runs the scan subtree)
+    uni = queries["text_unigram_logprob"](spark, SF)
+    assert X.python_eval_nodes(uni) == 0
+    plan = uni._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1
