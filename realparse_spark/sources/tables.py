@@ -48,10 +48,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            # fixture generators have emitted both TIMESTAMP(NANOS) and
+            # tz-less TIMESTAMP(MICROS); normalize to session-tz (UTC)
+            # TimestampType so epoch math (`cast('double')`) behaves the
+            # same regardless of which physical type the parquet carries
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
