@@ -1,0 +1,330 @@
+"""Product/warehouse analytics shapes over the fixture tables — the query
+patterns a log-analytics engine grows into once the star schema exists
+(SURVEY.md §2.5-2.6 extensions): cohort retention, trailing-window anomaly
+detection, and two classic TPC-H forms (Q3 shipping priority, Q18
+large-volume customers).
+
+All four are exact-decimal / integer math end-to-end so the DuckDB oracle
+hash-matches bit-for-bit; every aggregate column is aliased identically in
+the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realparse_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (events): cohort = first active day per user; count
+# distinct users active at day offsets 0..7
+# ---------------------------------------------------------------------------
+
+def retention_cohorts(events: DataFrame, max_offset: int = 7) -> DataFrame:
+    """Classic retention triangle.  Shape: one groupBy(user_id) for the
+    cohort day, self-join on user_id (both sides hash-partition on the
+    same key — AQE plans a single co-partitioned exchange pair), then a
+    (cohort, offset) count-distinct.  At 100 TB the first-day table is
+    |users| rows — orders of magnitude under the event count — and
+    broadcasts for all but extreme user cardinalities."""
+    first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    acts = events.select("user_id", F.to_date("ts").alias("d"))
+    off = F.datediff(F.col("d"), F.col("d0"))
+    return (
+        acts.join(F.broadcast(first), "user_id")
+        .select("user_id", F.col("d0"), off.alias("day_offset"))
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= max_offset))
+        .groupBy(F.date_format("d0", "yyyy-MM-dd").alias("cohort_date"), "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+acts AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_date,
+       CAST(datediff('day', f.d0, a.d) AS INTEGER) AS day_offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM acts a JOIN first f ON a.user_id = f.user_id
+WHERE datediff('day', f.d0, a.d) BETWEEN 0 AND 7
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# trailing-window anomaly detection: per-type daily event counts scored
+# against the mean/stddev of the preceding 7 days
+# ---------------------------------------------------------------------------
+
+def daily_anomaly_zscore(events: DataFrame) -> DataFrame:
+    """Z-score each (event_type, day) daily count against its trailing
+    7-day window.  The metric is an integer count and the trailing
+    sums are exact integers, so mean/variance/z derive from identical
+    inputs in both engines — the float math is the same fixed formula
+    evaluated on the same exact sums (no engine-order-dependent float
+    accumulation).  Shape: one shuffle for the daily rollup (map-side
+    partial agg), then a per-type window — partitioned, never global."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    s = F.sum("n").over(w)
+    ss = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s.cast("double") / cnt
+    # sample variance from exact integer sums: (ss - s^2/cnt) / (cnt - 1)
+    var = (ss.cast("double") - s.cast("double") * s.cast("double") / cnt) / (cnt - 1)
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.when((cnt >= 2) & (var > 0), F.round(z, 4)).alias("zscore"),
+        )
+        .withColumn(
+            "is_anomaly", F.coalesce(F.abs(F.col("zscore")) > 2.0, F.lit(False))
+        )
+    )
+
+
+def q_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+EVENT_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, d, n,
+    count(*)        OVER w AS cnt,
+    sum(n)          OVER w AS s,
+    sum(n * n)      OVER w AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+  CASE WHEN cnt >= 2
+        AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1) > 0
+       THEN round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+                  / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 4)
+  END AS zscore,
+  coalesce(abs(CASE WHEN cnt >= 2
+        AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1) > 0
+       THEN round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / cnt)
+                  / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 4)
+  END) > 2.0, FALSE) AS is_anomaly
+FROM win
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: unshipped-order revenue priority
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Top-10 open orders by pending revenue for one market segment.
+    Plan at scale: the segment-filtered customer dim broadcasts, orders
+    and lineitem meet in one shuffle equi-join on orderkey (both date
+    filters pushed to the parquet scans), one partial+final agg, and the
+    top-10 runs as TakeOrderedAndProject — no global sort."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    o = orders.filter(F.col("o_orderdate") < cutoff)
+    l = lineitem.filter(F.col("l_shipdate") > cutoff)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q3_shipping_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  o_orderpriority,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume customers
+# ---------------------------------------------------------------------------
+
+def big_spender_orders(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, min_qty: int = 150
+) -> DataFrame:
+    """Orders whose total line quantity exceeds a threshold, with their
+    customers.  Plan at scale: the HAVING pre-aggregates lineitem down to
+    |orders| rows BEFORE any join (map-side partial agg on the shuffle),
+    the surviving keyset is tiny and broadcast-joins back to orders;
+    customer joins on the already-small result.  Quantities sum as exact
+    decimals."""
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > min_qty)
+    )
+    return (
+        orders.join(F.broadcast(qty), orders.o_orderkey == qty.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q_big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return big_spender_orders(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+BIG_SPENDER_ORDERS_SQL = """
+WITH qty AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_name, c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  CAST(o_totalprice AS DOUBLE) AS total_price,
+  CAST(q AS DOUBLE) AS sum_qty
+FROM orders
+JOIN qty      ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue by customer
+# ---------------------------------------------------------------------------
+
+def returned_items_report(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Top-20 customers by revenue lost to returned items in one quarter.
+    Plan at scale: returnflag + date filters push to both fact scans,
+    lineitem⋈orders is the one big shuffle, customer/nation broadcast,
+    top-20 is TakeOrderedAndProject.  Exact-decimal revenue."""
+    l = lineitem.filter(F.col("l_returnflag") == "R")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(customer), o.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return returned_items_report(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+Q10_RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "events_retention": q_events_retention,
+    "event_zscore": q_event_zscore,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "big_spender_orders": q_big_spender_orders,
+    "q10_returned_items": q_q10_returned_items,
+}
+
+ORACLES = {
+    "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
+    "events_retention": EVENTS_RETENTION_SQL,
+    "event_zscore": EVENT_ZSCORE_SQL,
+    "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,
+    "big_spender_orders": BIG_SPENDER_ORDERS_SQL,
+}

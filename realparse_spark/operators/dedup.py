@@ -129,6 +129,18 @@ def ngram_jaccard_pairs(
     (The previous shape deduplicated candidates then re-joined both full
     shingle arrays to score — at bench scale that array scoring was ~5x
     the cost of everything else.)"""
+    jac = F.round(F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6)
+    return (
+        _gram_pair_counts(docs, n, df_cap)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _gram_pair_counts(docs: DataFrame, n: int, df_cap: int) -> DataFrame:
+    """Shared candidate machinery for the exact shingle-overlap scores
+    (Jaccard, containment): inverted-index self-join counting shared
+    distinct n-grams per pair.  Returns (doc_a, doc_b, c, na, nb)."""
     grams = docs.select(
         "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("g")
     )
@@ -155,13 +167,32 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
-    jac = F.round(F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6)
+    return common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, df_cap: int = 1000
+) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |A∩B| / min(|A|, |B|).
+    Catches a short document embedded verbatim in a longer one — a case
+    Jaccard misses (the union term dilutes the score).  Same inverted-index
+    candidate join as `ngram_jaccard_pairs`; only the score differs, so the
+    same df_cap bounds the quadratic blowup at scale."""
+    cont = F.round(F.col("c").cast("double") / F.least(F.col("na"), F.col("nb")), 6)
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        _gram_pair_counts(docs, n, df_cap)
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_pairs(
+        fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
+    )
+
+
+# DEDUP_CONTAINMENT_SQL is defined after _NGRAM_CTES_TEMPLATE below.
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +201,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5)
 
 
-_NGRAM_CTES = r"""toks AS (
+_NGRAM_CTES_TEMPLATE = r"""toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
   FROM documents
 ),
@@ -197,14 +228,28 @@ common AS (
 ),
 scored AS (
   SELECT doc_a, doc_b,
-    round(CAST(c AS DOUBLE) / (sa.n_g + sb.n_g - c), 6) AS jaccard
+    {score}
   FROM common
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
 )"""
 
+# the jaccard-scored instantiation is shared by the ngram, clusters, and
+# canonical oracles
+_NGRAM_CTES = _NGRAM_CTES_TEMPLATE.format(
+    score="round(CAST(c AS DOUBLE) / (sa.n_g + sb.n_g - c), 6) AS jaccard"
+)
+
 DEDUP_NGRAM_SQL = (
     "WITH " + _NGRAM_CTES + "\nSELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5\n"
+)
+
+DEDUP_CONTAINMENT_SQL = (
+    "WITH "
+    + _NGRAM_CTES_TEMPLATE.format(
+        score="round(CAST(c AS DOUBLE) / least(sa.n_g, sb.n_g), 6) AS containment"
+    )
+    + "\nSELECT doc_a, doc_b, containment FROM scored WHERE containment >= 0.8\n"
 )
 
 
@@ -740,6 +785,7 @@ FROM labeled
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -751,6 +797,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based signatures are not
     # reproducible in DuckDB -> rows-only driver check; quality asserted in
     # tests/test_dedup.py against exact Jaccard / hamming ground truth.

@@ -369,6 +369,60 @@ GROUP BY 1, 2
 """
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 32, stride: int = 24
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    token windows (`chunk_tokens` wide, advancing by `stride`, so
+    consecutive chunks share `chunk_tokens - stride` tokens).  The unit of
+    training becomes the chunk, not the document — the op every
+    long-context corpus build needs before packing.
+
+    Every chunk start < n_tokens is emitted (trailing chunks may be short;
+    downstream filters drop them if unwanted) — a simple rule both engines
+    reproduce exactly.
+
+    Shape: narrow (tokenize → sequence → posexplode → slice) — zero
+    shuffles, scan-speed at any scale; chunk count per doc is
+    ceil(n/stride), so output size is linear in corpus tokens."""
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
+    n = F.size(F.col("t"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = toks.select(
+        "doc_id", "t", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice(F.col("t"), F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+DOC_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+    unnest(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS start,
+    generate_subscripts(range(0, greatest(len(t) - 1, 0) + 1, 24), 1) - 1 AS chunk_id
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+  CAST(len(t[start + 1 : start + 32]) AS INTEGER) AS n_chunk_tokens,
+  array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text
+FROM starts
+"""
+
+
 def source_mix(docs: DataFrame) -> DataFrame:
     """Training-mix accounting: per-source doc/token counts, each source's
     share of total tokens, and the up/down-sampling weight that would give
@@ -427,6 +481,7 @@ QUERIES = {
     "emb_quantize": q_emb_quantize,
     "doc_pipeline_e2e": q_doc_pipeline_e2e,
     "doc_source_mix": q_doc_source_mix,
+    "doc_chunk": q_doc_chunk,
 }
 
 ORACLES = {
@@ -437,4 +492,5 @@ ORACLES = {
     "emb_quantize": EMB_QUANTIZE_SQL,
     "doc_pipeline_e2e": _doc_pipeline_sql(),
     "doc_source_mix": DOC_SOURCE_MIX_SQL,
+    "doc_chunk": DOC_CHUNK_SQL,
 }

@@ -462,6 +462,78 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-self-scored bigram LM quality metric: per document, the
+    mean log of p(w2|w1) = count(w1 w2) / count(w1 ·) under the corpus's
+    own bigram counts — one conditioning order up from
+    `unigram_logprob`, the next rung of the CCNet-style perplexity
+    filter ladder.
+
+    Shape mirrors the unigram op: the bigram explode runs ONCE; both the
+    bigram count and the left-context total come from unbounded window
+    sums over the (doc_id, bigram) term-frequency table (partitioned by
+    bigram resp. its first word — no vocab self-joins that would re-run
+    the explode).  Four key-partitioned shuffles, nothing quadratic."""
+    from pyspark.sql import Window
+
+    toks = ws_tokens(F.col("text"))
+    # NON-distinct consecutive pairs; token strings are whitespace-free by
+    # construction, so "w1 w2" is an unambiguous pair identity
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    with_cnt = tf.withColumn(
+        "cnt_bg", F.sum("tf").over(Window.partitionBy("bg"))
+    ).withColumn("cnt_w1", F.sum("tf").over(Window.partitionBy(w1)))
+    return with_cnt.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("tf") * F.log(F.col("cnt_bg") / F.col("cnt_w1")))
+            / F.sum("tf"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_BIGRAM_LOGPROB_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM tk
+),
+tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+cbg AS (SELECT bg, sum(tf) AS cnt_bg FROM tf GROUP BY 1),
+cw1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(tf) AS cnt_w1 FROM tf GROUP BY 1)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+  round(sum(tf * ln(CAST(cnt_bg AS DOUBLE) / cnt_w1)) / sum(tf), 6) AS avg_logprob
+FROM tf
+JOIN cbg USING (bg)
+JOIN cw1 ON string_split(tf.bg, ' ')[1] = cw1.w1
+GROUP BY doc_id
+"""
+
+
 TEXT_UNIGRAM_LOGPROB_SQL = r"""
 WITH tk AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
@@ -481,6 +553,7 @@ GROUP BY doc_id
 QUERIES = {
     "text_repetition": q_text_repetition,
     "text_unigram_logprob": q_text_unigram_logprob,
+    "text_bigram_logprob": q_text_bigram_logprob,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -491,6 +564,7 @@ QUERIES = {
 ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
+    "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

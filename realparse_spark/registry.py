@@ -25,42 +25,49 @@ _MODULES = (
     "realparse_spark.operators.pipeline_ops",
     "realparse_spark.operators.advanced",
     "realparse_spark.operators.privacy",
+    "realparse_spark.operators.analytics",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so
 # registration order decides which queries earn a hard driver-verified row
 # each round.  Names listed here are emitted FIRST (in this order); everything
 # else follows in module order.  Rotate per round so every query accumulates
-# driver rows: round 3 fronts the 18 entries that fell outside the r2 window
-# (8 never checked in any round + 10 checked only in r1) plus the queries new
-# this round.
+# driver rows: round 4 fronts the queries new this round plus the 23 entries
+# that fell outside the r3 window (all were green in r1/r2 driver rows).
 _PRIORITY = (
-    # never driver-checked in any round
-    "value_histogram",
-    "revenue_by_nation",
-    "funnel_conversion",
-    "sql_interface",
-    "emb_centroids",
-    "above_avg_parts",
-    "anonymize_ips",
-    "approx_quantiles",
-    # checked in r1 only, fell out of the r2 window
-    "cube_agg",
-    "pivot_events",
-    "set_ops",
-    "top_terms",
-    "percentile_metrics",
-    "sliding_window",
-    "asof_join",
-    "range_band_join",
-    "window_rank",
-    "approx_distinct",
-    # new in round 3
-    "stream_load_e2e",
-    "text_repetition",
-    "redact_pii",
-    "doc_source_mix",
-    "text_unigram_logprob",
+    # new in round 4
+    "events_retention",
+    "event_zscore",
+    "q3_shipping_priority",
+    "big_spender_orders",
+    "doc_chunk",
+    "dedup_containment",
+    "q10_returned_items",
+    "text_bigram_logprob",
+    # checked in r1+r2 but fell out of the r3 window
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_clusters",
+    "dedup_canonical",
+    "dedup_incremental",
+    "sim_topk_cosine",
+    "sim_topk_cosine_arrow",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "multimodal_meta",
+    "multimodal_frames",
+    "doc_split",
+    "doc_length_buckets",
+    "doc_pack",
+    "doc_sample",
+    "emb_quantize",
+    "doc_pipeline_e2e",
+    "rollup_agg",
+    "unpivot_metrics",
+    "pricing_summary",
+    "doc_top_terms",
 )
 
 

@@ -188,3 +188,62 @@ def test_new_text_ops_stay_jvm_side(spark, queries):
     assert X.python_eval_nodes(uni) == 0
     plan = uni._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") == 1
+
+
+def test_q3_broadcasts_customer_and_takes_ordered(spark, queries):
+    df = queries["q3_shipping_priority"](spark, SF)
+    # segment-filtered customer dim broadcasts; both date filters push to
+    # the scans; top-10 compiles to per-partition heaps, not a global sort
+    assert X.broadcast_join_count(df) >= 1
+    assert X.has_pushed_filter(df, "c_mktsegment")
+    assert X.has_pushed_filter(df, "l_shipdate")
+    assert "TakeOrderedAndProject" in X.executed_plan(df)
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_big_spenders_preaggregates_before_join(spark, queries):
+    df = queries["big_spender_orders"](spark, SF)
+    plan = X.executed_plan(df)
+    # the HAVING keyset is broadcast back to orders — the fact table is
+    # reduced to |orders| rows before any join ever sees it
+    assert X.broadcast_join_count(df) >= 1
+    assert "TakeOrderedAndProject" in plan
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_doc_chunk_is_narrow(spark):
+    # chunking is tokenize -> posexplode -> slice: scan-speed, zero
+    # shuffles at any scale
+    from realparse_spark.operators.pipeline_ops import chunk_documents
+    from realparse_spark.sources.tables import load_table
+
+    df = chunk_documents(load_table(spark, SF, "documents"))
+    assert X.count_shuffles(df) == 0
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_zscore_window_is_partitioned(spark, queries):
+    df = queries["event_zscore"](spark, SF)
+    plan = X.executed_plan(df)
+    # the trailing window partitions by event_type — a global (unpartitioned)
+    # window would surface as Exchange SinglePartition
+    assert "Exchange SinglePartition" not in plan
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_q10_pushes_filters_and_broadcasts(spark, queries):
+    df = queries["q10_returned_items"](spark, SF)
+    assert X.has_pushed_filter(df, "l_returnflag")
+    assert X.has_pushed_filter(df, "o_orderdate")
+    assert X.broadcast_join_count(df) >= 2  # customer + nation
+    assert "TakeOrderedAndProject" in X.executed_plan(df)
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_bigram_logprob_single_explode(spark, queries):
+    # the bigram explode must appear ONCE in the plan: the corpus counts
+    # come from window sums over the tf table, not vocab self-joins that
+    # would re-run the explode subtree
+    df = queries["text_bigram_logprob"](spark, SF)
+    assert X.executed_plan(df).count("Generate explode") == 1
+    assert X.python_eval_nodes(df) == 0
