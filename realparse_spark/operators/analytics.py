@@ -313,16 +313,70 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling 7-day active users (exact distinct over a sliding date window)
+# ---------------------------------------------------------------------------
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Exact trailing-7-day distinct actives per day (WAU).  Distinct
+    counts don't merge across days, so the scalable shape is NOT a range
+    join (BNL at scale): dedup to (user, day) pairs, explode each pair to
+    the `window_days` report days it contributes to (equi keys only),
+    then one count-distinct per day.  Data volume is bounded at
+    `window_days` x |user-days| — linear, shuffle on uniform date keys.
+    Days past the data's max date are trimmed (they'd report partial
+    trailing windows of the future)."""
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("report_d"),
+    )
+    max_d = events.agg(F.max(F.to_date("ts")).alias("mx"))
+    return (
+        contrib.join(F.broadcast(max_d))
+        .filter(F.col("report_d") <= F.col("mx"))
+        .groupBy(F.date_format("report_d", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+mx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+contrib AS (
+  SELECT user_id, unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS report_d
+  FROM user_days
+)
+SELECT strftime(report_d, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS active_users
+FROM contrib, mx
+WHERE CAST(report_d AS DATE) <= mx.mx
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_retention": q_events_retention,
     "event_zscore": q_event_zscore,
     "q3_shipping_priority": q_q3_shipping_priority,
     "big_spender_orders": q_big_spender_orders,
     "q10_returned_items": q_q10_returned_items,
+    "rolling_active_users": q_rolling_active_users,
 }
 
 ORACLES = {
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
+    "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "event_zscore": EVENT_ZSCORE_SQL,
     "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,

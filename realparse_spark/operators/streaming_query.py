@@ -77,8 +77,102 @@ def q_stream_load_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation under the oracle
+    (§2.8's windowed path, previously pytest-only).  Two availableNow runs
+    over rotated files share a checkpoint; append mode emits a window
+    exactly once, when the watermark passes its end.
+
+    Determinism contract (empirically pinned + relied on by the oracle):
+    after the final run, Spark's no-data batch advances the watermark to
+    max(event_ts) - 30min and flushes every window with end <= watermark;
+    later windows stay in state and never reach the sink.  Because run 2's
+    lines are strictly newer than run 1's max, no emitted window ever
+    receives a late row — so the sink is exactly the batch window
+    aggregate restricted to closed windows, which is what the oracle
+    computes (`wm` CTE)."""
+    from realparse_spark.streaming.pipeline import stream_windowed_views
+
+    events = load_table(spark, sf_dir, "events")
+    split = events.agg(F.avg(F.unix_timestamp("ts"))).collect()[0][0]
+    older = synth_style5(events.filter(F.unix_timestamp("ts") <= split))
+    newer = synth_style5(events.filter(F.unix_timestamp("ts") > split))
+
+    root = tempfile.mkdtemp(prefix="realparse_stream_win_")
+    try:
+        logs = os.path.join(root, "logs")
+        os.makedirs(logs)
+        out = os.path.join(root, "out")
+        ck = os.path.join(root, "ck")
+
+        _write_rotation(older, root, logs, "rmaccess.log.20021011")
+        stream_windowed_views(spark, logs, out, ck).awaitTermination()
+        _write_rotation(newer, root, logs, "rmaccess.log.20021012")
+        stream_windowed_views(spark, logs, out, ck).awaitTermination()
+
+        sink = spark.read.parquet(out)
+        res = sink.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "name",
+            "n_views",
+            "total_sent_sec",
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+from realparse_spark.operators.parse_queries import _STYLE5_LINES_SQL  # noqa: E402
+
+STREAM_WINDOW_E2E_SQL = (
+    "WITH "
+    + _STYLE5_LINES_SQL.strip()
+    + r""",
+parsed AS (
+  SELECT value,
+    regexp_extract_all(value, '\s(\d+)', 1) AS toks_raw,
+    regexp_extract(value, '"(\S+) (.*?) (\S+)"', 2) AS fn,
+    strptime(regexp_extract(regexp_extract_all(value, '\[([^\]]*)\]', 1)[1],
+                            '^(.+) -(\d+)$', 1), '%d/%b/%Y:%H:%M:%S') AS ts2
+  FROM lines
+),
+toks AS (
+  SELECT *,
+    CASE WHEN regexp_matches(toks_raw[1], '[69_]\w') THEN toks_raw[2:] ELSE toks_raw END AS t,
+    string_split(fn, '/')[-1] AS raw_name
+  FROM parsed
+),
+flat AS (
+  SELECT ts2,
+    CAST(t[-4] AS INTEGER) AS sent_time,
+    CASE WHEN regexp_extract(raw_name, '^(.+\.\w*)', 1) = '' THEN raw_name
+         ELSE regexp_extract(raw_name, '^(.+\.\w*)', 1) END AS name
+  FROM toks
+  WHERE ts2 IS NOT NULL
+),
+wm AS (SELECT max(epoch(ts2)) - 1800 AS w FROM flat),
+win AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts2) / 3600) * 3600 AS BIGINT)) AS ws, name, sent_time
+  FROM flat
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, name,
+  count(*) AS n_views,
+  CAST(sum(sent_time) AS BIGINT) AS total_sent_sec
+FROM win, wm
+WHERE epoch(ws) + 3600 <= wm.w
+GROUP BY 1, 2
+"""
+)
+
+
 # The streaming lifecycle's contract is identical to the batch loader's:
 # after both runs every synthesized line is in the warehouse exactly once,
 # so the oracle IS the load_e2e oracle (aggregate the lines directly).
-QUERIES = {"stream_load_e2e": q_stream_load_e2e}
-ORACLES = {"stream_load_e2e": LOAD_E2E_SQL}
+QUERIES = {
+    "stream_load_e2e": q_stream_load_e2e,
+    "stream_window_e2e": q_stream_window_e2e,
+}
+ORACLES = {
+    "stream_load_e2e": LOAD_E2E_SQL,
+    "stream_window_e2e": STREAM_WINDOW_E2E_SQL,
+}

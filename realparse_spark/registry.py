@@ -44,6 +44,8 @@ _PRIORITY = (
     "dedup_containment",
     "q10_returned_items",
     "text_bigram_logprob",
+    "stream_window_e2e",
+    "rolling_active_users",
     # checked in r1+r2 but fell out of the r3 window
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

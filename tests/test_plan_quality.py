@@ -247,3 +247,14 @@ def test_bigram_logprob_single_explode(spark, queries):
     df = queries["text_bigram_logprob"](spark, SF)
     assert X.executed_plan(df).count("Generate explode") == 1
     assert X.python_eval_nodes(df) == 0
+
+
+def test_rolling_actives_no_single_partition(spark, queries):
+    df = queries["rolling_active_users"](spark, SF)
+    plan = X.executed_plan(df)
+    # explode-offsets shape: the user-day data only ever moves through
+    # equi-hash exchanges; the single BNL is the 1-row max-date broadcast
+    # (BuildRight), never a shuffled cartesian over the data
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert X.python_eval_nodes(df) == 0
