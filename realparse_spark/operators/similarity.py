@@ -134,6 +134,61 @@ LIMIT 10
 """
 
 
+def knn_join(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Batch k-NN join: EVERY vector's top-k neighbors (not one query's) —
+    the retrieval/dedup primitive a corpus-scale pipeline actually runs.
+    Candidates are label-blocked (the coarse cluster id; at 100 TB the
+    block key is the IVF centroid id from `build_ivf_index`, so pairwise
+    work is |block|² per block, never corpus²).  Ranking uses the rounded
+    score with vec_id tie-breaks, so the top-k set is engine-deterministic.
+
+    Shape: one equi self-join on the block key, then a per-vec_id window
+    (partitioned — no global sort).  The window's shuffle key is vec_a:
+    uniform, no skew."""
+    from pyspark.sql import Window
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "label", "vec_a", "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cos").desc(), F.col("vec_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_a", "rk", "vec_b", "cos")
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_join(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
+EMB_KNN_JOIN_SQL = r"""
+WITH a AS (SELECT vec_id AS vec_a, label, embedding AS ea FROM embeddings),
+     b AS (SELECT vec_id AS vec_b, label, embedding AS eb FROM embeddings),
+pairs AS (
+  SELECT a.label, vec_a, vec_b,
+    round(
+      list_aggregate(list_transform(range(1, len(ea) + 1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         * sqrt(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos
+  FROM a JOIN b ON a.label = b.label AND vec_a <> vec_b
+),
+ranked AS (
+  SELECT vec_a, vec_b, cos,
+    row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rk
+  FROM pairs
+)
+SELECT vec_a, CAST(rk AS INTEGER) AS rk, vec_b, cos FROM ranked WHERE rk <= 3
+"""
+
+
 def ann_lsh_topk(
     emb: DataFrame, query_vec_id: int, k: int = 10, radius: int = 4
 ) -> DataFrame:
@@ -275,6 +330,7 @@ QUERIES = {
     "sim_topk_cosine_arrow": q_sim_topk_arrow,
     "sim_ann_lsh": q_sim_ann,
     "sim_ann_ivf": q_sim_ivf,
+    "emb_knn_join": q_knn_join,
 }
 
 ORACLES = {
@@ -283,4 +339,5 @@ ORACLES = {
     "sim_topk_cosine_arrow": SIM_TOPK_SQL,
     # sim_ann_lsh is approximate by design -> rows-only driver check;
     # recall vs brute force asserted in tests/test_similarity.py.
+    "emb_knn_join": EMB_KNN_JOIN_SQL,
 }

@@ -46,6 +46,7 @@ _PRIORITY = (
     "text_bigram_logprob",
     "stream_window_e2e",
     "rolling_active_users",
+    "emb_knn_join",
     # checked in r1+r2 but fell out of the r3 window
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -55,3 +55,58 @@ def test_stratified_sample_matches_python_rule(spark):
         r.doc_id for r in docs.select("doc_id", "source").collect() if keep(r.doc_id, r.source)
     }
     assert kept == want
+
+
+def test_chunk_documents_edges(spark):
+    from realparse_spark.operators.pipeline_ops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                          # empty -> one empty chunk
+            (2, "a"),                         # single token -> one chunk
+            (3, " ".join(f"t{i}" for i in range(32))),   # exactly one window
+            (4, " ".join(f"t{i}" for i in range(33))),   # one token past -> 2 chunks
+            (5, " ".join(f"t{i}" for i in range(100))),  # ceil(100/24) chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=32, stride=24).collect()
+    }
+    per_doc = {}
+    for (d, c) in out:
+        per_doc[d] = max(per_doc.get(d, 0), c + 1)
+    assert per_doc == {1: 1, 2: 1, 3: 2, 4: 2, 5: 5}
+    assert out[(1, 0)] == (0, "")
+    assert out[(2, 0)] == (1, "a")
+    assert out[(3, 0)][0] == 32
+    assert out[(3, 1)][0] == 32 - 24  # trailing overlap-only chunk kept by rule
+    assert out[(4, 1)][0] == 33 - 24
+    # overlap: chunk 1 of doc 5 starts at token 24
+    assert out[(5, 1)][1].startswith("t24 ")
+    # full coverage: every token appears in some chunk
+    covered = set()
+    for (d, _), (_, txt) in out.items():
+        if d == 5 and txt:
+            covered.update(txt.split(" "))
+    assert covered == {f"t{i}" for i in range(100)}
+
+
+def test_knn_join_is_deterministic_and_symmetric_blocked(spark):
+    from realparse_spark.operators.similarity import knn_join
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.9, 0.1]),
+            (3, 0, [0.0, 1.0]),
+            (4, 1, [1.0, 1.0]),  # other block: never a candidate for 1-3
+            (5, 1, [1.0, 0.9]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = {(r.vec_a, r.rk): r.vec_b for r in knn_join(emb, k=2).collect()}
+    assert rows[(1, 1)] == 2          # most similar within block
+    assert rows[(4, 1)] == 5 and (4, 2) not in rows  # block of 2 -> only 1 neighbor
+    assert all(v != 4 and v != 5 for (a, _), v in rows.items() if a in (1, 2, 3))
