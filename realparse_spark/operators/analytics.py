@@ -365,6 +365,84 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# one-pass table profile (data-quality summary: nulls / distincts / range)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    ("l_orderkey", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _render(expr, kind: str):
+    """Render a (possibly aggregated) value as an engine-stable string:
+    decimal form pins doubles ('1.00' — raw double->string diverges across
+    engines), explicit format pins timestamps."""
+    if kind == "num":
+        return F.round(expr, 2).cast("decimal(18,2)").cast("string")
+    if kind == "ts":
+        return F.date_format(expr, "yyyy-MM-dd HH:mm:ss")
+    return expr.cast("string")
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Per-column profile — null count, distinct count, min/max — computed
+    in ONE job over the scan (count-distincts share a single Expand; no
+    per-column re-scans).  Output is long-form (one row per column) via a
+    stack of the aggregate scalars: the post-agg unpivot touches a 1-row
+    DataFrame, so the reshape is free at any scale."""
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        c = F.col(col)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{col}__nulls"),
+            F.countDistinct(c).alias(f"{col}__distinct"),
+            # min/max on the NATIVE value (not its string form — that would
+            # be lexicographic), rendered after aggregation
+            _render(F.min(c), kind).alias(f"{col}__min"),
+            _render(F.max(c), kind).alias(f"{col}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = F.expr(
+        "stack({n}, {args}) as (column, n_nulls, n_distinct, min_value, max_value)".format(
+            n=len(_PROFILE_COLS),
+            args=", ".join(
+                f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+                for col, _ in _PROFILE_COLS
+            ),
+        )
+    )
+    return one.select(stack)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(load_table(spark, sf_dir, "lineitem"))
+
+
+def _duck_render(agg: str, kind: str) -> str:
+    if kind == "num":
+        return f"CAST(CAST(round({agg}, 2) AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({agg}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({agg} AS VARCHAR)"
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{col}' AS column,
+  CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  count(DISTINCT {col}) AS n_distinct,
+  {_duck_render(f'min({col})', kind)} AS min_value,
+  {_duck_render(f'max({col})', kind)} AS max_value
+FROM lineitem"""
+    for col, kind in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "events_retention": q_events_retention,
     "event_zscore": q_event_zscore,
@@ -372,11 +450,13 @@ QUERIES = {
     "big_spender_orders": q_big_spender_orders,
     "q10_returned_items": q_q10_returned_items,
     "rolling_active_users": q_rolling_active_users,
+    "table_profile": q_table_profile,
 }
 
 ORACLES = {
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,
+    "table_profile": TABLE_PROFILE_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "event_zscore": EVENT_ZSCORE_SQL,
     "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,

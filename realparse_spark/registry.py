@@ -47,6 +47,7 @@ _PRIORITY = (
     "stream_window_e2e",
     "rolling_active_users",
     "emb_knn_join",
+    "table_profile",
     # checked in r1+r2 but fell out of the r3 window
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
