@@ -14,12 +14,17 @@ spark = (SparkSession.builder.master("local[8]").appName("vanilla-gate")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
+from pyspark.sql import functions as F
 assert e.entry(spark).count() > 0
 q = e.queries()
 failures = []
 for name in sorted(q):
     try:
-        q[name](spark, "/root/testdata/sf0.001").count()
+        # hash over every column forces full expression evaluation —
+        # count() would let Catalyst prune projections and hide
+        # ANSI-only errors the driver's full materialization WOULD hit
+        df = q[name](spark, "/root/testdata/sf0.001")
+        df.select(F.max(F.hash(*df.columns))).collect()
     except Exception as ex:
         failures.append((name, str(ex).splitlines()[0][:120]))
 assert not failures, failures
