@@ -366,6 +366,57 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# event-type transition matrix (per-user Markov path analysis)
+# ---------------------------------------------------------------------------
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Count user-journey transitions: for each user's time-ordered event
+    stream, every consecutive (from_type -> to_type) step, aggregated to
+    the corpus transition matrix with per-source-type shares.  Shape: one
+    per-user window (lag), one groupBy — both partition on uniform keys
+    (user_id, then the 5x5 type pairs; the final matrix is tiny so the
+    share window is over ~|types|² rows)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("share"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT user_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+    event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS share
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
 # one-pass table profile (data-quality summary: nulls / distincts / range)
 # ---------------------------------------------------------------------------
 
@@ -451,12 +502,14 @@ QUERIES = {
     "q10_returned_items": q_q10_returned_items,
     "rolling_active_users": q_rolling_active_users,
     "table_profile": q_table_profile,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLES = {
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,
     "table_profile": TABLE_PROFILE_SQL,
+    "event_transitions": EVENT_TRANSITIONS_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "event_zscore": EVENT_ZSCORE_SQL,
     "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,

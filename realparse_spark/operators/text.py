@@ -511,6 +511,46 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document token Shannon entropy (nats) — the lexical-diversity
+    quality signal (low entropy = repetitive/templated text; complements
+    the run-length repetition metrics).  H = ln(n) - sum(tf*ln(tf))/n
+    needs only the doc's own term frequencies: one explode + one
+    (doc_id, tok) groupBy + one doc_id rollup, all map-side combinable —
+    no corpus-wide state at all, unlike the LM scores."""
+    toks = ws_tokens(F.col("text"))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = F.sum("tf")
+    return tf.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.round(
+            F.log(n) - F.sum(F.col("tf") * F.log("tf")) / n, 6
+        ).alias("token_entropy"),
+    )
+
+
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_TOKEN_ENTROPY_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_tokens,
+  round(ln(CAST(sum(tf) AS DOUBLE)) - sum(tf * ln(CAST(tf AS DOUBLE))) / sum(tf), 6) AS token_entropy
+FROM tf
+GROUP BY doc_id
+"""
+
+
 TEXT_BIGRAM_LOGPROB_SQL = r"""
 WITH tk AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
@@ -554,6 +594,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,
+    "text_token_entropy": q_text_token_entropy,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -565,6 +606,7 @@ ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
+    "text_token_entropy": TEXT_TOKEN_ENTROPY_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

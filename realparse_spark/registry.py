@@ -48,6 +48,8 @@ _PRIORITY = (
     "rolling_active_users",
     "emb_knn_join",
     "table_profile",
+    "event_transitions",
+    "text_token_entropy",
     # checked in r1+r2 but fell out of the r3 window
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
