@@ -137,3 +137,65 @@ def test_duration_format_matches_python(spark, secs):
         else:
             want = f"{s // 60}:{s % 60:02d}"
         assert got[i] == want
+
+
+# ---------------------------------------------------------------------------
+# round-4 ops: chunking coverage and entropy vs a Python reference
+# ---------------------------------------------------------------------------
+
+_word_st = st.text(alphabet="abcde", min_size=1, max_size=4)
+_doc_st = st.lists(_word_st, min_size=0, max_size=90).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_doc_st, min_size=1, max_size=12))
+def test_chunk_documents_covers_every_token(spark, texts):
+    """Every token of every document appears in at least one chunk, chunk
+    ids are dense from 0, and every non-trailing chunk is exactly
+    chunk_tokens long (the overlap rule never drops or duplicates a
+    token position)."""
+    from realparse_spark.operators.pipeline_ops import chunk_documents
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, chunk_tokens=16, stride=12).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        chunks = by_doc[doc_id]
+        n = len(toks)
+        expected_starts = list(range(0, max(n, 1), 12))
+        assert sorted(chunks) == list(range(len(expected_starts)))
+        rebuilt = [None] * n
+        for cid, start in enumerate(expected_starts):
+            got = chunks[cid].chunk_text.split(" ") if chunks[cid].chunk_text else []
+            assert got == toks[start:start + 16]
+            if start + 16 < n:
+                assert chunks[cid].n_chunk_tokens == 16
+            for off, tok in enumerate(got):
+                rebuilt[start + off] = tok
+        assert rebuilt == toks  # full coverage, correct positions
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_doc_st.filter(lambda t: t.strip()), min_size=1, max_size=12))
+def test_token_entropy_matches_python(spark, texts):
+    import math
+    from collections import Counter
+
+    from realparse_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.token_entropy) for r in token_entropy(docs).collect()}
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        c = Counter(toks)
+        n = sum(c.values())
+        h = math.log(n) - sum(tf * math.log(tf) for tf in c.values()) / n
+        assert got[doc_id][0] == n
+        assert abs(got[doc_id][1] - round(h, 6)) < 1e-9, (doc_id, got[doc_id], h)
