@@ -258,3 +258,21 @@ def test_rolling_actives_no_single_partition(spark, queries):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert X.python_eval_nodes(df) == 0
+
+
+def test_table_profile_single_pass(spark, queries):
+    df = queries["table_profile"](spark, SF)
+    plan = X.executed_plan(df)
+    # all per-column aggregates (incl. the count-distincts) compute in one
+    # pass over one scan: exactly one FileScan, Expand-based distincts
+    assert plan.count("FileScan") == 1
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_event_transitions_partitioned_windows(spark, queries):
+    df = queries["event_transitions"](spark, SF)
+    plan = X.executed_plan(df)
+    # the per-user lag and the per-from_type share are both partitioned
+    # windows — nothing global
+    assert "Exchange SinglePartition" not in plan
+    assert X.python_eval_nodes(df) == 0
