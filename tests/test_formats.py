@@ -67,3 +67,25 @@ def test_partitioned_write_prunes(spark, tmp_path):
     got = df.count()
     want = src.filter(F.col("c_mktsegment") == "BUILDING").count()
     assert got == want
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A table whose later partitions gained a column must read as one
+    DataFrame under mergeSchema, with NULLs backfilled for early rows —
+    the schema-evolution story a long-lived 100 TB warehouse depends on
+    (new extraction fields appear mid-history; old files are never
+    rewritten)."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.mode("append").parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+    # filters on the evolved column still push down to the scan
+    assert merged.filter(F.col("score") > 0.1).count() == 1
