@@ -494,6 +494,52 @@ FROM lineitem"""
 )
 
 
+# ---------------------------------------------------------------------------
+# per-type value deciles (ntile window + exact-decimal per-bucket stats)
+# ---------------------------------------------------------------------------
+
+def value_deciles(events: DataFrame) -> DataFrame:
+    """Decile table: ntile(10) over `value` within each event_type, then
+    per-bucket count/min/max/sum.  The ntile window partitions by
+    event_type (parallel across types; within one type the sort is the
+    unavoidable cost of exact quantile bucketing — at 100 TB swap in the
+    mergeable `approx_quantiles` sketch when exactness isn't required).
+    Ordering ties broken by event_id so bucket membership is
+    engine-deterministic."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select("event_type", "event_id", "value")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_deciles(load_table(spark, sf_dir, "events"))
+
+
+VALUE_DECILES_SQL = """
+WITH t AS (
+  SELECT event_type, event_id, value,
+    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS INTEGER) AS decile,
+  count(*) AS n,
+  round(min(value), 4) AS lo,
+  round(max(value), 4) AS hi,
+  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM t
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_retention": q_events_retention,
     "event_zscore": q_event_zscore,
@@ -503,6 +549,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "table_profile": q_table_profile,
     "event_transitions": q_event_transitions,
+    "value_deciles": q_value_deciles,
 }
 
 ORACLES = {
@@ -510,6 +557,7 @@ ORACLES = {
     "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,
     "table_profile": TABLE_PROFILE_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,
+    "value_deciles": VALUE_DECILES_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "event_zscore": EVENT_ZSCORE_SQL,
     "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,

@@ -50,6 +50,7 @@ _PRIORITY = (
     "table_profile",
     "event_transitions",
     "text_token_entropy",
+    "value_deciles",
     # checked in r1+r2 but fell out of the r3 window
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
