@@ -537,6 +537,68 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def boilerplate_fraction(docs: DataFrame, n: int = 3, df_threshold: int = 20) -> DataFrame:
+    """Per-document boilerplate score: the fraction of its distinct word
+    n-grams that are corpus-frequent (document frequency > threshold) —
+    high values flag templated/navigation text that near-dup scoring
+    deliberately ignores (the df_cap) but a curation pipeline wants to
+    FILTER on.  The exact complement of the dedup df_cap rule, computed
+    from the same inverted index shape.
+
+    Shape: one shingle explode, per-gram df via an unbounded window sum
+    partitioned by gram (no vocab self-join -> the explode runs once),
+    one doc rollup.  Linear in corpus shingles."""
+    from pyspark.sql import Window
+
+    # function-local import: dedup.py imports from this module at top
+    # level, so the reverse import must stay deferred
+    from realparse_spark.operators.dedup import word_ngrams
+
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("g")
+    )
+    with_df = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    return with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("df") > df_threshold, 1).otherwise(0)).alias("n_common"),
+        F.round(
+            F.sum(F.when(F.col("df") > df_threshold, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("boilerplate_frac"),
+    )
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_fraction(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_BOILERPLATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+gsets AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS garr
+  FROM toks
+),
+grams AS (SELECT doc_id, unnest(garr) AS g FROM gsets),
+with_df AS (
+  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM grams
+)
+SELECT doc_id,
+  count(*) AS n_grams,
+  CAST(sum(CASE WHEN df > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+  round(sum(CASE WHEN df > 20 THEN 1 ELSE 0 END) / count(*), 6) AS boilerplate_frac
+FROM with_df
+GROUP BY doc_id
+"""
+
+
 TEXT_TOKEN_ENTROPY_SQL = r"""
 WITH tk AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
@@ -595,6 +657,7 @@ QUERIES = {
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,
     "text_token_entropy": q_text_token_entropy,
+    "text_boilerplate": q_text_boilerplate,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -607,6 +670,7 @@ ORACLES = {
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
     "text_token_entropy": TEXT_TOKEN_ENTROPY_SQL,
+    "text_boilerplate": TEXT_BOILERPLATE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

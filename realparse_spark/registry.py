@@ -51,6 +51,7 @@ _PRIORITY = (
     "event_transitions",
     "text_token_entropy",
     "value_deciles",
+    "text_boilerplate",
     # checked in r1+r2 but fell out of the r3 window
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
