@@ -276,3 +276,12 @@ def test_event_transitions_partitioned_windows(spark, queries):
     # windows — nothing global
     assert "Exchange SinglePartition" not in plan
     assert X.python_eval_nodes(df) == 0
+
+
+def test_boilerplate_single_explode(spark, queries):
+    # per-gram df comes from a window sum over the exploded table — a
+    # vocab self-join would re-run the shingle build (the expensive
+    # narrow stage) a second time
+    df = queries["text_boilerplate"](spark, SF)
+    assert X.executed_plan(df).count("Generate explode") == 1
+    assert X.python_eval_nodes(df) == 0
