@@ -165,14 +165,97 @@ GROUP BY 1, 2
 )
 
 
+def q_stream_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE under the oracle — the at-least-once story
+    (§2.8): run 2's rotation REDELIVERS every run-1 line (it contains the
+    full corpus), and the keyed upsert converges the table to exactly one
+    row per (client_ip_address, event_ts) anyway.  This is the
+    exactly-once path for sources that cannot checkpoint: contrast with
+    `stream_load_e2e`, where the file-source checkpoint prevents the
+    re-read instead.
+
+    The oracle aggregates the distinct synthesized lines directly — any
+    duplicate surviving the merge, or any line lost to it, breaks the
+    row-count/value-hash compare."""
+    from realparse_spark.streaming.pipeline import stream_upsert_access
+
+    events = load_table(spark, sf_dir, "events")
+    split = events.agg(F.avg(F.unix_timestamp("ts"))).collect()[0][0]
+    older = synth_style5(events.filter(F.unix_timestamp("ts") <= split))
+    full = synth_style5(events)  # includes every older line again
+
+    root = tempfile.mkdtemp(prefix="realparse_stream_upsert_")
+    try:
+        logs = os.path.join(root, "logs")
+        os.makedirs(logs)
+        tbl = os.path.join(root, "tbl")
+        ck = os.path.join(root, "ck")
+
+        _write_rotation(older, root, logs, "rmaccess.log.20021011")
+        stream_upsert_access(spark, logs, tbl, ck).awaitTermination()
+        _write_rotation(full, root, logs, "rmaccess.log.20021012")
+        stream_upsert_access(spark, logs, tbl, ck).awaitTermination()
+
+        access = spark.read.parquet(tbl)
+        out = access.groupBy("name").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bytes_sent").alias("sum_bytes"),
+            F.count_distinct("client_ip_address").alias("n_ips"),
+            F.max(F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_UPSERT_E2E_SQL = (
+    "WITH "
+    + _STYLE5_LINES_SQL.strip()
+    + r""",
+parsed AS (
+  SELECT value,
+    regexp_extract(value, '^(\S+)', 1) AS client_ip_address,
+    regexp_extract_all(value, '\s(\d+)', 1) AS toks_raw,
+    regexp_extract(value, '"(\S+) (.*?) (\S+)"', 2) AS fn,
+    strptime(regexp_extract(regexp_extract_all(value, '\[([^\]]*)\]', 1)[1],
+                            '^(.+) -(\d+)$', 1), '%d/%b/%Y:%H:%M:%S') AS ts2
+  FROM lines
+),
+toks AS (
+  SELECT *,
+    CASE WHEN regexp_matches(toks_raw[1], '[69_]\w') THEN toks_raw[2:] ELSE toks_raw END AS t,
+    string_split(fn, '/')[-1] AS raw_name
+  FROM parsed
+),
+flat AS (
+  SELECT client_ip_address, ts2,
+    CAST(t[2] AS BIGINT) AS bytes_sent,
+    CASE WHEN regexp_extract(raw_name, '^(.+\.\w*)', 1) = '' THEN raw_name
+         ELSE regexp_extract(raw_name, '^(.+\.\w*)', 1) END AS name
+  FROM toks
+  WHERE ts2 IS NOT NULL
+)
+SELECT name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(bytes_sent) AS BIGINT) AS sum_bytes,
+  count(DISTINCT client_ip_address) AS n_ips,
+  strftime(max(ts2), '%Y-%m-%d %H:%M:%S') AS max_dt
+FROM flat
+GROUP BY name
+"""
+)
+
+
 # The streaming lifecycle's contract is identical to the batch loader's:
 # after both runs every synthesized line is in the warehouse exactly once,
 # so the oracle IS the load_e2e oracle (aggregate the lines directly).
 QUERIES = {
     "stream_load_e2e": q_stream_load_e2e,
     "stream_window_e2e": q_stream_window_e2e,
+    "stream_upsert_e2e": q_stream_upsert_e2e,
 }
 ORACLES = {
     "stream_load_e2e": LOAD_E2E_SQL,
     "stream_window_e2e": STREAM_WINDOW_E2E_SQL,
+    "stream_upsert_e2e": STREAM_UPSERT_E2E_SQL,
 }

@@ -52,6 +52,7 @@ _PRIORITY = (
     "text_token_entropy",
     "value_deciles",
     "text_boilerplate",
+    "stream_upsert_e2e",
     # checked in r1+r2 but fell out of the r3 window
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
