@@ -495,6 +495,51 @@ FROM lineitem"""
 
 
 # ---------------------------------------------------------------------------
+# year-over-year revenue growth (lag over the yearly rollup)
+# ---------------------------------------------------------------------------
+
+def yearly_growth(lineitem: DataFrame) -> DataFrame:
+    """Yearly revenue with year-over-year growth.  The unpartitioned lag
+    window runs over the POST-AGGREGATION series (|years| rows — single
+    digits even at 100 TB), so the one single-partition exchange moves a
+    handful of rows, the same class as a 1-row broadcast; the fact table
+    itself only ever sees the parallel year rollup."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    yearly = lineitem.groupBy(F.year("l_shipdate").alias("year")).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    w = Window.orderBy("year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "year",
+        "revenue",
+        "n_items",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    )
+
+
+def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return yearly_growth(load_table(spark, sf_dir, "lineitem"))
+
+
+YEARLY_GROWTH_SQL = """
+WITH yearly AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    count(*) AS n_items
+  FROM lineitem GROUP BY 1
+)
+SELECT year, revenue, n_items,
+  round((revenue - lag(revenue) OVER (ORDER BY year)) / lag(revenue) OVER (ORDER BY year), 6) AS yoy_growth
+FROM yearly
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-type value deciles (ntile window + exact-decimal per-bucket stats)
 # ---------------------------------------------------------------------------
 
@@ -550,6 +595,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "event_transitions": q_event_transitions,
     "value_deciles": q_value_deciles,
+    "yearly_growth": q_yearly_growth,
 }
 
 ORACLES = {
@@ -558,6 +604,7 @@ ORACLES = {
     "table_profile": TABLE_PROFILE_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,
     "value_deciles": VALUE_DECILES_SQL,
+    "yearly_growth": YEARLY_GROWTH_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "event_zscore": EVENT_ZSCORE_SQL,
     "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,

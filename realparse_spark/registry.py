@@ -53,6 +53,7 @@ _PRIORITY = (
     "value_deciles",
     "text_boilerplate",
     "stream_upsert_e2e",
+    "yearly_growth",
     # checked in r1+r2 but fell out of the r3 window
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
