@@ -276,13 +276,24 @@ LIMIT 2
 def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    # RangePartitioner assigns ascending key ranges to ascending partition
-    # ids, so (pid, local row_number) orders exactly like the global sort.
-    parts = (
-        customer.select("c_custkey", "c_mktsegment")
-        .repartitionByRange(32, "c_custkey")
-        .withColumn("pid", F.spark_partition_id())
-    )
+    # Deterministic range buckets from the key's min/max (two scalars, one
+    # tiny driver fetch) — NOT repartitionByRange: RangePartitioner picks
+    # boundaries by SAMPLING, and this plan evaluates the bucketed table
+    # twice (local ranks + counts); at multi-split inputs the two
+    # executions can sample different boundaries, making the offsets
+    # disagree with the local numbering and ids collide (observed at
+    # sf0.1: 64 collisions).  A pure expression gives both consumers the
+    # identical bucketing by construction.  Uniformish keys bucket evenly;
+    # for skewed keys compute the boundaries from an approx-quantile
+    # sketch once instead (same shape: boundaries are driver scalars).
+    n_parts = 32
+    lo, hi = customer.agg(F.min("c_custkey"), F.max("c_custkey")).collect()[0]
+    span = max(int(hi) - int(lo) + 1, 1)
+    pid = F.least(
+        F.lit(n_parts - 1),
+        F.floor((F.col("c_custkey") - F.lit(int(lo))) * n_parts / F.lit(span)),
+    ).cast("int")
+    parts = customer.select("c_custkey", "c_mktsegment").withColumn("pid", pid)
     local = parts.withColumn(
         "local_rn", F.row_number().over(Window.partitionBy("pid").orderBy("c_custkey"))
     )
