@@ -62,3 +62,38 @@ def test_sql_interface_sf_scoped_views(spark):
     # re-collecting the first AFTER the second registration still gives
     # the sf0.001 numbers
     assert sum(r.n_orders for r in df_small.collect()) == n_small
+
+
+def test_surrogate_ids_are_dense_permutation_multisplit(spark, tmp_path):
+    """Regression: surrogate ids must be a dense 1..n permutation matching
+    the key sort order even when the input arrives as MANY splits.  The
+    old repartitionByRange design sampled boundaries independently in the
+    two consumers of the bucketed table; on multi-split inputs the samples
+    could diverge and ids collided (caught by the sf0.1 oracle sweep)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.report import surrogate_keys
+
+    rng = random.Random(7)
+    keys = list(range(1, 20001))
+    rng.shuffle(keys)
+    cust = spark.createDataFrame(
+        [(k, "SEG%d" % (k % 3)) for k in keys], "c_custkey long, c_mktsegment string"
+    ).repartition(16)  # arbitrary multi-split physical layout
+    orders = spark.createDataFrame(
+        [(k, k) for k in keys], "o_orderkey long, o_custkey long"
+    ).repartition(16)
+
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf)
+    cust.write.parquet(os.path.join(sf, "customer.parquet"))
+    orders.write.parquet(os.path.join(sf, "orders.parquet"))
+
+    out = surrogate_keys(spark, sf).collect()
+    ids = sorted(r.surrogate_id for r in out)
+    # one order per customer -> one output row per customer; dense ids
+    assert len(out) == 20000
+    assert ids == list(range(1, 20001))
