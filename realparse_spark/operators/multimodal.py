@@ -93,6 +93,166 @@ def decode_features(
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real decode path: codec-free formats (binary PPM "P6", uncompressed 24bpp
+# BMP).  These need no external library — the header grammar is public and
+# trivial — so unlike `decode_features` (which marks where PIL/ffmpeg would
+# plug in) this path genuinely parses bytes it did not write.
+# ---------------------------------------------------------------------------
+
+PPM_TYPE = "image/x-portable-pixmap"
+BMP_TYPE = "image/bmp"
+
+
+def _ppm_bytes(doc_id: int, width: int, height: int) -> bytes:
+    n = width * height * 3
+    px = bytes((doc_id * 31 + i * 7) % 256 for i in range(n))
+    return b"P6\n# synthetic\n%d %d\n255\n" % (width, height) + px
+
+
+def _bmp_bytes(doc_id: int, width: int, height: int) -> bytes:
+    import struct  # noqa: PLC0415 — executor-side import
+
+    n = width * height * 3  # width is a multiple of 4 → no row padding
+    px = bytes((doc_id * 31 + i * 7) % 256 for i in range(n))
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + n, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, n, 2835, 2835, 0, 0
+    )
+    return header + info + px
+
+
+def synthesize_images(docs: DataFrame) -> DataFrame:
+    """Build REAL image files (PPM for even doc_id, BMP for odd) with
+    deterministic dimensions and pixel bytes: width = 12 + 4*(doc_id%5)
+    (multiple of 4 → padding-free BMP rows), height = 8 + 2*(doc_id%4),
+    pixel[i] = (doc_id*31 + i*7) % 256.  This is the fixture *generator*
+    (per-doc Python, Arrow-batched) — at scale the payloads already live in
+    parquet and only `decode_image` runs."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                _ppm_bytes(d, 12 + 4 * (d % 5), 8 + 2 * (d % 4))
+                if d % 2 == 0
+                else _bmp_bytes(d, 12 + 4 * (d % 5), 8 + 2 * (d % 4))
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, int]:
+    """Parse a binary-PPM header (magic, comment-aware token scan) and sum
+    the pixel plane.  Raises ValueError on malformed input."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    toks: list[int] = []
+    pos = 2
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        toks.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = width * height * 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return width, height, int(px.astype(np.int64).sum())
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """Parse BITMAPFILEHEADER + BITMAPINFOHEADER (uncompressed 24bpp) and
+    sum the pixel rows, honoring the 4-byte row stride."""
+    import struct  # noqa: PLC0415 — executor-side import
+
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bitcount,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bitcount != 24 or compression != 0:
+        raise ValueError("only uncompressed 24bpp supported")
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs(height), offset=pix_off
+    ).reshape(abs(height), stride)[:, : width * 3]
+    return width, abs(height), int(rows.astype(np.int64).sum())
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """REAL decode stage (Arrow-batched `mapInPandas`): sniff the magic,
+    parse the format's own header for dimensions and raster offset, and
+    reduce the pixel plane to exact-integer stats.  This is the shape a
+    PIL/ffmpeg-backed decoder drops into (cf. `decode_features` for the
+    codec-bound formats); batch size governed by
+    `spark.sql.execution.arrow.maxRecordsPerBatch`."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "media_type": [],
+                "width": [],
+                "height": [],
+                "pixel_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    mt, (w, h, s) = PPM_TYPE, _decode_ppm(b)
+                elif b[:2] == b"BM":
+                    mt, (w, h, s) = BMP_TYPE, _decode_bmp(b)
+                else:
+                    raise ValueError(f"unknown magic {b[:2]!r}")
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(s)
+            yield pd.DataFrame(out).astype(
+                {"width": "int32", "height": "int32", "pixel_sum": "int64"}
+            )
+
+    return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling *plan* (video analog): one output row per sampled
     offset, computed with posexplode over a JVM-generated offset sequence —
@@ -168,11 +328,42 @@ FROM o
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end encode→decode round trip over REAL image bytes: build
+    PPM/BMP files per doc, then decode them back by parsing the formats'
+    own headers (no lookup of the generator's parameters — the decoder
+    only sees bytes).  Exact-integer output so the DuckDB oracle, which
+    recomputes the deterministic pixel function arithmetically, must agree
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image(synthesize_images(docs))
+
+
+# The oracle never sees the binary: it recomputes what a correct
+# encode→decode round trip must produce from the generator's arithmetic —
+# sum over i in [0, w*h*3) of (doc_id*31 + i*7) % 256 — via a lateral
+# range unnest.  Any header-parse or stride bug on the Spark side breaks
+# the hash match.
+MULTIMODAL_DECODE_SQL = """
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+            ELSE 'image/bmp' END AS media_type,
+       CAST(12 + 4 * (d.doc_id % 5) AS INTEGER) AS width,
+       CAST(8 + 2 * (d.doc_id % 4) AS INTEGER) AS height,
+       CAST(sum((d.doc_id * 31 + t.i * 7) % 256) AS BIGINT) AS pixel_sum
+FROM documents d,
+     unnest(range((12 + 4 * (d.doc_id % 5)) * (8 + 2 * (d.doc_id % 4)) * 3)) AS t(i)
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_decode": q_multimodal_decode,
 }
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
 }

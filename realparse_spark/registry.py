@@ -32,52 +32,56 @@ _MODULES = (
 # registration order decides which queries earn a hard driver-verified row
 # each round.  Names listed here are emitted FIRST (in this order); everything
 # else follows in module order.  Rotate per round so every query accumulates
-# driver rows: round 4 fronts the queries new this round plus the 23 entries
-# that fell outside the r3 window (all were green in r1/r2 driver rows).
+# driver rows: round 5 fronts queries new this round plus the 41 entries that
+# fell outside the r4 window (all driver-green in r1-r3 and re-verified by the
+# in-repo parity suite each session).
 _PRIORITY = (
-    # new in round 4
-    "events_retention",
-    "event_zscore",
-    "q3_shipping_priority",
-    "big_spender_orders",
-    "doc_chunk",
-    "dedup_containment",
-    "q10_returned_items",
-    "text_bigram_logprob",
-    "stream_window_e2e",
-    "rolling_active_users",
-    "emb_knn_join",
-    "table_profile",
-    "event_transitions",
-    "text_token_entropy",
-    "value_deciles",
-    "text_boilerplate",
-    "stream_upsert_e2e",
-    "yearly_growth",
-    # checked in r1+r2 but fell out of the r3 window
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_clusters",
-    "dedup_canonical",
-    "dedup_incremental",
-    "sim_topk_cosine",
-    "sim_topk_cosine_arrow",
+    # new in round 5
+    "multimodal_decode",
+    # green in earlier rounds but outside the r4 window
+    "json_props",
+    "sessionize",
+    "session_window_native",
+    "anti_semi_join",
+    "parse_style5",
+    "parse_positional",
+    "parse_weblog",
+    "client_info_parse",
+    "stats_mask_explode",
+    "datetime_roundtrip",
+    "log_report_e2e",
+    "load_e2e",
+    "stream_load_e2e",
+    "text_repetition",
+    "text_unigram_logprob",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_winnow",
+    "text_contamination",
+    "dedup_exact",
+    "doc_source_mix",
+    "value_histogram",
+    "revenue_by_nation",
+    "funnel_conversion",
+    "sql_interface",
+    "emb_centroids",
+    "above_avg_parts",
+    "cube_agg",
+    "pivot_events",
+    "set_ops",
+    "top_terms",
+    "percentile_metrics",
+    "sliding_window",
+    "asof_join",
+    "range_band_join",
+    "window_rank",
+    "approx_distinct",
+    "approx_quantiles",
+    "anonymize_ips",
+    "redact_pii",
+    # re-verify the reworked ANN probe this round
     "sim_ann_lsh",
-    "sim_ann_ivf",
-    "multimodal_meta",
-    "multimodal_frames",
-    "doc_split",
-    "doc_length_buckets",
-    "doc_pack",
-    "doc_sample",
-    "emb_quantize",
-    "doc_pipeline_e2e",
-    "rollup_agg",
-    "unpivot_metrics",
-    "pricing_summary",
-    "doc_top_terms",
 )
 
 

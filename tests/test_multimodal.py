@@ -7,9 +7,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from realparse_spark.operators.multimodal import (
+    _bmp_bytes,
+    _decode_bmp,
+    _decode_ppm,
+    _ppm_bytes,
     attach_payload,
     decode_features,
+    decode_image,
     frame_sample_plan,
+    synthesize_images,
 )
 from realparse_spark.sources.tables import load_table
 
@@ -44,6 +50,65 @@ def test_payload_is_binary_and_pruned(spark, sf_dir):
     meta = docs.select("doc_id", "media_type")
     plan = meta._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.lower() or "ReadSchema" not in plan
+
+
+def test_ppm_roundtrip_local():
+    # encode→decode round trip on known params, including a header comment
+    w, h, s = _decode_ppm(_ppm_bytes(7, 16, 12))
+    assert (w, h) == (16, 12)
+    assert s == sum((7 * 31 + i * 7) % 256 for i in range(16 * 12 * 3))
+
+
+def test_bmp_roundtrip_and_stride_local():
+    import struct
+
+    w, h, s = _decode_bmp(_bmp_bytes(3, 20, 10))
+    assert (w, h) == (20, 10)
+    assert s == sum((3 * 31 + i * 7) % 256 for i in range(20 * 10 * 3))
+    # width NOT a multiple of 4 → 4-byte row stride with padding bytes the
+    # decoder must skip (the synthesized fixtures never exercise this)
+    width, height = 5, 3
+    stride = (width * 3 + 3) // 4 * 4  # 16 bytes: 15 pixels + 1 pad
+    rows = b"".join(
+        bytes(range(r * 50, r * 50 + width * 3)) + b"\xff" * (stride - width * 3)
+        for r in range(height)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 0, 0, 0, 0
+    )
+    w, h, s = _decode_bmp(header + info + rows)
+    assert (w, h) == (width, height)
+    # padding 0xff bytes excluded from the sum
+    assert s == sum(sum(range(r * 50, r * 50 + width * 3)) for r in range(height))
+
+
+def test_decode_rejects_malformed_local():
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P5\n1 1\n255\n\x00")  # greyscale PGM, not P6
+    with pytest.raises(ValueError):
+        _decode_bmp(b"XX" + b"\x00" * 60)
+    bad_depth = bytearray(_bmp_bytes(1, 12, 8))
+    bad_depth[28] = 8  # claim 8bpp
+    with pytest.raises(ValueError):
+        _decode_bmp(bytes(bad_depth))
+
+
+def test_decode_image_distributed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = decode_image(synthesize_images(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        expect_mt = (
+            "image/x-portable-pixmap" if r.doc_id % 2 == 0 else "image/bmp"
+        )
+        assert r.media_type == expect_mt
+        assert r.width == 12 + 4 * (r.doc_id % 5)
+        assert r.height == 8 + 2 * (r.doc_id % 4)
+        n = r.width * r.height * 3
+        assert r.pixel_sum == sum(
+            (r.doc_id * 31 + i * 7) % 256 for i in range(n)
+        )
 
 
 def test_frame_sample_plan(spark, sf_dir):
