@@ -219,8 +219,151 @@ def ann_lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bucketed LSH index: the 100 TB probe path.
+#
+# `ann_lsh_topk` above scans every sketch per query — fine as the parity
+# baseline, a scale-killer as the shipped search primitive.  The index
+# below makes the probe an index lookup via the pigeonhole bound: split
+# the N-bit sketch into (radius + 1) chunks; any vector within hamming
+# distance <= radius of the query must agree with it EXACTLY in at least
+# one chunk (if all radius+1 chunks differed, distance would be >= radius+1).
+# Persist each vector once per chunk, partitioned by (chunk_id, chunk_val);
+# the probe reads exactly radius+1 partitions — a pruned scan, asserted in
+# tests — takes the union, applies the exact hamming filter, and re-ranks.
+# Candidate set is therefore IDENTICAL to the full scan's (completeness is
+# provable, and parity is test-pinned), at a storage cost of
+# (radius+1) x sketch-table replication — the standard multi-index LSH
+# trade (cf. the IVF build/probe split below for the centroid variant).
+# ---------------------------------------------------------------------------
+
+N_CHUNKS = 5  # supports hamming radius <= 4
+
+
+def _chunk_bounds(n_planes: int = N_PLANES, n_chunks: int = N_CHUNKS) -> list[tuple[int, int]]:
+    """(bit_offset, n_bits) per chunk; chunk sizes differ by at most 1."""
+    base, rem = divmod(n_planes, n_chunks)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    offsets = [sum(sizes[:i]) for i in range(n_chunks)]
+    return list(zip(offsets, sizes))
+
+
+def _sketch_py(vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side replica of `_sketch` for the (tiny) query vector: same
+    sequential left-fold double math, so bits match the JVM exactly."""
+    bits = 0
+    for i, plane in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(vec, plane):
+            acc += float(x) * y
+        if acc > 0:
+            bits |= 1 << i
+    return bits
+
+
+def build_lsh_index(emb: DataFrame, index_path: str) -> str:
+    """Offline half: sketch every vector ONCE and lay it out partitioned by
+    (chunk_id, chunk_val).  One narrow job, no shuffle except the write's
+    partitioning; rebuilt only when the corpus changes (cf. the IVF cache
+    discipline in `q_sim_ivf`)."""
+    planes = _hyperplanes()
+    sk = emb.withColumn("sketch", _sketch(F.col("embedding"), planes))
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sketch"), off).bitwiseAND(F.lit((1 << size) - 1))
+            for off, size in _chunk_bounds()
+        ]
+    )
+    exploded = sk.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "sketch",
+        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+    exploded.write.mode("overwrite").partitionBy("chunk_id", "chunk_val").parquet(index_path)
+    return index_path
+
+
+def lsh_probe(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    radius: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Online half: an index LOOKUP, not a scan.  The query sketch is
+    computed driver-side (64 floats — no job), the partition predicate
+    names exactly the radius+1 (chunk_id, chunk_val) buckets the pigeonhole
+    bound requires, and everything heavier (dedup of multi-chunk matches,
+    hamming filter, exact cosine re-rank) runs over just those buckets."""
+    if radius >= N_CHUNKS:
+        raise ValueError(f"index supports radius <= {N_CHUNKS - 1}, got {radius}")
+    planes = _hyperplanes()
+    qsk = _sketch_py(query_vec, planes)
+    pred = None
+    for i, (off, size) in enumerate(_chunk_bounds()):
+        clause = (F.col("chunk_id") == i) & (
+            F.col("chunk_val") == ((qsk >> off) & ((1 << size) - 1))
+        )
+        pred = clause if pred is None else pred | clause
+    cand = (
+        spark.read.parquet(index_path)
+        .filter(pred)
+        .select("vec_id", "label", "embedding", "sketch")
+        .dropDuplicates(["vec_id"])
+        .filter(F.bit_count(F.col("sketch").bitwiseXOR(F.lit(qsk))) <= radius)
+    )
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    qe = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), qe), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+# Per-process index cache (same discipline + fingerprint keying as the IVF
+# cache below): the driver and bench probe the same corpus repeatedly.
+_LSH_INDEX: dict[tuple, str] = {}
+
+
+def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, N_PLANES, N_CHUNKS)
+    path = _LSH_INDEX.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "realparse_lsh_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        build_lsh_index(load_table(spark, sf_dir, "embeddings"), path)
+        _LSH_INDEX[key] = path
+    return path
+
+
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+    """Driver query for `sim_ann_lsh`: the PRUNED probe (build once per
+    corpus, look up buckets per query).  Same candidate set and scores as
+    the full-scan `ann_lsh_topk` at the same radius — parity is test-pinned
+    (tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _lsh_index_for(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding
+    ]
+    return lsh_probe(spark, idx, qv, k=10, radius=4, exclude_vec_id=0)
 
 
 def _cos_py(a: list[float], b: list[float]) -> float:

@@ -42,6 +42,70 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir, tmp_path):
     assert recall >= 0.5, (recall, exact, approx)
 
 
+def test_lsh_probe_pruned_and_identical_to_scan(spark, sf_dir, tmp_path):
+    """The bucketed LSH probe must (a) read only the pigeonhole buckets —
+    PartitionFilters on (chunk_id, chunk_val), never a full sketch scan —
+    and (b) return EXACTLY the full-scan `ann_lsh_topk` result at the same
+    radius (the pigeonhole bound makes the candidate set provably equal)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.similarity import build_lsh_index, lsh_probe
+    from realparse_spark.plans import explain as X
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_lsh_index(emb, str(tmp_path / "lsh"))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding]
+    probed = lsh_probe(spark, idx, qv, k=10, radius=4, exclude_vec_id=0)
+
+    plan = X.full_explain(probed)
+    assert re.search(r"PartitionFilters: \[[^\]]*chunk_id[^\]]*\]", plan), plan[-2000:]
+
+    scan = ann_lsh_topk(emb, query_vec_id=0, k=10, radius=4)
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in scan.collect()]
+
+
+def test_lsh_probe_radius_bound(spark, sf_dir, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.similarity import (
+        N_CHUNKS,
+        build_lsh_index,
+        lsh_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_lsh_index(emb.limit(5), str(tmp_path / "lsh_small"))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding]
+    with pytest.raises(ValueError):
+        lsh_probe(spark, idx, qv, radius=N_CHUNKS)
+
+
+def test_lsh_cache_invalidated_on_source_change(spark, sf_dir, tmp_path):
+    """Same fingerprint-keyed cache discipline as the IVF index: a
+    regenerated embeddings fixture must rebuild, never reuse stale buckets."""
+    import os
+    import shutil
+
+    from realparse_spark.operators.similarity import _LSH_INDEX, q_sim_ann
+
+    d = str(tmp_path / "sfcopy_lsh")
+    os.makedirs(d)
+    p = os.path.join(d, "embeddings.parquet")
+    shutil.copy(os.path.join(sf_dir, "embeddings.parquet"), p)
+
+    q_sim_ann(spark, d)
+    keys1 = {k for k in _LSH_INDEX if k[0] == os.path.abspath(d)}
+    assert len(keys1) == 1
+
+    os.utime(p, ns=(1, 1))
+    q_sim_ann(spark, d)
+    keys2 = {k for k in _LSH_INDEX if k[0] == os.path.abspath(d)}
+    assert len(keys2) == 2, "stale LSH index reused after source change"
+
+
 def test_ann_scores_match_exact_for_common_hits(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {r.vec_id: r.cos for r in topk_cosine(emb, query_vec_id=0, k=10).collect()}
