@@ -26,14 +26,17 @@ def retention_cohorts(events: DataFrame, max_offset: int = 7) -> DataFrame:
     """Classic retention triangle.  Shape: one groupBy(user_id) for the
     cohort day, self-join on user_id (both sides hash-partition on the
     same key — AQE plans a single co-partitioned exchange pair), then a
-    (cohort, offset) count-distinct.  At 100 TB the first-day table is
-    |users| rows — orders of magnitude under the event count — and
-    broadcasts for all but extreme user cardinalities."""
+    (cohort, offset) count-distinct.  The first-day table is |users| rows
+    — usually far under the event count, but it GROWS with the corpus, so
+    the broadcast decision belongs to AQE's measured size at runtime, not
+    a hard-coded hint that would OOM the driver at extreme user
+    cardinality (it picks broadcast at test scale, shuffle join beyond the
+    threshold)."""
     first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
     acts = events.select("user_id", F.to_date("ts").alias("d"))
     off = F.datediff(F.col("d"), F.col("d0"))
     return (
-        acts.join(F.broadcast(first), "user_id")
+        acts.join(first, "user_id")
         .select("user_id", F.col("d0"), off.alias("day_offset"))
         .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= max_offset))
         .groupBy(F.date_format("d0", "yyyy-MM-dd").alias("cohort_date"), "day_offset")
@@ -202,17 +205,19 @@ def big_spender_orders(
 ) -> DataFrame:
     """Orders whose total line quantity exceeds a threshold, with their
     customers.  Plan at scale: the HAVING pre-aggregates lineitem down to
-    |orders| rows BEFORE any join (map-side partial agg on the shuffle),
-    the surviving keyset is tiny and broadcast-joins back to orders;
-    customer joins on the already-small result.  Quantities sum as exact
-    decimals."""
+    at most |orders| rows BEFORE any join (map-side partial agg on the
+    shuffle); how many keys survive depends on the threshold's
+    selectivity, so whether the keyset broadcasts back to orders is AQE's
+    call from its measured post-agg size — no hard-coded hint (a loose
+    threshold at 100 TB would otherwise broadcast a huge keyset).
+    Quantities sum as exact decimals."""
     qty = (
         lineitem.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
         .filter(F.col("_q") > min_qty)
     )
     return (
-        orders.join(F.broadcast(qty), orders.o_orderkey == qty.l_orderkey)
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",

@@ -101,12 +101,52 @@ def _family_watermark(
     return row.wm
 
 
-def _next_key_base(spark: SparkSession, warehouse: str) -> int:
+def _max_key_path(warehouse: str) -> str:
+    # underscore prefix: invisible to Spark's parquet listing (like _SUCCESS)
+    return os.path.join(_table_path(warehouse, "access"), "_max_key")
+
+
+def _next_key_base(
+    spark: SparkSession | None, warehouse: str, fs: WarehouseFS = LOCAL
+) -> int:
+    """A2/J2 — the auto-increment base for this run's surrogate keys.
+
+    Scale shape: the base comes from a one-line `_max_key` sidecar (a small
+    GET; maps to a table property at 100 TB — see fs.py), NOT from a
+    `max(access_id)` aggregate, which would be a full-table column scan per
+    cron run — the exact anti-pattern the watermark fetch already avoids
+    (`_family_watermark` reads one date directory).  The sidecar is written
+    as a RESERVATION before any append (`_reserve_key_range`), so a crash
+    mid-load leaves an unused id gap, never a collision — the same
+    observable semantics as MySQL auto-increment burning ids on rollback.
+
+    Legacy warehouses (written before the sidecar existed) fall back to the
+    full-table max ONCE; the next run's reservation upgrades them."""
+    p = _max_key_path(warehouse)
+    if fs.exists(p):
+        return int(fs.read_text(p).strip()) + 1
+    if spark is None:
+        return 0
     access = read_warehouse_table(spark, warehouse, "access")
     if access is None:
         return 0
     row = access.agg(F.max("access_id").alias("m")).collect()[0]
     return (row.m or 0) + 1
+
+
+def _reserve_key_range(keyed: DataFrame, warehouse: str, fs: WarehouseFS = LOCAL) -> None:
+    """Commit this run's max surrogate key BEFORE the table appends.
+
+    The max is an aggregate over the run's cached rows only (never a table
+    scan); the write is tmp + rename so a reader sees either the old or the
+    new value (rename maps to the table-format metadata commit at scale)."""
+    hi = keyed.agg(F.max("access_id").alias("m")).collect()[0].m
+    if hi is None:
+        return
+    fs.makedirs(_table_path(warehouse, "access"))
+    p = _max_key_path(warehouse)
+    fs.write_text(p + ".tmp", str(int(hi)))
+    fs.rename(p + ".tmp", p)
 
 
 def load_style5(
@@ -157,6 +197,7 @@ def load_style5(
         n = keyed.count()
         if n == 0:
             return {t: 0 for t in ACCESS_TABLES} | {"quarantine": n_bad}
+        _reserve_key_range(keyed, warehouse)
 
         counts: dict[str, int] = {"quarantine": n_bad}
 
@@ -275,6 +316,7 @@ def load_weblog(
         n = keyed.count()
         if n == 0:
             return {t: 0 for t in ("access", "file", "client")} | {"quarantine": n_bad}
+        _reserve_key_range(keyed, warehouse)
 
         access = keyed.select(
             "access_id", "client_ip_address", "identuser", "authuser",

@@ -25,6 +25,7 @@ modelling watermark exclusions in SQL.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import os
 import shutil
@@ -45,6 +46,31 @@ def _write_rotation(df: DataFrame, root: str, logs: str, fname: str) -> None:
     df.select("value").coalesce(1).write.mode("overwrite").text(stage)
     os.rename(glob.glob(os.path.join(stage, "part-*"))[0], os.path.join(logs, fname))
     shutil.rmtree(stage, ignore_errors=True)
+
+
+_RESULT_ROOT: str | None = None
+
+
+def persist_result(df: DataFrame) -> DataFrame:
+    """Park a lifecycle query's FINAL aggregate in a session-lifetime temp
+    parquet and return the lazy read.
+
+    The e2e harnesses synthesize a corpus + warehouse in a per-invocation
+    temp tree that must be deleted before returning (the bench harness runs
+    each query repeatedly — leaving a tree per run leaks /tmp).  The old
+    escape hatch was `createDataFrame(out.collect(), ...)`, which funnels
+    the whole result through driver memory — `stream_window_e2e` was
+    already ~10k rows at sf0.1 and grows linearly with sf.  Writing the
+    aggregate (tiny vs the corpus) to a KEPT location instead keeps the
+    result distributed end-to-end: no result-set collect anywhere in a
+    `queries()` path.  The parking lot is removed once, at session exit."""
+    global _RESULT_ROOT
+    if _RESULT_ROOT is None:
+        _RESULT_ROOT = tempfile.mkdtemp(prefix="realparse_results_")
+        atexit.register(shutil.rmtree, _RESULT_ROOT, ignore_errors=True)
+    out = tempfile.mkdtemp(dir=_RESULT_ROOT)
+    df.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out)
 
 
 def q_load_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,10 +106,10 @@ def q_load_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.date_format("datetime", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
             )
         )
-        # materialize to driver rows so the temp warehouse can be deleted
-        # immediately (the bench harness runs each query 3×; leaving a
-        # synthesized log+warehouse tree per invocation leaks /tmp)
-        return spark.createDataFrame(out.collect(), out.schema)
+        # park the aggregate outside the temp tree so the synthesized
+        # corpus + warehouse can be deleted immediately, without the result
+        # ever passing through the driver
+        return persist_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -276,23 +276,32 @@ LIMIT 2
 def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    # Deterministic range buckets from the key's min/max (two scalars, one
-    # tiny driver fetch) — NOT repartitionByRange: RangePartitioner picks
-    # boundaries by SAMPLING, and this plan evaluates the bucketed table
-    # twice (local ranks + counts); at multi-split inputs the two
-    # executions can sample different boundaries, making the offsets
-    # disagree with the local numbering and ids collide (observed at
-    # sf0.1: 64 collisions).  A pure expression gives both consumers the
-    # identical bucketing by construction.  Uniformish keys bucket evenly;
-    # for skewed keys compute the boundaries from an approx-quantile
-    # sketch once instead (same shape: boundaries are driver scalars).
+    # Deterministic range buckets from driver-scalar boundaries — NOT
+    # repartitionByRange: RangePartitioner picks boundaries by SAMPLING,
+    # and this plan evaluates the bucketed table twice (local ranks +
+    # counts); at multi-split inputs the two executions can sample
+    # different boundaries, making the offsets disagree with the local
+    # numbering and ids collide (observed at sf0.1: 64 collisions).
+    # Boundaries fetched ONCE into literals give both consumers identical
+    # bucketing by construction — even approxQuantile's own answer only
+    # has to be *a* valid split, not a reproducible one.  Quantile
+    # boundaries (vs min/max interpolation) keep buckets balanced under
+    # skewed key distributions, so no bucket degenerates into a giant
+    # near-global row_number partition.
     n_parts = 32
-    lo, hi = customer.agg(F.min("c_custkey"), F.max("c_custkey")).collect()[0]
-    span = max(int(hi) - int(lo) + 1, 1)
-    pid = F.least(
-        F.lit(n_parts - 1),
-        F.floor((F.col("c_custkey") - F.lit(int(lo))) * n_parts / F.lit(span)),
-    ).cast("int")
+    lo_hi = customer.agg(F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")).collect()[0]
+    if lo_hi.lo is None:
+        # empty dimension: a typed empty result, not int(None) crashes
+        return spark.createDataFrame(
+            [], "surrogate_id int, c_mktsegment string, n_orders bigint"
+        )
+    bounds = customer.stat.approxQuantile(
+        "c_custkey", [i / n_parts for i in range(1, n_parts)], 0.001
+    )
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col("c_custkey") > F.lit(b)).cast("int")
+    pid = pid.cast("int")
     parts = customer.select("c_custkey", "c_mktsegment").withColumn("pid", pid)
     local = parts.withColumn(
         "local_rn", F.row_number().over(Window.partitionBy("pid").orderBy("c_custkey"))

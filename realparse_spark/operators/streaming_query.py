@@ -22,9 +22,10 @@ this corpus — (ip, second) is unique by construction
 (`tests/test_streaming_query.py` asserts it) — so the oracle needs no
 dedup mirror.
 
-The result is materialized to driver rows and re-wrapped as a local
-DataFrame before the temp warehouse is deleted (no /tmp leak per run —
-the bench harness invokes each query repeatedly).
+The final aggregate is parked in a session-lifetime temp parquet
+(`load_query.persist_result`) so the synthesized corpus + warehouse can be
+deleted immediately (no /tmp leak per run — the bench harness invokes each
+query repeatedly) WITHOUT funneling the result through driver memory.
 """
 
 from __future__ import annotations
@@ -36,7 +37,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realparse_spark.operators.load_query import LOAD_E2E_SQL, _write_rotation
+from realparse_spark.operators.load_query import (
+    LOAD_E2E_SQL,
+    _write_rotation,
+    persist_result,
+)
 from realparse_spark.operators.parse_queries import synth_style5
 from realparse_spark.sources.tables import load_table
 from realparse_spark.streaming.pipeline import stream_load_access
@@ -71,8 +76,8 @@ def q_stream_load_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("client_ip_address").alias("n_ips"),
             F.max(F.date_format("datetime", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
         )
-        # materialize before the finally deletes the files under the plan
-        return spark.createDataFrame(out.collect(), out.schema)
+        # park the aggregate outside the temp tree (no driver materialization)
+        return persist_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -117,7 +122,7 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_views",
             "total_sent_sec",
         )
-        return spark.createDataFrame(res.collect(), res.schema)
+        return persist_result(res)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -184,6 +189,23 @@ def q_stream_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     older = synth_style5(events.filter(F.unix_timestamp("ts") <= split))
     full = synth_style5(events)  # includes every older line again
 
+    # Contract guard: the oracle counts every synthesized line, while the
+    # merge collapses rows by (client_ip_address, event_ts) — sound only if
+    # that key is unique in the corpus.  Timestamps are second-granular, so
+    # an untested scale factor could plausibly collide two events; fail
+    # fast with a clear message instead of a baffling hash mismatch (and a
+    # nondeterministic dropDuplicates survivor) downstream.
+    n, nk = full.select(
+        F.regexp_extract("value", r"^(\S+)", 1).alias("ip"),
+        F.regexp_extract("value", r"\[(.*?) -\d+\]", 1).alias("ts"),
+    ).agg(F.count(F.lit(1)), F.count_distinct("ip", "ts")).first()
+    if n != nk:
+        raise AssertionError(
+            f"stream_upsert_e2e corpus violates the merge-key contract: "
+            f"{n} lines but only {nk} distinct (ip, second) keys at {sf_dir}; "
+            "the oracle and the merge would disagree — regenerate or re-key"
+        )
+
     root = tempfile.mkdtemp(prefix="realparse_stream_upsert_")
     try:
         logs = os.path.join(root, "logs")
@@ -203,7 +225,7 @@ def q_stream_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("client_ip_address").alias("n_ips"),
             F.max(F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return persist_result(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

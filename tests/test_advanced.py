@@ -97,3 +97,41 @@ def test_surrogate_ids_are_dense_permutation_multisplit(spark, tmp_path):
     # one order per customer -> one output row per customer; dense ids
     assert len(out) == 20000
     assert ids == list(range(1, 20001))
+
+
+def test_surrogate_ids_empty_and_skewed_keys(spark, tmp_path):
+    """ADVICE hardening: an empty customer table returns a typed empty
+    result (the min/max fetch used to crash on int(None)); a heavily
+    skewed key DISTRIBUTION (99% of keys packed into 0.0001% of the key
+    range) still produces a dense permutation — the quantile boundaries
+    keep range buckets balanced where min/max interpolation would have
+    collapsed nearly every row into bucket 0."""
+    import os
+
+    from realparse_spark.operators.report import surrogate_keys
+
+    empty_sf = str(tmp_path / "sf_empty")
+    os.makedirs(empty_sf)
+    spark.createDataFrame([], "c_custkey long, c_mktsegment string").write.parquet(
+        os.path.join(empty_sf, "customer.parquet")
+    )
+    spark.createDataFrame([], "o_orderkey long, o_custkey long").write.parquet(
+        os.path.join(empty_sf, "orders.parquet")
+    )
+    out = surrogate_keys(spark, empty_sf)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["surrogate_id", "c_mktsegment", "n_orders"]
+
+    # 19800 keys dense in [1, 19800]; 200 outliers strewn up to 2e9
+    keys = list(range(1, 19801)) + [2_000_000_000 + i * 7_777_777 for i in range(200)]
+    skew_sf = str(tmp_path / "sf_skew")
+    os.makedirs(skew_sf)
+    spark.createDataFrame(
+        [(k, "SEG%d" % (k % 3)) for k in keys], "c_custkey long, c_mktsegment string"
+    ).repartition(16).write.parquet(os.path.join(skew_sf, "customer.parquet"))
+    spark.createDataFrame(
+        [(k, k) for k in keys], "o_orderkey long, o_custkey long"
+    ).repartition(16).write.parquet(os.path.join(skew_sf, "orders.parquet"))
+
+    ids = sorted(r.surrogate_id for r in surrogate_keys(spark, skew_sf).collect())
+    assert ids == list(range(1, len(keys) + 1))

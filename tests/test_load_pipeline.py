@@ -193,6 +193,49 @@ def test_watermark_reads_only_latest_date_partition(spark, tmp_path):
     assert delta < 0.5 * old_bytes, (delta, old_bytes)
 
 
+def test_key_base_sidecar_pruned_and_crash_safe(spark, log_dir, tmp_path, monkeypatch):
+    """The surrogate-key base must come from the `_max_key` sidecar (a
+    one-line read — at 100 TB a table-property GET), never a full-table
+    `max(access_id)` scan; the sidecar is a RESERVATION written before any
+    append, so a crashed load burns ids but can never collide."""
+    from realparse_spark.operators import load as L
+
+    wh = str(tmp_path / "wh_key")
+    L.load_style5(spark, log_dir, wh)
+    access = read_warehouse_table(spark, wh, "access")
+    hi = access.agg(F.max("access_id").alias("m")).collect()[0].m
+    # sidecar present -> base derivable with NO SparkSession at all: the
+    # strongest possible "no table scan" gate
+    assert L._next_key_base(None, wh) == hi + 1
+    # legacy warehouse (no sidecar): one-time full-scan fallback, same answer
+    os.remove(os.path.join(wh, "access", "_max_key"))
+    assert L._next_key_base(spark, wh) == hi + 1
+
+    # crash between reservation and append: ids are burned, never reused
+    with open(os.path.join(log_dir, "rmaccess.log.20021015"), "w") as fh:
+        fh.write(style5_line("10.0.0.7", "15/Oct/2002:08:00:00", "/media/c/five.rm") + "\n")
+    real_append = L._append
+
+    def boom(df, warehouse, name):
+        if name == "access":
+            raise RuntimeError("simulated crash mid-load")
+        real_append(df, warehouse, name)
+
+    monkeypatch.setattr(L, "_append", boom)
+    with pytest.raises(RuntimeError):
+        L.load_style5(spark, log_dir, wh)
+    monkeypatch.undo()
+    assert L._next_key_base(None, wh) > hi  # reservation survived the crash
+
+    counts = L.load_style5(spark, log_dir, wh)
+    assert counts["access"] == 1
+    ids = [
+        r.access_id
+        for r in read_warehouse_table(spark, wh, "access").select("access_id").collect()
+    ]
+    assert len(ids) == len(set(ids)), "surrogate key collision after crash"
+
+
 def test_components_placeholder(spark, log_dir, tmp_path):
     """real_parse.pl:43 locks a `components` table it never writes; the
     warehouse mirrors it: typed, empty, present after any load, never

@@ -90,6 +90,33 @@ def test_stream_windowed_views(spark, stream_log_dir, tmp_path):
     assert got.get((9, "b.rm")) == 2
 
 
+def test_window_eviction_boundary_inclusive(spark, tmp_path):
+    """Boundary pin for the stream_window_e2e oracle: when max(event_ts)
+    lands EXACTLY on a half-hour mark, the watermark (max - 30min) equals a
+    window end, and the oracle's `end <= watermark` predicate assumes
+    Spark's append-mode eviction is INCLUSIVE at that equality.  Place max
+    ts at 11:30:00 sharp: watermark = 11:00:00; the [10:00, 11:00) window
+    (end == watermark) must be in the sink, the [11:00, 12:00) window must
+    not."""
+    from realparse_spark.streaming.pipeline import stream_windowed_views
+
+    d = tmp_path / "boundary_logs"
+    d.mkdir()
+    (d / "rmaccess.log.1").write_text(
+        style5_line("10.0.0.1", "12/Oct/2002:10:15:00", "/m/a.rm") + "\n"
+        + style5_line("10.0.0.2", "12/Oct/2002:10:45:00", "/m/a.rm") + "\n"
+    )
+    out, ck = str(tmp_path / "bwin"), str(tmp_path / "bck")
+    stream_windowed_views(spark, str(d), out, ck).awaitTermination(120)
+    (d / "rmaccess.log.2").write_text(
+        style5_line("10.0.0.3", "12/Oct/2002:11:30:00", "/m/b.rm") + "\n"
+    )
+    stream_windowed_views(spark, str(d), out, ck).awaitTermination(120)
+    hours = {r.window_start.hour for r in spark.read.parquet(out).collect()}
+    assert 10 in hours, "window with end == watermark must be emitted (inclusive eviction)"
+    assert 11 not in hours, "open window past the watermark must stay in state"
+
+
 def test_stream_dedup_docs(spark, tmp_path):
     """Cross-batch fingerprint dedup: a re-delivered document (same text,
     new doc_id/timestamp, within the watermark delay) must not appear
