@@ -10,9 +10,12 @@ semantics they fix matter:
 - writes are batched appends (`batchsize`), replacing the reference's 6-9
   round-trips per log line with one bulk insert per partition.
 
-No JDBC driver jar ships in this environment, so these are exercised by a
-plan-construction test only (tests/test_jdbc.py) — the code path is the
-public `spark.read/write.format('jdbc')` API, nothing custom.
+Exercised two ways in tests/test_jdbc.py: option-plumbing recorder tests
+(the exact map handed to the public `spark.read/write.format('jdbc')`
+API), and a LIVE round-trip against the Apache Derby engine embedded in
+Spark's own classpath — create + batched append + partitioned parallel
+read-back against a real database.  A production MySQL deployment differs
+only in URL + driver jar.
 """
 
 from __future__ import annotations

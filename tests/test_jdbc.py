@@ -1,13 +1,13 @@
 """JDBC option-plumbing tests (SURVEY.md §2.1 S6/S7 original form —
 real_parse.pl:39 DBI connect, :96-177 per-row INSERTs).
 
-No JDBC driver jar ships in this container, so a real .load()/.save()
-cannot run; what CAN be asserted — and what actually matters for the
-scale semantics — is the option map our wrappers hand to the public
-`spark.read/write.format('jdbc')` API: partition bounds (parallel range
-queries, never a single-connection pull) and batchsize (bulk inserts,
-not the reference's 6-9 round-trips per line).  Recorder doubles stand
-in for SparkSession/DataFrame; the wrapper code path is identical.
+Two layers: recorder doubles assert the option map our wrappers hand to
+the public `spark.read/write.format('jdbc')` API — partition bounds
+(parallel range queries, never a single-connection pull) and batchsize
+(bulk inserts, not the reference's 6-9 round-trips per line) — and a
+LIVE round-trip runs against embedded Apache Derby (shipped in Spark's
+classpath for the Hive metastore), covering the real .save()/.load()
+path end-to-end.
 """
 
 from __future__ import annotations
@@ -97,6 +97,51 @@ def test_jdbc_reader_rejects_partition_column_without_bounds(lo, hi):
             lower_bound=lo,
             upper_bound=hi,
         )
+
+
+def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
+    """LIVE JDBC round-trip — no recorder doubles.  Spark's own classpath
+    ships Apache Derby (for the Hive metastore), so the one reference I/O
+    path never exercised end-to-end (real_parse.pl:39 DBI connect) gets a
+    real engine: write_jdbc_append CREATEs + bulk-appends over a real JDBC
+    connection, jdbc_reader pulls it back with parallel range queries, and
+    a second append proves append-mode lands on the existing table."""
+    import os
+
+    url = f"jdbc:derby:{tmp_path}/rpdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    try:
+        df = spark.range(0, 1000).selectExpr(
+            "id AS access_id",
+            "CAST(id % 7 AS INT) AS status_code",
+            "concat('10.0.0.', CAST(id % 250 AS STRING)) AS client_ip_address",
+        )
+        write_jdbc_append(df, url, "access", batch_size=500, driver=driver)
+
+        back = jdbc_reader(
+            spark,
+            url,
+            "access",
+            partition_column="access_id",
+            lower_bound=0,
+            upper_bound=1000,
+            num_partitions=4,
+            driver=driver,
+        ).load()
+        assert back.rdd.getNumPartitions() == 4  # parallel range scan, not 1 pull
+        rows = {r.access_id: (r.status_code, r.client_ip_address) for r in back.collect()}
+        assert len(rows) == 1000
+        assert rows[13] == (6, "10.0.0.13")
+
+        # append semantics: second write extends the existing table
+        write_jdbc_append(df.limit(10), url, "access", batch_size=500, driver=driver)
+        assert (
+            jdbc_reader(spark, url, "access", driver=driver).load().count() == 1010
+        )
+    finally:
+        # embedded Derby writes derby.log into the JVM's user.dir
+        if os.path.exists("derby.log"):
+            os.remove("derby.log")
 
 
 def test_jdbc_write_append_batches():
