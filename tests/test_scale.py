@@ -52,6 +52,84 @@ def test_salted_groupby_matches_direct(spark, sf_dir):
     assert direct == salted
 
 
+def _write_hot_key_fixture(spark, d):
+    """Adversarial skew fixture (SURVEY §4.2's 100 TB risk made concrete):
+    one join key owns 50% of the fact rows."""
+    import os
+
+    hot = spark.range(0, 100_000).select(
+        F.lit(7).alias("k"),
+        F.concat(F.lit("payload-payload-payload-payload-"), F.col("id").cast("string")).alias("v"),
+    )
+    cold = spark.range(0, 100_000).select(
+        (F.col("id") % 5000 + 100).alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+    )
+    hot.unionByName(cold).write.mode("overwrite").parquet(os.path.join(d, "facts"))
+    spark.range(0, 6000).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id").cast("string")).alias("dv")
+    ).write.mode("overwrite").parquet(os.path.join(d, "dim"))
+    return (
+        spark.read.parquet(os.path.join(d, "facts")),
+        spark.read.parquet(os.path.join(d, "dim")),
+    )
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """SURVEY §4.2 defers report-join skew on hot keys to AQE; this gate
+    proves AQE actually engages on an adversarial fixture instead of
+    leaving one straggler reducer with half the table.  Thresholds are
+    lowered to make test-scale partitions 'big' (at 100 TB the defaults —
+    256MB skew threshold — play the same role); the AQE-final plan must
+    show the skew-split markers and the result must stay exact."""
+    for k, v in {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }.items():
+        spark.conf.set(k, v)
+    try:
+        facts, dim = _write_hot_key_fixture(spark, str(tmp_path))
+        j = facts.join(dim, "k").select("k", "v", "dv")
+        rows = j.collect()  # materializes THIS plan -> AQE finalizes it
+        plan = X.executed_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:3000]
+        assert "AQEShuffleRead skewed" in plan, plan[:3000]
+        assert len(rows) == 200_000
+        assert sum(1 for r in rows if r.k == 7) == 100_000  # hot key intact
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        ):
+            spark.conf.unset(k)
+
+
+def test_salted_groupby_parity_under_hot_key(spark, tmp_path):
+    """Aggregation-side skew: salted_groupby must stay result-identical to
+    the direct groupBy when one key holds 50% of the rows (the partial
+    phase spreads that key over the salt space; the final combine merges
+    it back losslessly)."""
+    facts, _dim = _write_hot_key_fixture(spark, str(tmp_path))
+    direct = {
+        r.k: (r.n, r.mx)
+        for r in facts.groupBy("k").agg(F.count("v").alias("n"), F.max("v").alias("mx")).collect()
+    }
+    salted = {
+        r.k: (r.n, r.mx)
+        for r in salted_groupby(
+            facts, keys=["k"], aggs=[("count", "v", "n"), ("max", "v", "mx")], salt_n=16,
+            salt_source="v",
+        ).collect()
+    }
+    assert direct == salted
+    assert direct[7][0] == 100_000
+
+
 def test_salted_groupby_rejects_avg(spark, sf_dir):
     import pytest
 
