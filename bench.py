@@ -59,6 +59,8 @@ EXTRA = [
     "dedup_containment",    # asymmetric shingle containment near-dup
     "events_retention",     # cohort retention triangle
     "q3_shipping_priority", # TPC-H Q3 shape (broadcast dim + TakeOrdered)
+    "sim_ann_lsh",          # bucketed LSH probe (cold = index build, warm = pruned lookup)
+    "multimodal_decode",    # real PPM/BMP encode->decode round trip (Arrow kernel)
 ]
 
 
@@ -129,6 +131,7 @@ def main() -> None:
     # regression gate: warm timings must stay within 2x of the committed
     # baseline (previous round's driver numbers) at the baseline's sf
     regressions: list[str] = []
+    remeasures: dict[str, dict[str, float]] = {}
     baseline_path = os.path.join(REPO, "bench_baseline.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
@@ -150,7 +153,11 @@ def main() -> None:
             # in one query's measurement window (observed twice: a query
             # 5x over floor during the sweep re-measures at ~floor in
             # isolation minutes later).  Re-measure each suspect; a REAL
-            # plan regression reproduces, a load burst does not.
+            # plan regression reproduces, a load burst does not.  BOTH
+            # samples are published (`remeasures`: {first, retry_min}) and
+            # the recorded timing keeps the original protocol's value, so
+            # round-over-round comparisons can tell noise from drift
+            # instead of silently seeing only the minimum.
             for name, got_map, floor in suspects:
                 fn = queries.get(name)
                 retry = []
@@ -158,11 +165,12 @@ def main() -> None:
                     t0 = time.perf_counter()
                     materialize(fn(spark, sf_dir))
                     retry.append(time.perf_counter() - t0)
-                best = round(min(got_map[name], *retry), 3)
-                got_map[name] = best
-                if _over(best, floor):
+                retry_min = round(min(retry), 3)
+                remeasures[name] = {"first": got_map[name], "retry_min": retry_min}
+                if _over(retry_min, floor):
                     regressions.append(
-                        f"{name}: {best}s vs baseline {floor}s (> 2x + 0.5s, reproduced on re-measure)"
+                        f"{name}: first {got_map[name]}s, retry {retry_min}s vs "
+                        f"baseline {floor}s (> 2x + 0.5s, reproduced on re-measure)"
                     )
 
     print(json.dumps({
@@ -177,6 +185,7 @@ def main() -> None:
         "extra_warm_total": round(sum(extra_warm.values()), 3),
         "sf": sf,
         "regressions": regressions,
+        "remeasures": remeasures,
     }))
     if regressions:
         print("BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr)
