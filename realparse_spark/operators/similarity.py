@@ -19,7 +19,7 @@ nondeterminism).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realparse_spark.operators.dedup import cosine
@@ -366,6 +366,77 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe(spark, idx, qv, k=10, radius=4, exclude_vec_id=0)
 
 
+def lsh_probe_batch(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    radius: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """MANY-query probe — the production retrieval shape (a training-data
+    pipeline probes thousands of queries per run, not one).
+
+    Each query row (query_id, embedding) is sketched JVM-side and exploded
+    into its radius+1 pigeonhole (chunk_id, chunk_val) probe keys; ONE
+    equi-join against the bucketed index on those keys replaces |Q|
+    separate lookups.  At 100 TB the join shuffles only the probe rows and
+    the touched buckets — candidate work is Σ|bucket| over probed buckets,
+    never |Q| × corpus.  Dedup of multi-chunk matches, the exact hamming
+    filter, and the per-query top-k window (partitioned by query_id — a
+    uniform key, no skew) complete the re-rank.  Per-query results are
+    IDENTICAL to `lsh_probe` at the same radius (parity test-pinned)."""
+    if radius >= N_CHUNKS:
+        raise ValueError(f"index supports radius <= {N_CHUNKS - 1}, got {radius}")
+    planes = _hyperplanes()
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("qsk"), off).bitwiseAND(F.lit((1 << size) - 1))
+            for off, size in _chunk_bounds()
+        ]
+    )
+    probes = (
+        queries.select(
+            "query_id",
+            F.col("embedding").alias("qe"),
+            _sketch(F.col("embedding"), planes).alias("qsk"),
+        )
+        .select("query_id", "qe", "qsk", F.posexplode(chunks).alias("chunk_id", "chunk_val"))
+    )
+    idx = spark.read.parquet(index_path)
+    cand = (
+        idx.join(probes, ["chunk_id", "chunk_val"])
+        .select("query_id", "qe", "qsk", "vec_id", "label", "embedding", "sketch")
+        .dropDuplicates(["query_id", "vec_id"])
+        .filter(F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsk"))) <= radius)
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "label", "cos")
+    )
+
+
+def q_sim_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for `sim_ann_lsh_batch`: top-5 neighbors for the first
+    20 corpus vectors in one joined probe against the bucketed index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _lsh_index_for(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_probe_batch(spark, idx, queries, k=5, radius=4)
+
+
 def _cos_py(a: list[float], b: list[float]) -> float:
     dot = sum(x * y for x, y in zip(a, b))
     na = sum(x * x for x in a) ** 0.5
@@ -444,16 +515,15 @@ def ivf_probe(
 _IVF_INDEX: dict[tuple, str] = {}
 
 
-def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-keyed per-process IVF index cache: if the fixture is
+    regenerated in place, a stale on-disk index from a previous process
+    must NOT be reused (the IVF queries have no oracle, so outdated
+    neighbors would go unnoticed)."""
     import hashlib
     import os
     import tempfile
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # cache key includes a source fingerprint (mtime+size of the embeddings
-    # parquet): if the fixture is regenerated in place, a stale on-disk index
-    # from a previous process must NOT be reused (sim_ann_ivf has no oracle,
-    # so outdated neighbors would go unnoticed)
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 16, 42)
     path = _IVF_INDEX.get(key)
@@ -462,18 +532,65 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             tempfile.gettempdir(),
             "realparse_ivf_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
         )
-        build_ivf_index(emb, path, n_centroids=16, seed=42)
+        build_ivf_index(load_table(spark, sf_dir, "embeddings"), path, n_centroids=16, seed=42)
         _IVF_INDEX[key] = path
+    return path
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivf_index_for(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding]
     return ivf_probe(spark, path, qv, k=10, n_probe=4, exclude_vec_id=0)
+
+
+def knn_join_ivf(spark: SparkSession, index_path: str, k: int = 3) -> DataFrame:
+    """Batch k-NN with the IVF centroid id as the block key — the 100 TB
+    block key that `knn_join`'s docstring promises (`label` is the fixture
+    stand-in).  Reads the partitioned IVF vector layout; the self-join on
+    `centroid_id` bounds pairwise work to |block|² per centroid block, and
+    blocks stay balanced because KMeans sizes them from the data (vs a
+    categorical label whose block sizes the pipeline doesn't control).
+    Approximate at block boundaries — recall-gated in tests."""
+    import os
+
+    vecs = spark.read.parquet(os.path.join(index_path, "vectors"))
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), "centroid_id", F.col("embedding").alias("ea")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), "centroid_id", F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cos").desc(), F.col("vec_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_a", "rk", "vec_b", "centroid_id", "cos")
+    )
+
+
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_join_ivf(spark, _ivf_index_for(spark, sf_dir), k=3)
 
 
 QUERIES = {
     "sim_topk_cosine": q_sim_topk,
     "sim_topk_cosine_arrow": q_sim_topk_arrow,
     "sim_ann_lsh": q_sim_ann,
+    "sim_ann_lsh_batch": q_sim_ann_batch,
     "sim_ann_ivf": q_sim_ivf,
     "emb_knn_join": q_knn_join,
+    "emb_knn_join_ivf": q_knn_join_ivf,
 }
 
 ORACLES = {

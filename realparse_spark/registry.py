@@ -38,6 +38,8 @@ _MODULES = (
 _PRIORITY = (
     # new in round 5
     "multimodal_decode",
+    "sim_ann_lsh_batch",
+    "emb_knn_join_ivf",
     # green in earlier rounds but outside the r4 window
     "json_props",
     "sessionize",

@@ -106,6 +106,65 @@ def test_lsh_cache_invalidated_on_source_change(spark, sf_dir, tmp_path):
     assert len(keys2) == 2, "stale LSH index reused after source change"
 
 
+def test_lsh_batch_probe_matches_per_query(spark, sf_dir, tmp_path):
+    """The one-join batch probe must reproduce `lsh_probe` EXACTLY per
+    query (same buckets, same hamming filter, same re-rank tie-breaks) —
+    batching is a plan change, never a result change."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_probe,
+        lsh_probe_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_lsh_index(emb, str(tmp_path / "lsh_batch"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = lsh_probe_batch(spark, idx, queries, k=7, radius=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rk, r.vec_id, r.label, r.cos))
+    assert set(got) <= set(range(5))
+    for qid in range(5):
+        row = emb.filter(F.col("vec_id") == qid).select("embedding").head()
+        single = lsh_probe(
+            spark, idx, [float(x) for x in row.embedding], k=7, radius=4,
+            exclude_vec_id=qid,
+        ).collect()
+        expect = [(i + 1, r.vec_id, r.label, r.cos) for i, r in enumerate(single)]
+        assert sorted(got.get(qid, [])) == sorted(expect), qid
+
+
+def test_knn_join_ivf_recall(spark, sf_dir, tmp_path):
+    """Centroid-blocked batch k-NN (the documented 100 TB block key) must
+    recall a healthy share of the exact all-pairs top-k despite block
+    boundaries."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.similarity import build_ivf_index, knn_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, str(tmp_path / "ivf_knn"), n_centroids=8, seed=42)
+    approx = {}
+    for r in knn_join_ivf(spark, idx, k=3).collect():
+        approx.setdefault(r.vec_a, set()).add(r.vec_b)
+    # near-total coverage: only singleton centroid blocks (no in-block
+    # pairs) may drop out — an inherent blocking property, not a bug
+    assert len(approx) >= 0.99 * emb.count()
+
+    # exact top-3 for a sample of query vectors via brute force
+    sample_ids = list(range(0, 40, 4))
+    hits = total = 0
+    for qid in sample_ids:
+        exact = [r.vec_id for r in topk_cosine(emb, query_vec_id=qid, k=3).collect()]
+        total += len(exact)
+        hits += len(set(exact) & approx.get(qid, set()))
+    assert hits / total >= 0.3, (hits, total)
+
+
 def test_ann_scores_match_exact_for_common_hits(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {r.vec_id: r.cos for r in topk_cosine(emb, query_vec_id=0, k=10).collect()}
