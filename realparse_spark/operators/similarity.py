@@ -380,12 +380,15 @@ def lsh_probe_batch(
     Each query row (query_id, embedding) is sketched JVM-side and exploded
     into its radius+1 pigeonhole (chunk_id, chunk_val) probe keys; ONE
     equi-join against the bucketed index on those keys replaces |Q|
-    separate lookups.  At 100 TB the join shuffles only the probe rows and
-    the touched buckets — candidate work is Σ|bucket| over probed buckets,
-    never |Q| × corpus.  Dedup of multi-chunk matches, the exact hamming
-    filter, and the per-query top-k window (partitioned by query_id — a
-    uniform key, no skew) complete the re-rank.  Per-query results are
-    IDENTICAL to `lsh_probe` at the same radius (parity test-pinned)."""
+    separate lookups.  For small batches Spark inserts DYNAMIC partition
+    pruning on the index scan (the probe side broadcasts and chunk_id /
+    chunk_val are partition columns — gate-pinned in tests); for large
+    batches the shuffle join reads each touched bucket once — either way
+    candidate work is Σ|bucket| over probed buckets, never |Q| × corpus.
+    Dedup of multi-chunk matches, the exact hamming filter, and the
+    per-query top-k window (partitioned by query_id — a uniform key, no
+    skew) complete the re-rank.  Per-query results are IDENTICAL to
+    `lsh_probe` at the same radius (parity test-pinned)."""
     if radius >= N_CHUNKS:
         raise ValueError(f"index supports radius <= {N_CHUNKS - 1}, got {radius}")
     planes = _hyperplanes()

@@ -125,7 +125,15 @@ def test_lsh_batch_probe_matches_per_query(spark, sf_dir, tmp_path):
     )
     batch = lsh_probe_batch(spark, idx, queries, k=7, radius=4)
     got = {}
-    for r in batch.collect():
+    collected = batch.collect()
+    # small query batches: Spark inserts DYNAMIC partition pruning on the
+    # bucketed index scan (chunk_id/chunk_val are partition columns and the
+    # probe side broadcasts) — the batch path is an index lookup too, not
+    # a full index scan
+    from realparse_spark.plans import explain as X
+
+    assert "dynamicpruning" in X.executed_plan(batch).lower()
+    for r in collected:
         got.setdefault(r.query_id, []).append((r.rk, r.vec_id, r.label, r.cos))
     assert set(got) <= set(range(5))
     for qid in range(5):
