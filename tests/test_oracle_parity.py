@@ -37,7 +37,9 @@ def test_all_queries_have_oracle_or_reason():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "sim_ann_lsh",
+        "sim_ann_lsh_batch",  # approximate; exact per-query parity gate vs lsh_probe
         "sim_ann_ivf",
+        "emb_knn_join_ivf",  # approximate (block boundaries); recall-gated
         "approx_distinct",
         "approx_quantiles",
     }
