@@ -303,7 +303,10 @@ def lsh_probe(
     planes = _hyperplanes()
     qsk = _sketch_py(query_vec, planes)
     pred = None
-    for i, (off, size) in enumerate(_chunk_bounds()):
+    # ANY radius+1 chunks suffice: a candidate within hamming <= radius
+    # mismatches at most radius chunks, so among any radius+1 of them at
+    # least one matches exactly — smaller radii probe fewer buckets
+    for i, (off, size) in enumerate(_chunk_bounds()[: radius + 1]):
         clause = (F.col("chunk_id") == i) & (
             F.col("chunk_val") == ((qsk >> off) & ((1 << size) - 1))
         )
@@ -392,10 +395,11 @@ def lsh_probe_batch(
     if radius >= N_CHUNKS:
         raise ValueError(f"index supports radius <= {N_CHUNKS - 1}, got {radius}")
     planes = _hyperplanes()
+    # same any-(radius+1)-chunks-suffice bound as lsh_probe
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("qsk"), off).bitwiseAND(F.lit((1 << size) - 1))
-            for off, size in _chunk_bounds()
+            for off, size in _chunk_bounds()[: radius + 1]
         ]
     )
     probes = (

@@ -66,6 +66,22 @@ def test_lsh_probe_pruned_and_identical_to_scan(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in scan.collect()]
 
 
+def test_lsh_probe_smaller_radius_fewer_buckets_same_results(spark, sf_dir, tmp_path):
+    """radius < N_CHUNKS-1 probes only radius+1 buckets (any radius+1
+    chunks satisfy the pigeonhole bound) — and must STILL match the
+    full-scan result exactly at that radius."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.similarity import build_lsh_index, lsh_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_lsh_index(emb, str(tmp_path / "lsh_r2"))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding]
+    probed = lsh_probe(spark, idx, qv, k=10, radius=2, exclude_vec_id=0)
+    scan = ann_lsh_topk(emb, query_vec_id=0, k=10, radius=2)
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in scan.collect()]
+
+
 def test_lsh_probe_radius_bound(spark, sf_dir, tmp_path):
     import pytest
     from pyspark.sql import functions as F
