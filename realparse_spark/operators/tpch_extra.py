@@ -1,0 +1,331 @@
+"""Five more classic TPC-H query shapes over the fixture star schema —
+each one a DISTINCT physical-plan pattern the engine must handle at 100 TB
+(SURVEY.md §2.5-2.6 extensions; the reference's report stage,
+``real_parse.pl:120-196``, is the degenerate 1-table version of these):
+
+- Q12 analog (``q12_priority_class``): big⋈big equi-join feeding a
+  conditional CASE aggregation with a tiny key space.
+- Q14 analog (``q14_promo_revenue``): fact⋈broadcast-dim join into a
+  single-row conditional ratio.
+- Q15 analog (``q15_top_supplier``): aggregate → scalar max → join-back
+  (argmax without a global sort).
+- Q17 analog (``q17_small_qty_revenue``): per-group average join-back
+  (correlated scalar subquery decorrelated by hand).
+- Q22 analog (``q22_idle_balance``): scalar threshold + anti-join.
+
+All math is exact-decimal until the final cast so the DuckDB oracle
+hash-matches bit-for-bit; ratios are computed double-then-round(4) with the
+identical association order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realparse_spark.sources.tables import load_table
+
+
+def _rev_dec() -> F.Column:
+    """Exact line revenue: extprice*(1-discount) as decimal(18,4) —
+    the same expression every revenue query in this repo uses."""
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: priority class by line status
+# ---------------------------------------------------------------------------
+
+def q12_priority_class(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Urgent-vs-other order counts per lineitem status for one ship year.
+
+    Plan at scale: the shipdate range filter is pushed to the lineitem
+    parquet scan (only ~1/7 of the fact survives), then ONE shuffle
+    equi-join on orderkey — both sides hash-partition; no dim is small
+    enough to broadcast, so this is the canonical big⋈big shape.  The
+    CASE aggregation collapses to 2 groups with map-side partial agg, so
+    the final exchange moves a handful of rows."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    l = lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(orders, l.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q12_priority_class(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+Q12_PRIORITY_CLASS_SQL = """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promotion revenue share
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Share of one month's revenue from PROMO-type parts, as a single
+    row.  Plan at scale: the one-month shipdate filter prunes the fact
+    scan; ``part`` is a true dimension (|parts| ≪ |lineitem|) so the join
+    broadcasts — no shuffle of the fact at all; the conditional sums run
+    map-side and reduce to one row.  Both sums stay decimal until the
+    final double division, which is round(4)ed with the same association
+    order as the oracle."""
+    lo = F.lit("1997-09-01").cast("timestamp")
+    hi = F.lit("1997-10-01").cast("timestamp")
+    l = lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    rev = _rev_dec()
+    agg = (
+        l.join(F.broadcast(part), l.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("_p"),
+            F.sum(rev).alias("_t"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * (F.col("_p").cast("double") / F.col("_t").cast("double")), 4
+        ).alias("promo_revenue_pct"),
+        F.col("_p").cast("double").alias("promo_revenue"),
+        F.col("_t").cast("double").alias("total_revenue"),
+    )
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q14_promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+Q14_PROMO_REVENUE_SQL = """
+WITH a AS (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS p,
+    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS t
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+)
+SELECT round(100.0 * (CAST(p AS DOUBLE) / CAST(t AS DOUBLE)), 4) AS promo_revenue_pct,
+  CAST(p AS DOUBLE) AS promo_revenue,
+  CAST(t AS DOUBLE) AS total_revenue
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier by quarterly revenue (argmax via join-back)
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Supplier(s) with the maximum revenue for one quarter.
+
+    Plan at scale: per-supplier revenue is ONE shuffle over the
+    date-pruned fact (map-side partial sums); the max is a 1-row
+    aggregate of that |suppliers|-row table, broadcast back as a
+    cross-join literal — the argmax never needs a global sort, and ties
+    are kept (revenue compared as exact decimal, not double).  The
+    supplier dim broadcasts onto the ≤|ties| surviving rows."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    l = lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    rev = (
+        l.groupBy("l_suppkey").agg(F.sum(_rev_dec()).alias("_rev"))
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q15_top_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: small-quantity-order revenue (per-group average join-back)
+# ---------------------------------------------------------------------------
+
+def q17_small_qty_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders (below 20% of
+    the part's average order quantity) for one brand went unfilled.
+
+    TPC-H writes this as a correlated scalar subquery; here it is
+    decorrelated by hand the way Catalyst would: the brand's partkeys
+    broadcast-semi-prune BOTH lineitem passes first (so the per-part
+    average is computed over only ~1/25 of parts, never the full fact),
+    then the per-part thresholds — a |brand parts|-row table — broadcast
+    back onto the pruned fact.  Thresholds are derived sum/count in
+    exact decimal, divided in double with the oracle's association
+    order."""
+    pk = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    l = lineitem.join(F.broadcast(pk), lineitem.l_partkey == pk.p_partkey).drop(
+        "p_partkey"
+    )
+    th = l.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("_th")
+    )
+    return (
+        l.join(F.broadcast(th), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_th"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q17_small_qty_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+Q17_SMALL_QTY_REVENUE_SQL = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+l AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN pk ON l_partkey = p_partkey
+),
+th AS (
+  SELECT l_partkey,
+    0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS th
+  FROM l GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM l JOIN th USING (l_partkey)
+WHERE l_quantity < th
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: idle customers with above-average balance (anti-join)
+# ---------------------------------------------------------------------------
+
+def q22_idle_balance(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-nation count and total balance of customers whose balance beats
+    the positive-balance average and who have never ordered.
+
+    Plan at scale: the threshold is a 1-row exact-decimal aggregate of
+    the customer dim, broadcast as a cross-join literal; the survivors
+    anti-join orders on custkey — Spark needs only the orders custkey
+    column (column pruning reaches the scan) and the anti-join
+    hash-partitions both sides once.  The final per-nation agg is a
+    handful of groups with map-side partials."""
+    thr = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    return (
+        customer.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q22_idle_balance(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+Q22_IDLE_BALANCE_SQL = """
+WITH thr AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+  count(*) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, thr
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+QUERIES = {
+    "q12_priority_class": q_q12_priority_class,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q22_idle_balance": q_q22_idle_balance,
+}
+
+ORACLES = {
+    "q12_priority_class": Q12_PRIORITY_CLASS_SQL,
+    "q14_promo_revenue": Q14_PROMO_REVENUE_SQL,
+    "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
+    "q17_small_qty_revenue": Q17_SMALL_QTY_REVENUE_SQL,
+    "q22_idle_balance": Q22_IDLE_BALANCE_SQL,
+}

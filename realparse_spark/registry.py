@@ -26,6 +26,7 @@ _MODULES = (
     "realparse_spark.operators.advanced",
     "realparse_spark.operators.privacy",
     "realparse_spark.operators.analytics",
+    "realparse_spark.operators.tpch_extra",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so
@@ -37,6 +38,11 @@ _MODULES = (
 # in-repo parity suite each session).
 _PRIORITY = (
     # new in round 5
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_idle_balance",
     "multimodal_decode",
     "sim_ann_lsh_batch",
     "emb_knn_join_ivf",
