@@ -268,6 +268,70 @@ GROUP BY name
 )
 
 
+def q_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the oracle (§2.8): split the
+    events table into a view stream and a purchase stream, run the
+    watermarked symmetric-hash join (`pipeline.stream_view_purchase_join`)
+    with availableNow, and aggregate the attribution pairs per user.
+
+    Determinism contract: inner stream-stream matches emit eagerly (no
+    watermark wait), so after one availableNow run the sink holds exactly
+    the batch join of the two inputs — the oracle recomputes that join in
+    SQL over the same events parquet.  Lags sum as integer MICROSECONDS
+    (`unix_micros`/`epoch_us`) because the fixture timestamps are
+    µs-granular and float-seconds sums would be order-sensitive."""
+    from realparse_spark.streaming.pipeline import stream_view_purchase_join
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="realparse_stream_join_")
+    try:
+        views_dir = os.path.join(root, "views")
+        buys_dir = os.path.join(root, "buys")
+        out = os.path.join(root, "out")
+        ck = os.path.join(root, "ck")
+
+        events.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("view_ts")
+        ).write.parquet(views_dir)
+        events.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("buy_ts"), "value"
+        ).write.parquet(buys_dir)
+
+        stream_view_purchase_join(spark, views_dir, buys_dir, out, ck).awaitTermination()
+
+        sink = spark.read.parquet(out)
+        res = (
+            sink.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.unix_micros("buy_ts") - F.unix_micros("view_ts"))
+                .cast("bigint")
+                .alias("sum_lag_us"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .orderBy("user_id")
+        )
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_JOIN_E2E_SQL = """
+WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+b AS (SELECT user_id, ts AS buy_ts, value FROM events WHERE event_type = 'purchase')
+SELECT v.user_id,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(epoch_us(buy_ts) - epoch_us(view_ts)) AS BIGINT) AS sum_lag_us,
+  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM v JOIN b ON v.user_id = b.user_id
+  AND buy_ts >= view_ts AND buy_ts < view_ts + INTERVAL 2 HOUR
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
 # The streaming lifecycle's contract is identical to the batch loader's:
 # after both runs every synthesized line is in the warehouse exactly once,
 # so the oracle IS the load_e2e oracle (aggregate the lines directly).
@@ -275,9 +339,11 @@ QUERIES = {
     "stream_load_e2e": q_stream_load_e2e,
     "stream_window_e2e": q_stream_window_e2e,
     "stream_upsert_e2e": q_stream_upsert_e2e,
+    "stream_join_e2e": q_stream_join_e2e,
 }
 ORACLES = {
     "stream_load_e2e": LOAD_E2E_SQL,
     "stream_window_e2e": STREAM_WINDOW_E2E_SQL,
     "stream_upsert_e2e": STREAM_UPSERT_E2E_SQL,
+    "stream_join_e2e": STREAM_JOIN_E2E_SQL,
 }

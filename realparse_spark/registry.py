@@ -43,6 +43,7 @@ _PRIORITY = (
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q22_idle_balance",
+    "stream_join_e2e",
     "multimodal_decode",
     "sim_ann_lsh_batch",
     "emb_knn_join_ivf",

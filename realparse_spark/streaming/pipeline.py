@@ -181,6 +181,79 @@ def stream_dedup_docs(
     )
 
 
+def stream_view_purchase_join(
+    spark: SparkSession,
+    views_dir: str,
+    buys_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    within: str = "2 hours",
+):
+    """Watermarked stream-stream interval join (§2.8's last gap: the
+    reference correlates rows only within one table; correlating two LIVE
+    streams — view→purchase attribution — needs Spark's symmetric-hash
+    stream join).  Both sides carry event-time watermarks and the join
+    predicate time-bounds ``buy_ts`` within ``[view_ts, view_ts+within)``:
+    Spark derives eviction for BOTH join state buffers from the bound +
+    watermarks, so state is O(rows inside the interval), never O(stream).
+    Inner matches emit as soon as both rows have arrived (no watermark
+    wait), so the sink equals the batch join of the same inputs — which is
+    exactly what the DuckDB oracle recomputes."""
+    v = (
+        spark.readStream.schema(spark.read.parquet(views_dir).schema)
+        .parquet(views_dir)
+        .withWatermark("view_ts", within)
+    )
+    b = (
+        spark.readStream.schema(spark.read.parquet(buys_dir).schema)
+        .parquet(buys_dir)
+        .withWatermark("buy_ts", within)
+    )
+    joined = v.join(
+        b,
+        (v.user_id == b.user_id)
+        & (b.buy_ts >= v.view_ts)
+        & (b.buy_ts < v.view_ts + F.expr(f"interval {within}")),
+    ).select(v.user_id, "view_ts", "buy_ts", "value")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_enrich_access(
+    spark: SparkSession,
+    log_dir: str,
+    dim: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    prefix: str = "rmaccess",
+):
+    """Stream-static enrichment join: every micro-batch joins the live
+    stream against a STATIC dimension (the reference's customers table,
+    real_parse.pl:134-141, but joined during ingest instead of at report
+    time).  The static side is planned per micro-batch — a broadcast hash
+    join when the dim is small — and requires no watermark or state: this
+    is the cheap join shape and the default for fact⋈dim at ingest."""
+    lines = stream_log_lines(spark, log_dir, prefix)
+    events = parsed_stream(lines).select(
+        "client_ip_address", "event_ts", "name", "bytes_sent"
+    )
+    enriched = events.join(F.broadcast(dim), "client_ip_address", "left")
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     log_dir: str,

@@ -180,3 +180,72 @@ def test_stream_sessionize(spark, stream_log_dir, tmp_path):
     by_ip = {(r.client_ip_address, r.n_events) for r in rows}
     # ip1: events at 09:00, 09:10 then 14:00 -> first session (2 events) closed
     assert ("10.0.0.1", 2) in by_ip
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch join of the same inputs (inner matches emit eagerly; the time
+    bound only governs state eviction)."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.streaming.pipeline import stream_view_purchase_join
+
+    views = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 13:00:00"),
+            (2, "2024-01-01 10:30:00"),
+            (3, "2024-01-01 09:00:00"),
+        ],
+        "user_id int, view_ts string",
+    ).select("user_id", F.to_timestamp("view_ts").alias("view_ts"))
+    buys = spark.createDataFrame(
+        [
+            (1, "2024-01-01 11:00:00", 5.0),   # joins 10:00 view only
+            (1, "2024-01-01 13:30:00", 7.0),   # joins 13:00 view only
+            (2, "2024-01-01 12:29:59", 9.0),   # inside the 2h bound
+            (2, "2024-01-01 12:30:00", 9.5),   # exactly at bound -> excluded
+            (3, "2024-01-01 08:00:00", 1.0),   # before the view -> excluded
+            (4, "2024-01-01 10:00:00", 2.0),   # no matching view user
+        ],
+        "user_id int, buy_ts string, value double",
+    ).select("user_id", F.to_timestamp("buy_ts").alias("buy_ts"), "value")
+
+    vd, bd = str(tmp_path / "v"), str(tmp_path / "b")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    views.write.parquet(vd)
+    buys.write.parquet(bd)
+
+    q = stream_view_purchase_join(spark, vd, bd, out, ck, within="2 hours")
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, str(r.view_ts), str(r.buy_ts), r.value)
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        (1, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 5.0),
+        (1, "2024-01-01 13:00:00", "2024-01-01 13:30:00", 7.0),
+        (2, "2024-01-01 10:30:00", "2024-01-01 12:29:59", 9.0),
+    }
+    assert got == expect
+
+
+def test_stream_static_enrich_join(spark, stream_log_dir, tmp_path):
+    """Stream-static join: each micro-batch joins against the broadcast
+    static dim; unmatched stream rows keep NULL dim columns (left join)."""
+    from realparse_spark.streaming.pipeline import stream_enrich_access
+
+    dim = spark.createDataFrame(
+        [("10.0.0.1", "Acme"), ("10.0.0.9", "Ghost")],
+        "client_ip_address string, company_name string",
+    )
+    out, ck = str(tmp_path / "eout"), str(tmp_path / "eck")
+    q = stream_enrich_access(spark, str(stream_log_dir), dim, out, ck)
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(out)
+    rows = {(r.client_ip_address, r.company_name) for r in back.collect()}
+    assert ("10.0.0.1", "Acme") in rows
+    assert ("10.0.0.2", None) in rows  # no dim row -> NULL, row kept
+    assert back.count() == 4  # every parsed line survives the left join
