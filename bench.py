@@ -61,6 +61,13 @@ EXTRA = [
     "q3_shipping_priority", # TPC-H Q3 shape (broadcast dim + TakeOrdered)
     "sim_ann_lsh",          # bucketed LSH probe (cold = index build, warm = pruned lookup)
     "multimodal_decode",    # real PPM/BMP encode->decode round trip (Arrow kernel)
+    "sim_ann_lsh_batch",    # many-query probe in ONE equi-join vs the LSH index
+    "emb_knn_join_ivf",     # centroid-blocked batch k-NN
+    "q12_priority_class",   # TPC-H Q12 shape (big-big equi-join into CASE agg)
+    "q14_promo_revenue",    # TPC-H Q14 shape (broadcast dim + conditional ratio)
+    "q15_top_supplier",     # TPC-H Q15 shape (argmax via scalar-max join-back)
+    "q17_small_qty_revenue",  # TPC-H Q17 shape (per-group avg join-back)
+    "q22_idle_balance",     # TPC-H Q22 shape (scalar threshold + anti-join)
 ]
 
 
