@@ -285,3 +285,52 @@ def test_boilerplate_single_explode(spark, queries):
     df = queries["text_boilerplate"](spark, SF)
     assert X.executed_plan(df).count("Generate explode") == 1
     assert X.python_eval_nodes(df) == 0
+
+
+def test_q12_pushes_year_filter_no_python(spark, queries):
+    df = queries["q12_priority_class"](spark, SF)
+    # the ship-year range must reach the lineitem scan
+    assert X.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert X.has_pushed_filter(df, "LessThan(l_shipdate")
+    assert X.python_eval_nodes(df) == 0
+    # orderkey join + tiny-keyspace agg + final sort — shuffles stay bounded
+    assert X.count_shuffles(df) <= 4
+
+
+def test_q14_broadcasts_part_dim(spark, queries):
+    df = queries["q14_promo_revenue"](spark, SF)
+    # part is a dim: the fact side must never shuffle for the join
+    assert X.broadcast_join_count(df) >= 1
+    assert X.sortmerge_join_count(df) == 0
+    assert X.has_pushed_filter(df, "l_shipdate")
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_q15_argmax_without_global_sort(spark, queries):
+    df = queries["q15_top_supplier"](spark, SF)
+    plan = X.executed_plan(df)
+    # the scalar max joins back as a broadcast, never via a global sort of
+    # the revenue table (the orderBy sorts only the <=|ties| survivors)
+    assert X.broadcast_join_count(df) >= 2  # max row + supplier dim
+    assert "CartesianProduct" not in plan
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_q17_semi_prunes_fact_before_avg(spark, queries):
+    df = queries["q17_small_qty_revenue"](spark, SF)
+    # both lineitem passes join the broadcast brand keyset; thresholds
+    # broadcast back — no sort-merge join anywhere in this shape
+    assert X.broadcast_join_count(df) >= 2
+    assert X.sortmerge_join_count(df) == 0
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_q22_anti_join_prunes_orders_columns(spark, queries):
+    df = queries["q22_idle_balance"](spark, SF)
+    plan = X.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # the anti-join needs only o_custkey: column pruning must reach the scan
+    schemas = X.read_schemas(df)
+    orders_schemas = [s for s in schemas if "o_custkey" in s]
+    assert orders_schemas and all("o_totalprice" not in s for s in orders_schemas)
+    assert X.python_eval_nodes(df) == 0
