@@ -590,8 +590,141 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# partial-aggregate merge: incremental rollup maintenance
+# ---------------------------------------------------------------------------
+
+def merge_partials(hourly: DataFrame) -> DataFrame:
+    """Merge hourly partial aggregates into daily rollups WITHOUT touching
+    raw events — count/sum/min/max are algebraic, so partials merge by
+    re-aggregation and the average derives from the merged sums.  This is
+    how a 100 TB hypertable maintains rollups: the nightly job merges the
+    day's hourly partials (|hours|·|types| rows), never re-scanning
+    history; a late partition re-merges one day, not the corpus.  Sums
+    stay exact decimal until the final cast."""
+    return (
+        hourly.groupBy(F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").alias("_s"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("_s").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+            F.round(F.col("_s").cast("double") / F.col("n_events"), 6).alias("avg_value"),
+        )
+    )
+
+
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return merge_partials(hourly).orderBy("day", "event_type")
+
+
+ROLLUP_MERGE_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+    count(*) AS n,
+    sum(CAST(value AS DECIMAL(18,4))) AS s,
+    min(value) AS mn,
+    max(value) AS mx
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
+  CAST(sum(n) AS BIGINT) AS n_events,
+  CAST(sum(s) AS DOUBLE) AS sum_value,
+  min(mn) AS min_value,
+  max(mx) AS max_value,
+  round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS avg_value
+FROM hourly GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact-math trend regression: per-type OLS slope over event time
+# ---------------------------------------------------------------------------
+
+def trend_slopes(events: DataFrame) -> DataFrame:
+    """Per-type least-squares slope of `value` over time, with every
+    moment accumulated as EXACT decimal — the distributed-regression trap
+    is float partial sums, whose per-partition order changes run to run
+    (and engine to engine); decimal Σx/Σy/Σxy/Σx² are associative, so the
+    slope is bit-reproducible at any partitioning.  x is integer seconds
+    from the corpus start (a broadcast scalar), keeping x² within
+    decimal(38) headroom at any realistic span.  One shuffle (the
+    per-type agg); the final formula is a 5-row projection."""
+    m0 = events.agg(F.min(F.unix_micros("ts")).alias("_m0"))
+    e = events.crossJoin(F.broadcast(m0)).select(
+        "event_type",
+        F.expr("(unix_micros(ts) - _m0) div 1000000").cast("decimal(19,0)").alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(num / den, 6).alias("slope_per_sec"),
+    ).orderBy("event_type")
+
+
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trend_slopes(load_table(spark, sf_dir, "events"))
+
+
+TREND_SLOPES_SQL = """
+WITH m AS (SELECT min(epoch_us(ts)) AS m0 FROM events),
+e AS (
+  SELECT event_type,
+    CAST((epoch_us(ts) - m0) // 1000000 AS DECIMAL(19,0)) AS x,
+    CAST(value AS DECIMAL(18,6)) AS y
+  FROM events, m
+),
+a AS (
+  SELECT event_type,
+    count(*) AS n,
+    sum(x) AS sx,
+    sum(y) AS sy,
+    sum(x * y) AS sxy,
+    sum(x * x) AS sxx
+  FROM e GROUP BY event_type
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_events,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_per_sec
+FROM a
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_retention": q_events_retention,
+    "rollup_merge": q_rollup_merge,
+    "trend_slopes": q_trend_slopes,
     "event_zscore": q_event_zscore,
     "q3_shipping_priority": q_q3_shipping_priority,
     "big_spender_orders": q_big_spender_orders,
@@ -604,6 +737,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rollup_merge": ROLLUP_MERGE_SQL,
+    "trend_slopes": TREND_SLOPES_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,
     "table_profile": TABLE_PROFILE_SQL,

@@ -44,6 +44,8 @@ _PRIORITY = (
     "q17_small_qty_revenue",
     "q22_idle_balance",
     "stream_join_e2e",
+    "rollup_merge",
+    "trend_slopes",
     "multimodal_decode",
     "sim_ann_lsh_batch",
     "emb_knn_join_ivf",

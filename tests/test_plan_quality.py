@@ -334,3 +334,21 @@ def test_q22_anti_join_prunes_orders_columns(spark, queries):
     orders_schemas = [s for s in schemas if "o_custkey" in s]
     assert orders_schemas and all("o_totalprice" not in s for s in orders_schemas)
     assert X.python_eval_nodes(df) == 0
+
+
+def test_rollup_merge_two_level_agg_no_python(spark, queries):
+    df = queries["rollup_merge"](spark, SF)
+    # hourly partial + daily merge + final sort: nothing else shuffles
+    assert X.count_shuffles(df) <= 3
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_trend_slopes_single_group_exchange(spark, queries):
+    df = queries["trend_slopes"](spark, SF)
+    plan = X.executed_plan(df)
+    # the scalar corpus-start joins as a broadcast, not a cartesian
+    assert "CartesianProduct" not in plan
+    # per-type agg + final 5-row sort + the 1-row scalar's SinglePartition
+    # and broadcast nodes — count_shuffles counts all four Exchange markers
+    assert X.count_shuffles(df) <= 4
+    assert X.python_eval_nodes(df) == 0
