@@ -68,6 +68,8 @@ EXTRA = [
     "q15_top_supplier",     # TPC-H Q15 shape (argmax via scalar-max join-back)
     "q17_small_qty_revenue",  # TPC-H Q17 shape (per-group avg join-back)
     "q22_idle_balance",     # TPC-H Q22 shape (scalar threshold + anti-join)
+    "rollup_merge",         # hourly->daily partial-aggregate merge
+    "trend_slopes",         # exact-decimal OLS slope per type
 ]
 
 
