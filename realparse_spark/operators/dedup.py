@@ -486,7 +486,12 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+    # the synthetic embeddings carry NO true near-dups (max within-label
+    # cosine ~0.47 at every sf), so the production 0.9 threshold would
+    # return an always-empty result — verifiable but vacuous.  0.35 keeps
+    # the same blocked-pairwise plan while producing a non-empty,
+    # hash-compared pair set at all three fixture scales (14/26/391 rows).
+    return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 DEDUP_EMBEDDING_SQL = r"""
@@ -500,7 +505,7 @@ pairs AS (
          * sqrt(list_aggregate(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos
   FROM a JOIN b ON a.label = b.label AND vec_a < vec_b
 )
-SELECT label, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.9
+SELECT label, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35
 """
 
 
