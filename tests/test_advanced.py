@@ -135,3 +135,52 @@ def test_surrogate_ids_empty_and_skewed_keys(spark, tmp_path):
 
     ids = sorted(r.surrogate_id for r in surrogate_keys(spark, skew_sf).collect())
     assert ids == list(range(1, len(keys) + 1))
+
+
+def test_rollup_merge_equals_direct_daily_agg(spark):
+    """The algebraic-merge contract: daily rollups produced by merging
+    hourly partials must equal the daily aggregate computed directly from
+    raw events — for count/sum/min/max AND the derived average."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.analytics import merge_partials
+    from realparse_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    merged = {(r.day, r.event_type): r for r in merge_partials(hourly).collect()}
+
+    direct = events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    rows = direct.collect()
+    assert len(rows) == len(merged) > 0
+    for r in rows:
+        m = merged[(r.day, r.event_type)]
+        assert m.n_events == r.n_events
+        assert m.sum_value == r.sum_value  # decimal-exact, so == holds on doubles
+        assert m.min_value == r.min_value and m.max_value == r.max_value
+        assert m.avg_value == round(r.sum_value / r.n_events, 6)
+
+
+def test_trend_slopes_invariant_under_partitioning(spark):
+    """The bit-reproducibility claim: decimal moment sums are associative,
+    so the OLS slope must be IDENTICAL (==, not approx) whether the events
+    arrive in 1 partition or 32."""
+    from realparse_spark.operators.analytics import trend_slopes
+    from realparse_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    one = {r.event_type: r.slope_per_sec for r in trend_slopes(events.coalesce(1)).collect()}
+    many = {r.event_type: r.slope_per_sec for r in trend_slopes(events.repartition(32)).collect()}
+    assert one == many and len(one) == 5
