@@ -253,6 +253,138 @@ def decode_image(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, DECODE_SCHEMA)
 
 
+WAV_TYPE = "audio/wav"
+
+
+def _wav_bytes(doc_id: int, n_samples: int, sample_rate: int) -> bytes:
+    """A REAL RIFF/WAVE file: PCM 16-bit mono, deterministic samples
+    sample[i] = ((doc_id*131 + i*17) % 4096) - 2048.  Odd doc_ids carry an
+    extra LIST chunk between fmt and data, so a decoder that assumes a
+    fixed 44-byte layout (instead of walking chunks) breaks."""
+    import struct  # noqa: PLC0415 — executor-side import
+
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    i = np.arange(n_samples, dtype=np.int64)
+    pcm = ((doc_id * 131 + i * 17) % 4096 - 2048).astype("<i2").tobytes()
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    extra = b""
+    if doc_id % 2 == 1:
+        info = b"INFOISFT" + struct.pack("<I", 6) + b"synth\x00"
+        extra = b"LIST" + struct.pack("<I", len(info)) + info
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = b"WAVE" + fmt + extra + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_audio(docs: DataFrame) -> DataFrame:
+    """Fixture generator for the audio path (cf. `synthesize_images`):
+    n_samples = 256 + 32*(doc_id%8), sample_rate = 8000 + 1000*(doc_id%3)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                _wav_bytes(d, 256 + 32 * (d % 8), 8000 + 1000 * (d % 3))
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("abs_sum", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse RIFF/WAVE by WALKING the chunk list (honoring sizes and odd-
+    size padding) — never a fixed 44-byte offset.  PCM 16-bit mono only.
+    Returns (sample_rate, n_samples, abs_sum, peak); ValueError on
+    malformed or unsupported input."""
+    import struct  # noqa: PLC0415 — executor-side import
+
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    rate = None
+    pcm = None
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM 16-bit mono supported")
+        elif cid == b"data":
+            pcm = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # odd chunk sizes are padded
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    wide = pcm.astype(np.int64)
+    a = np.abs(wide)
+    return int(rate), int(pcm.size), int(a.sum()), int(a.max(initial=0))
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode stage (Arrow-batched `mapInPandas`), the WAV/PCM
+    sibling of `decode_image` — amplitude stats as exact integers so the
+    oracle can recompute them arithmetically."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "media_type": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "abs_sum": [],
+                "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, n, s, p = _decode_wav(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(WAV_TYPE)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["abs_sum"].append(s)
+                out["peak"].append(p)
+            yield pd.DataFrame(out).astype(
+                {
+                    "sample_rate": "int32",
+                    "n_samples": "int32",
+                    "abs_sum": "int64",
+                    "peak": "int32",
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling *plan* (video analog): one output row per sampled
     offset, computed with posexplode over a JVM-generated offset sequence —
@@ -357,13 +489,37 @@ GROUP BY d.doc_id
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio encode→decode round trip over REAL WAV bytes (the audio/wav
+    sibling of `multimodal_decode`): build a PCM file per doc — odd docs
+    with an extra LIST chunk — then decode by walking the RIFF chunks.
+    The oracle recomputes the amplitude arithmetic directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio(synthesize_audio(docs))
+
+
+MULTIMODAL_AUDIO_SQL = """
+SELECT d.doc_id,
+       'audio/wav' AS media_type,
+       CAST(8000 + 1000 * (d.doc_id % 3) AS INTEGER) AS sample_rate,
+       CAST(256 + 32 * (d.doc_id % 8) AS INTEGER) AS n_samples,
+       CAST(sum(abs((d.doc_id * 131 + t.i * 17) % 4096 - 2048)) AS BIGINT) AS abs_sum,
+       CAST(max(abs((d.doc_id * 131 + t.i * 17) % 4096 - 2048)) AS INTEGER) AS peak
+FROM documents d,
+     unnest(range(256 + 32 * (d.doc_id % 8))) AS t(i)
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
 }
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "multimodal_audio": MULTIMODAL_AUDIO_SQL,
 }

@@ -37,7 +37,8 @@ _MODULES = (
 # fell outside the r4 window (all driver-green in r1-r3 and re-verified by the
 # in-repo parity suite each session).  The list is EXACTLY 50 names; deferred
 # to the round-6 window: approx_distinct / approx_quantiles (rows-only, driver
-# rows in r1-r2) and datetime_roundtrip (r1-green, property-tested).
+# rows in r1-r2), datetime_roundtrip (r1-green, property-tested) and
+# sql_interface (r2-green; a thin SQL door over already-windowed paths).
 _PRIORITY = (
     # new in round 5
     "q12_priority_class",
@@ -48,6 +49,7 @@ _PRIORITY = (
     "stream_join_e2e",
     "rollup_merge",
     "trend_slopes",
+    "multimodal_audio",
     "multimodal_decode",
     "sim_ann_lsh_batch",
     "emb_knn_join_ivf",
@@ -76,7 +78,6 @@ _PRIORITY = (
     "value_histogram",
     "revenue_by_nation",
     "funnel_conversion",
-    "sql_interface",
     "emb_centroids",
     "above_avg_parts",
     "cube_agg",

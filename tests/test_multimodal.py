@@ -117,3 +117,55 @@ def test_frame_sample_plan(spark, sf_dir):
     one = frames.filter(F.col("doc_id") == 0).collect()
     assert [f.frame_no for f in one] == list(range(len(one)))
     assert all(f.byte_offset == i * 100 for i, f in enumerate(one))
+
+
+def test_wav_roundtrip_and_chunk_walk_local():
+    from realparse_spark.operators.multimodal import _decode_wav, _wav_bytes
+
+    # even doc_id: minimal layout (fmt then data)
+    rate, n, s, p = _decode_wav(_wav_bytes(4, 300, 9000))
+    assert (rate, n) == (9000, 300)
+    expect = [((4 * 131 + i * 17) % 4096) - 2048 for i in range(300)]
+    assert s == sum(abs(x) for x in expect)
+    assert p == max(abs(x) for x in expect)
+    # odd doc_id: extra LIST chunk between fmt and data — a decoder that
+    # assumes pixel data at byte 44 would read the LIST body as samples
+    rate, n, s, p = _decode_wav(_wav_bytes(5, 256, 8000))
+    assert (rate, n) == (8000, 256)
+    expect = [((5 * 131 + i * 17) % 4096) - 2048 for i in range(256)]
+    assert s == sum(abs(x) for x in expect)
+
+
+def test_wav_rejects_malformed_local():
+    import struct
+
+    from realparse_spark.operators.multimodal import _decode_wav, _wav_bytes
+
+    with pytest.raises(ValueError):
+        _decode_wav(b"RIFX" + b"\x00" * 40)  # wrong magic
+    # stereo claimed in fmt -> unsupported
+    stereo = bytearray(_wav_bytes(2, 64, 8000))
+    off = stereo.index(b"fmt ") + 8 + 2  # channels field
+    stereo[off:off + 2] = struct.pack("<H", 2)
+    with pytest.raises(ValueError):
+        _decode_wav(bytes(stereo))
+    # truncated before the data chunk -> missing data
+    head_only = _wav_bytes(2, 64, 8000)[:36]
+    with pytest.raises(ValueError):
+        _decode_wav(head_only)
+
+
+def test_decode_audio_distributed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.multimodal import decode_audio, synthesize_audio
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(24)
+    out = decode_audio(synthesize_audio(docs))
+    rows = out.orderBy("doc_id").collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert r.sample_rate == 8000 + 1000 * (r.doc_id % 3)
+        assert r.n_samples == 256 + 32 * (r.doc_id % 8)
+        assert 0 <= r.peak <= 2048
