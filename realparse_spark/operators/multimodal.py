@@ -385,6 +385,131 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, AUDIO_SCHEMA)
 
 
+Y4M_TYPE = "video/x-yuv4mpeg"
+
+
+def _y4m_bytes(doc_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """A REAL YUV4MPEG2 stream (the codec-free video container mpv/ffmpeg
+    emit): plain-text stream header, then per frame a FRAME marker and raw
+    C420 planes (Y then quarter-size U and V).  Luma byte f,i is
+    (doc_id*37 + f*11 + i*5) % 256; chroma is a different function so a
+    decoder that mis-skips planes produces wrong luma sums."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (width, height)
+    ny, nc = width * height, (width // 2) * (height // 2)
+    parts = [header]
+    for f in range(n_frames):
+        iy = np.arange(ny, dtype=np.int64)
+        y = ((doc_id * 37 + f * 11 + iy * 5) % 256).astype(np.uint8)
+        ic = np.arange(nc, dtype=np.int64)
+        c = ((doc_id * 13 + f * 7 + ic * 3) % 256).astype(np.uint8)
+        parts.append(b"FRAME\n" + y.tobytes() + c.tobytes() + c.tobytes())
+    return b"".join(parts)
+
+
+def synthesize_videos(docs: DataFrame) -> DataFrame:
+    """Fixture generator for the video path: width = 8 + 2*(doc_id%4),
+    height = 6 + 2*(doc_id%3) (both even — C420 needs it), frames =
+    2 + doc_id%3."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [
+                _y4m_bytes(d, 8 + 2 * (d % 4), 6 + 2 * (d % 3), 2 + d % 3)
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+    ]
+)
+
+
+def _decode_y4m(payload: bytes) -> list[tuple[int, int, int, int]]:
+    """Parse a YUV4MPEG2 stream: read W/H/C from the stream header, then
+    walk FRAME markers skipping each frame's Y+U+V planes by their C420
+    geometry.  Returns [(frame_no, width, height, y_sum)]; ValueError on
+    malformed input or non-C420 chroma."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    chroma = b"C420jpeg"
+    for tok in head[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok
+    if width is None or height is None:
+        raise ValueError("missing W/H in stream header")
+    if not chroma.startswith(b"C420"):
+        raise ValueError(f"unsupported chroma {chroma!r}")
+    ny, nc = width * height, (width // 2) * (height // 2)
+    frames: list[tuple[int, int, int, int]] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = payload.index(b"\n", pos) + 1  # frame params end at newline
+        y = np.frombuffer(payload, dtype=np.uint8, count=ny, offset=pos)
+        frames.append(
+            (len(frames), width, height, int(y.astype(np.int64).sum()))
+        )
+        pos += ny + 2 * nc  # skip Y + U + V
+    if not frames:
+        raise ValueError("no frames")
+    return frames
+
+
+def decode_video(df: DataFrame) -> DataFrame:
+    """REAL video decode stage (Arrow-batched `mapInPandas`): one output
+    row per FRAME with exact-integer luma stats — the fan-out shape a real
+    frame extractor has (rows multiply, so this runs AFTER any doc-level
+    filters; cf. `frame_sample_plan` for the pure-JVM addressing plan)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_no": [], "width": [], "height": [], "y_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for frame_no, w, h, s in _decode_y4m(bytes(payload)):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_no"].append(frame_no)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["y_sum"].append(s)
+            yield pd.DataFrame(out).astype(
+                {"frame_no": "int32", "width": "int32", "height": "int32", "y_sum": "int64"}
+            )
+
+    return df.mapInPandas(batches, VIDEO_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling *plan* (video analog): one output row per sampled
     offset, computed with posexplode over a JVM-generated offset sequence —
@@ -511,15 +636,45 @@ GROUP BY d.doc_id
 """
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video encode→decode round trip over REAL Y4M streams: one output
+    row per decoded FRAME with its exact luma sum.  The oracle recomputes
+    the per-frame arithmetic via a doc×frame×pixel unnest — any plane-skip
+    or marker-walk bug changes a luma sum and breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video(synthesize_videos(docs))
+
+
+MULTIMODAL_VIDEO_SQL = """
+WITH geo AS (
+  SELECT doc_id,
+         8 + 2 * (doc_id % 4) AS w,
+         6 + 2 * (doc_id % 3) AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents
+),
+f AS (SELECT geo.*, t.f FROM geo, unnest(range(nf)) AS t(f))
+SELECT f.doc_id,
+       CAST(f.f AS INTEGER) AS frame_no,
+       CAST(f.w AS INTEGER) AS width,
+       CAST(f.h AS INTEGER) AS height,
+       CAST(sum((f.doc_id * 37 + f.f * 11 + p.i * 5) % 256) AS BIGINT) AS y_sum
+FROM f, unnest(range(f.w * f.h)) AS p(i)
+GROUP BY f.doc_id, f.f, f.w, f.h
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_video": q_multimodal_video,
 }
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_audio": MULTIMODAL_AUDIO_SQL,
+    "multimodal_video": MULTIMODAL_VIDEO_SQL,
 }

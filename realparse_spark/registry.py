@@ -38,7 +38,8 @@ _MODULES = (
 # in-repo parity suite each session).  The list is EXACTLY 50 names; deferred
 # to the round-6 window: approx_distinct / approx_quantiles (rows-only, driver
 # rows in r1-r2), datetime_roundtrip (r1-green, property-tested) and
-# sql_interface (r2-green; a thin SQL door over already-windowed paths).
+# sql_interface (r2-green; a thin SQL door over already-windowed paths) and
+# set_ops (r1-green; union/intersect/except re-verified in-repo).
 _PRIORITY = (
     # new in round 5
     "q12_priority_class",
@@ -50,6 +51,7 @@ _PRIORITY = (
     "rollup_merge",
     "trend_slopes",
     "multimodal_audio",
+    "multimodal_video",
     "multimodal_decode",
     "sim_ann_lsh_batch",
     "emb_knn_join_ivf",
@@ -82,7 +84,6 @@ _PRIORITY = (
     "above_avg_parts",
     "cube_agg",
     "pivot_events",
-    "set_ops",
     "top_terms",
     "percentile_metrics",
     "sliding_window",

@@ -169,3 +169,44 @@ def test_decode_audio_distributed(spark, sf_dir):
         assert r.sample_rate == 8000 + 1000 * (r.doc_id % 3)
         assert r.n_samples == 256 + 32 * (r.doc_id % 8)
         assert 0 <= r.peak <= 2048
+
+
+def test_y4m_roundtrip_and_plane_skip_local():
+    from realparse_spark.operators.multimodal import _decode_y4m, _y4m_bytes
+
+    frames = _decode_y4m(_y4m_bytes(6, 8, 6, 3))
+    assert [(f[0], f[1], f[2]) for f in frames] == [(0, 8, 6), (1, 8, 6), (2, 8, 6)]
+    for fno, w, h, s in frames:
+        assert s == sum((6 * 37 + fno * 11 + i * 5) % 256 for i in range(w * h))
+
+
+def test_y4m_rejects_malformed_local():
+    from realparse_spark.operators.multimodal import _decode_y4m, _y4m_bytes
+
+    with pytest.raises(ValueError):
+        _decode_y4m(b"MPEG4\n")
+    # 4:2:2 chroma claimed -> unsupported (plane sizes would differ)
+    good = _y4m_bytes(2, 8, 6, 2)
+    with pytest.raises(ValueError):
+        _decode_y4m(good.replace(b"C420jpeg", b"C422meow", 1))
+    # corrupt a FRAME marker: the walker must notice, not read garbage
+    bad = bytearray(good)
+    off = bytes(bad).index(b"FRAME", 20)
+    bad[off:off + 5] = b"FLAME"
+    with pytest.raises(ValueError):
+        _decode_y4m(bytes(bad))
+
+
+def test_decode_video_distributed(spark, sf_dir):
+    from realparse_spark.operators.multimodal import decode_video, synthesize_videos
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    rows = decode_video(synthesize_videos(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 12
+    for d, fr in by_doc.items():
+        assert len(fr) == 2 + d % 3  # every FRAME surfaced exactly once
+        assert sorted(f.frame_no for f in fr) == list(range(len(fr)))
