@@ -70,6 +70,8 @@ EXTRA = [
     "q22_idle_balance",     # TPC-H Q22 shape (scalar threshold + anti-join)
     "rollup_merge",         # hourly->daily partial-aggregate merge
     "trend_slopes",         # exact-decimal OLS slope per type
+    "multimodal_audio",     # real WAV encode->decode round trip (Arrow kernel)
+    "multimodal_video",     # real Y4M per-frame decode (Arrow kernel)
 ]
 
 

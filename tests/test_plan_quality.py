@@ -352,3 +352,11 @@ def test_trend_slopes_single_group_exchange(spark, queries):
     # and broadcast nodes — count_shuffles counts all four Exchange markers
     assert X.count_shuffles(df) <= 4
     assert X.python_eval_nodes(df) == 0
+
+
+def test_multimodal_decode_paths_are_shuffle_free(spark, queries):
+    # encode→decode is a per-row map (Arrow kernels): any Exchange here
+    # would mean the binary payloads move across the cluster for nothing
+    for name in ("multimodal_decode", "multimodal_audio", "multimodal_video"):
+        df = queries[name](spark, SF)
+        assert X.count_shuffles(df) == 0, name
