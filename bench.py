@@ -72,6 +72,8 @@ EXTRA = [
     "trend_slopes",         # exact-decimal OLS slope per type
     "multimodal_audio",     # real WAV encode->decode round trip (Arrow kernel)
     "multimodal_video",     # real Y4M per-frame decode (Arrow kernel)
+    "q4_late_orders",       # TPC-H Q4 shape (semi-join + date residual)
+    "q13_order_counts",     # TPC-H Q13 shape (outer join + double agg)
 ]
 
 

@@ -314,8 +314,101 @@ ORDER BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4 shape: late orders per priority (EXISTS semi-join with residual)
+# ---------------------------------------------------------------------------
+
+def q4_late_orders(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Orders (per priority) having at least one line shipped more than 90
+    days after the order date — TPC-H Q4's EXISTS, decorrelated to a LEFT
+    SEMI join whose date comparison rides the orderkey equi-join as a
+    RESIDUAL condition (never a cross product).  Plan at scale: the
+    quarter filter prunes the orders scan; the semi-join stops probing an
+    order after its first late line (no fan-out), and the final agg is a
+    5-row map-side collapse."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    o = orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    late = (o.o_orderkey == lineitem.l_orderkey) & (
+        lineitem.l_shipdate > o.o_orderdate + F.expr("interval 90 days")
+    )
+    return (
+        o.join(lineitem, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q4_late_orders(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+Q4_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution (outer join + double agg)
+# ---------------------------------------------------------------------------
+
+def q13_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distribution of customers by how many (urgent-ish) orders they
+    placed, INCLUDING zero-order customers — the shape that needs a LEFT
+    OUTER join (an inner join silently drops the c_count=0 bucket, the
+    largest one).  Plan at scale: orders pre-filter, one shuffle outer
+    join on custkey, per-customer count, then a second tiny agg over
+    |distinct counts| groups."""
+    o = orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(o, customer.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips NULLs
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q13_order_counts(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+Q13_ORDER_COUNTS_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "q12_priority_class": q_q12_priority_class,
+    "q4_late_orders": q_q4_late_orders,
+    "q13_order_counts": q_q13_order_counts,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q15_top_supplier": q_q15_top_supplier,
     "q17_small_qty_revenue": q_q17_small_qty_revenue,
@@ -324,6 +417,8 @@ QUERIES = {
 
 ORACLES = {
     "q12_priority_class": Q12_PRIORITY_CLASS_SQL,
+    "q4_late_orders": Q4_LATE_ORDERS_SQL,
+    "q13_order_counts": Q13_ORDER_COUNTS_SQL,
     "q14_promo_revenue": Q14_PROMO_REVENUE_SQL,
     "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
     "q17_small_qty_revenue": Q17_SMALL_QTY_REVENUE_SQL,

@@ -39,7 +39,8 @@ _MODULES = (
 # to the round-6 window: approx_distinct / approx_quantiles (rows-only, driver
 # rows in r1-r2), datetime_roundtrip (r1-green, property-tested) and
 # sql_interface (r2-green; a thin SQL door over already-windowed paths) and
-# set_ops (r1-green; union/intersect/except re-verified in-repo).
+# set_ops (r1-green; union/intersect/except re-verified in-repo),
+# percentile_metrics and sliding_window (r2-green, parity-covered in-repo).
 _PRIORITY = (
     # new in round 5
     "q12_priority_class",
@@ -47,6 +48,8 @@ _PRIORITY = (
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q22_idle_balance",
+    "q4_late_orders",
+    "q13_order_counts",
     "stream_join_e2e",
     "rollup_merge",
     "trend_slopes",
@@ -85,8 +88,6 @@ _PRIORITY = (
     "cube_agg",
     "pivot_events",
     "top_terms",
-    "percentile_metrics",
-    "sliding_window",
     "asof_join",
     "range_band_join",
     "window_rank",

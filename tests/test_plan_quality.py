@@ -360,3 +360,25 @@ def test_multimodal_decode_paths_are_shuffle_free(spark, queries):
     for name in ("multimodal_decode", "multimodal_audio", "multimodal_video"):
         df = queries[name](spark, SF)
         assert X.count_shuffles(df) == 0, name
+
+
+def test_q4_semi_join_with_residual_not_cartesian(spark, queries):
+    df = queries["q4_late_orders"](spark, SF)
+    plan = X.executed_plan(df)
+    # the date comparison must ride the orderkey equi-join as a residual
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert X.has_pushed_filter(df, "o_orderdate")
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_q13_outer_join_keeps_zero_bucket(spark, queries):
+    df = queries["q13_order_counts"](spark, SF)
+    plan = X.executed_plan(df)
+    # the optimizer must NOT rewrite the outer join away (that would drop
+    # the zero-order customers, the largest bucket)
+    assert "LeftOuter" in plan
+    assert X.python_eval_nodes(df) == 0
+    rows = {r.c_count: r.custdist for r in df.collect()}
+    assert 0 in rows  # zero-order bucket present
