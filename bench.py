@@ -74,6 +74,7 @@ EXTRA = [
     "multimodal_video",     # real Y4M per-frame decode (Arrow kernel)
     "q4_late_orders",       # TPC-H Q4 shape (semi-join + date residual)
     "q13_order_counts",     # TPC-H Q13 shape (outer join + double agg)
+    "gap_fill",             # dense-grid locf forward fill
 ]
 
 

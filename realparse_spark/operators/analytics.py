@@ -721,10 +721,104 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# time-series gap filling: dense hour grid + forward fill
+# ---------------------------------------------------------------------------
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Densify the per-type hourly series (the fixture has ~6% missing
+    hours) and forward-fill the per-hour average from the last observed
+    hour — the hypertable `locf` operation.
+
+    Plan at scale: the grid is |types| × |hours| — generated from TWO tiny
+    broadcast inputs (a 1-row min/max scalar and the distinct-type list),
+    never by outer-joining the fact against itself; the raw events shuffle
+    exactly once (the hourly agg).  The forward fill is a running
+    `last(ignorenulls)` window partitioned by type — parallel across
+    types, and at extreme history it range-partitions by (type, month)
+    with per-partition seeds, the standard locf sharding."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left_outer").select(
+        "event_type",
+        "h",
+        "n",
+        F.when(F.col("n").isNotNull(), F.col("s").cast("double") / F.col("n")).alias("avg_h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+            # floor(x*1e4 + 0.5)/1e4, NOT round(x, 4): s is decimal(18,4), so
+            # s/n lands exactly on .xxxx5 ties where Spark's HALF_UP and
+            # DuckDB's double-rounding disagree; floor(+0.5) is pure IEEE
+            # arithmetic, identical in both engines (cf. quantize_embeddings)
+            (
+                F.floor(F.last("avg_h", ignorenulls=True).over(w) * 10000 + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("filled_avg"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_fill_hourly(load_table(spark, sf_dir, "events"))
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS s
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM hourly) t,
+       (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b) g
+),
+j AS (
+  SELECT grid.event_type, grid.h, hourly.n,
+         CASE WHEN hourly.n IS NULL THEN NULL
+              ELSE CAST(hourly.s AS DOUBLE) / hourly.n END AS avg_h
+  FROM grid LEFT JOIN hourly
+    ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+)
+SELECT event_type,
+  strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+  (n IS NULL) AS is_gap,
+  floor(last_value(avg_h IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000.0 AS filled_avg
+FROM j
+ORDER BY event_type, hour
+"""
+
+
 QUERIES = {
     "events_retention": q_events_retention,
     "rollup_merge": q_rollup_merge,
     "trend_slopes": q_trend_slopes,
+    "gap_fill": q_gap_fill,
     "event_zscore": q_event_zscore,
     "q3_shipping_priority": q_q3_shipping_priority,
     "big_spender_orders": q_big_spender_orders,
@@ -739,6 +833,7 @@ QUERIES = {
 ORACLES = {
     "rollup_merge": ROLLUP_MERGE_SQL,
     "trend_slopes": TREND_SLOPES_SQL,
+    "gap_fill": GAP_FILL_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,
     "table_profile": TABLE_PROFILE_SQL,

@@ -40,7 +40,8 @@ _MODULES = (
 # rows in r1-r2), datetime_roundtrip (r1-green, property-tested) and
 # sql_interface (r2-green; a thin SQL door over already-windowed paths) and
 # set_ops (r1-green; union/intersect/except re-verified in-repo),
-# percentile_metrics and sliding_window (r2-green, parity-covered in-repo).
+# percentile_metrics, sliding_window and window_rank (r1/r2-green,
+# parity-covered in-repo).
 _PRIORITY = (
     # new in round 5
     "q12_priority_class",
@@ -53,6 +54,7 @@ _PRIORITY = (
     "stream_join_e2e",
     "rollup_merge",
     "trend_slopes",
+    "gap_fill",
     "multimodal_audio",
     "multimodal_video",
     "multimodal_decode",
@@ -90,7 +92,6 @@ _PRIORITY = (
     "top_terms",
     "asof_join",
     "range_band_join",
-    "window_rank",
     "anonymize_ips",
     "redact_pii",
     # re-verify the reworked ANN probe this round

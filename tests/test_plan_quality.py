@@ -382,3 +382,14 @@ def test_q13_outer_join_keeps_zero_bucket(spark, queries):
     assert X.python_eval_nodes(df) == 0
     rows = {r.c_count: r.custdist for r in df.collect()}
     assert 0 in rows  # zero-order bucket present
+
+
+def test_gap_fill_grid_is_broadcast_generated(spark, queries):
+    df = queries["gap_fill"](spark, SF)
+    plan = X.executed_plan(df)
+    # the dense grid must come from broadcast scalars, not a shuffled
+    # outer self-join of the fact; no cartesian beyond the 1-row bounds
+    assert "CartesianProduct" not in plan
+    assert X.python_eval_nodes(df) == 0
+    # every filled row is present: |types| * |hours| at this fixture
+    assert df.count() == 5 * 24 * 30
