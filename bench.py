@@ -75,6 +75,7 @@ EXTRA = [
     "q4_late_orders",       # TPC-H Q4 shape (semi-join + date residual)
     "q13_order_counts",     # TPC-H Q13 shape (outer join + double agg)
     "gap_fill",             # dense-grid locf forward fill
+    "dq_checks",            # integrity gate (anti-joins + agg union)
 ]
 
 

@@ -27,6 +27,7 @@ _MODULES = (
     "realparse_spark.operators.privacy",
     "realparse_spark.operators.analytics",
     "realparse_spark.operators.tpch_extra",
+    "realparse_spark.operators.dq",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so
@@ -40,8 +41,8 @@ _MODULES = (
 # rows in r1-r2), datetime_roundtrip (r1-green, property-tested) and
 # sql_interface (r2-green; a thin SQL door over already-windowed paths) and
 # set_ops (r1-green; union/intersect/except re-verified in-repo),
-# percentile_metrics, sliding_window and window_rank (r1/r2-green,
-# parity-covered in-repo).
+# percentile_metrics, sliding_window, window_rank and top_terms
+# (r1/r2-green, parity-covered in-repo).
 _PRIORITY = (
     # new in round 5
     "q12_priority_class",
@@ -55,6 +56,7 @@ _PRIORITY = (
     "rollup_merge",
     "trend_slopes",
     "gap_fill",
+    "dq_checks",
     "multimodal_audio",
     "multimodal_video",
     "multimodal_decode",
@@ -89,7 +91,6 @@ _PRIORITY = (
     "above_avg_parts",
     "cube_agg",
     "pivot_events",
-    "top_terms",
     "asof_join",
     "range_band_join",
     "anonymize_ips",

@@ -393,3 +393,13 @@ def test_gap_fill_grid_is_broadcast_generated(spark, queries):
     assert X.python_eval_nodes(df) == 0
     # every filled row is present: |types| * |hours| at this fixture
     assert df.count() == 5 * 24 * 30
+
+
+def test_dq_checks_prune_key_columns(spark, queries):
+    df = queries["dq_checks"](spark, SF)
+    plan = X.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert X.python_eval_nodes(df) == 0
+    # the orphan anti-joins must read ONLY key columns from the fact scans
+    schemas = X.read_schemas(df)
+    assert any(s.strip().startswith("struct<l_orderkey") and "l_quantity" not in s for s in schemas)
