@@ -76,6 +76,7 @@ EXTRA = [
     "q13_order_counts",     # TPC-H Q13 shape (outer join + double agg)
     "gap_fill",             # dense-grid locf forward fill
     "dq_checks",            # integrity gate (anti-joins + agg union)
+    "doc_weighted_sample",  # continuous-weight importance sampling
 ]
 
 

@@ -97,6 +97,58 @@ def stratified_sample(
     return df.filter(b < pct)
 
 
+def weighted_sample(
+    df: DataFrame, weight: Column, key_col: str = "doc_id", denom: int = 1_000_000
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff
+    md5-bucket('wsample:'||key) in [0, denom) falls under
+    floor(denom*weight + 0.5) — a CONTINUOUS per-row keep probability
+    (quality-proportional data mixing), vs `stratified_sample`'s small set
+    of per-stratum rates.  Still a pure filter of the key: no shuffle,
+    reproducible by any engine at any partitioning, and the weight
+    expression stays JVM-side.  floor(+0.5), not round: IEEE-identical
+    across engines at threshold ties."""
+    b = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsample:"), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(denom),
+    )
+    threshold = F.floor(F.lit(float(denom)) * weight + F.lit(0.5)).cast("long")
+    return df.filter(b < threshold)
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # longer docs kept proportionally more, capped at certainty — the
+    # usual quality-proportional mixing weight, here from a fixture stat
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    kept = weighted_sample(docs, w)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.col("doc_id") * F.col("doc_id")).alias("id_checksum"),
+    )
+
+
+DOC_WEIGHTED_SAMPLE_SQL = r"""
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+    CAST('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS b,
+    CAST(floor(1000000.0 * least(1.0, n_chars / 400.0) + 0.5) AS BIGINT) AS thr
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id * doc_id) AS BIGINT) AS id_checksum
+FROM s WHERE b < thr GROUP BY source
+"""
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization: q[i] = floor(v[i]*127/amax + 0.5) with
     amax = max |v[i]| (zero vectors -> all-zero codes).  floor(x + 0.5)
@@ -478,6 +530,7 @@ QUERIES = {
     "doc_length_buckets": q_doc_length_buckets,
     "doc_pack": q_doc_pack,
     "doc_sample": q_doc_sample,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "emb_quantize": q_emb_quantize,
     "doc_pipeline_e2e": q_doc_pipeline_e2e,
     "doc_source_mix": q_doc_source_mix,
@@ -489,6 +542,7 @@ ORACLES = {
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "doc_pack": DOC_PACK_SQL,
     "doc_sample": DOC_SAMPLE_SQL,
+    "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "emb_quantize": EMB_QUANTIZE_SQL,
     "doc_pipeline_e2e": _doc_pipeline_sql(),
     "doc_source_mix": DOC_SOURCE_MIX_SQL,

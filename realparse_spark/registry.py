@@ -42,7 +42,7 @@ _MODULES = (
 # sql_interface (r2-green; a thin SQL door over already-windowed paths) and
 # set_ops (r1-green; union/intersect/except re-verified in-repo),
 # percentile_metrics, sliding_window, window_rank and top_terms
-# (r1/r2-green, parity-covered in-repo).
+# and funnel_conversion (r1/r2-green, parity-covered in-repo).
 _PRIORITY = (
     # new in round 5
     "q12_priority_class",
@@ -57,6 +57,7 @@ _PRIORITY = (
     "trend_slopes",
     "gap_fill",
     "dq_checks",
+    "doc_weighted_sample",
     "multimodal_audio",
     "multimodal_video",
     "multimodal_decode",
@@ -86,7 +87,6 @@ _PRIORITY = (
     "doc_source_mix",
     "value_histogram",
     "revenue_by_nation",
-    "funnel_conversion",
     "emb_centroids",
     "above_avg_parts",
     "cube_agg",

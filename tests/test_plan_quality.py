@@ -110,10 +110,15 @@ def test_scan_speed_ops_are_shuffle_free(spark, queries):
 
     docs = load_table(spark, SF, "documents")
     emb = load_table(spark, SF, "embeddings")
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.pipeline_ops import weighted_sample
+
     for name, df in (
         ("winnow", winnow_fingerprints(docs)),
         ("quantize", quantize_embeddings(emb)),
         ("sample", stratified_sample(docs, {"src0": 100})),
+        ("wsample", weighted_sample(docs, F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0)))),
         ("unpivot", queries["unpivot_metrics"](spark, SF)),
     ):
         assert X.count_shuffles(df) == 0, name
