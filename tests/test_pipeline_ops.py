@@ -110,3 +110,50 @@ def test_knn_join_is_deterministic_and_symmetric_blocked(spark):
     assert rows[(1, 1)] == 2          # most similar within block
     assert rows[(4, 1)] == 5 and (4, 2) not in rows  # block of 2 -> only 1 neighbor
     assert all(v != 4 and v != 5 for (a, _), v in rows.items() if a in (1, 2, 3))
+
+
+def test_dq_checks_detect_seeded_violations(spark):
+    """The fixture star schema is clean (every check 0 bad), so the oracle
+    match alone never proves the checks FIRE.  Seed one violation of each
+    kind and assert the exact counts."""
+    from realparse_spark.operators.dq import dq_checks
+
+    customer = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "dup"), (3, "c")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 99, "2-HIGH"), (12, 2, None)],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 5.0), (10, -1.0), (77, 2.0), (12, 0.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    rows = {r.check_name: r for r in dq_checks(customer, orders, lineitem).collect()}
+    assert rows["orders_orphan_custkey"].n_bad == 1      # custkey 99
+    assert rows["lineitem_orphan_orderkey"].n_bad == 1   # orderkey 77
+    assert rows["customer_dup_custkey"].n_bad == 1       # custkey 2 twice
+    assert rows["orders_null_priority"].n_bad == 1
+    assert rows["lineitem_nonpositive_qty"].n_bad == 2   # -1 and 0
+    assert rows["orders_orphan_custkey"].n_total == 3
+    assert rows["customer_dup_custkey"].bad_ppm == 250000  # 1/4 customers
+
+
+def test_weighted_sample_boundary_and_monotonicity(spark):
+    """weight=0 keeps nothing, weight=1 keeps everything, and raising the
+    weight can only ADD rows (the kept set is monotone in the weight —
+    the property that makes staged re-sampling reproducible)."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.pipeline_ops import weighted_sample
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    assert weighted_sample(docs, F.lit(0.0)).count() == 0
+    assert weighted_sample(docs, F.lit(1.0)).count() == n
+    lo = {r.doc_id for r in weighted_sample(docs, F.lit(0.3)).select("doc_id").collect()}
+    hi = {r.doc_id for r in weighted_sample(docs, F.lit(0.7)).select("doc_id").collect()}
+    assert lo <= hi
+    # keep rate lands near the weight (hash uniformity): 30% +- 8pp
+    assert abs(len(lo) / n - 0.3) < 0.08
