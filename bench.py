@@ -77,6 +77,7 @@ EXTRA = [
     "gap_fill",             # dense-grid locf forward fill
     "dq_checks",            # integrity gate (anti-joins + agg union)
     "doc_weighted_sample",  # continuous-weight importance sampling
+    "salted_agg",           # two-phase skew-resistant aggregation
 ]
 
 

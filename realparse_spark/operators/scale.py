@@ -80,3 +80,51 @@ def colocated_join(spark: SparkSession, left_table: str, right_table: str, key: 
     """Join two same-bucketed tables on their bucket key — planner emits
     SortMergeJoin with zero Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible form of the skew path: the two-phase salted
+    aggregation must produce EXACTLY the plain groupBy's answer (same
+    decimal sums, same extrema) — the oracle is the unsalted SQL.  The
+    salt spreads each event_type's rows over 16 reducers in phase 1, so
+    a key owning half the corpus becomes 16 partials instead of one
+    straggler task; phase 2 combines |keys|·16 tiny rows."""
+    from realparse_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        "event_id",
+    )
+    out = salted_groupby(
+        e,
+        ["event_type"],
+        [("count", "v", "n_events"), ("sum", "v", "sum_v"),
+         ("max", "v", "max_v"), ("min", "v", "min_v")],
+        salt_n=16,
+        salt_source="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_v").cast("double").alias("sum_value"),
+        F.col("max_v").cast("double").alias("max_value"),
+        F.col("min_v").cast("double").alias("min_value"),
+    ).orderBy("event_type")
+
+
+SALTED_AGG_SQL = """
+SELECT event_type,
+  count(CAST(value AS DECIMAL(18,4))) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+  CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value,
+  CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {"salted_agg": q_salted_agg}
+ORACLES = {"salted_agg": SALTED_AGG_SQL}

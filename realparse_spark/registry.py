@@ -28,6 +28,7 @@ _MODULES = (
     "realparse_spark.operators.analytics",
     "realparse_spark.operators.tpch_extra",
     "realparse_spark.operators.dq",
+    "realparse_spark.operators.scale",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so

@@ -408,3 +408,13 @@ def test_dq_checks_prune_key_columns(spark, queries):
     # the orphan anti-joins must read ONLY key columns from the fact scans
     schemas = X.read_schemas(df)
     assert any(s.strip().startswith("struct<l_orderkey") and "l_quantity" not in s for s in schemas)
+
+
+def test_salted_agg_two_phase_shape(spark, queries):
+    df = queries["salted_agg"](spark, SF)
+    plan = X.executed_plan(df)
+    # phase 1 groups on (key, salt), phase 2 on key, plus the final sort —
+    # and never a single-partition exchange
+    assert "Exchange SinglePartition" not in plan
+    assert X.python_eval_nodes(df) == 0
+    assert X.count_shuffles(df) <= 3
