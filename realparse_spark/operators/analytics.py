@@ -684,10 +684,13 @@ def trend_slopes(events: DataFrame) -> DataFrame:
     n_d = F.col("n").cast("double")
     num = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
     den = n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    # degenerate groups (single observation, or all x equal) have den = 0:
+    # NULL slope, never a 0/0 NaN whose cross-engine hashing is undefined
+    slope = F.when(den != 0.0, F.round(num / den, 6))
     return agg.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_events"),
-        F.round(num / den, 6).alias("slope_per_sec"),
+        slope.alias("slope_per_sec"),
     ).orderBy("event_type")
 
 
@@ -714,8 +717,10 @@ a AS (
 )
 SELECT event_type,
   CAST(n AS BIGINT) AS n_events,
-  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_per_sec
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+  END AS slope_per_sec
 FROM a
 ORDER BY event_type
 """

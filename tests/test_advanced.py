@@ -184,3 +184,27 @@ def test_trend_slopes_invariant_under_partitioning(spark):
     one = {r.event_type: r.slope_per_sec for r in trend_slopes(events.coalesce(1)).collect()}
     many = {r.event_type: r.slope_per_sec for r in trend_slopes(events.repartition(32)).collect()}
     assert one == many and len(one) == 5
+
+
+def test_trend_slopes_degenerate_group_yields_null(spark):
+    """A type with one observation (or identical timestamps) has zero
+    slope denominator: the result must be NULL, never a 0/0 NaN (whose
+    hashing differs across engines)."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.analytics import trend_slopes
+
+    events = spark.createDataFrame(
+        [
+            ("solo", "2024-01-01 10:00:00", 5.0),
+            ("same_ts", "2024-01-02 00:00:00", 1.0),
+            ("same_ts", "2024-01-02 00:00:00", 3.0),
+            ("ok", "2024-01-01 00:00:00", 1.0),
+            ("ok", "2024-01-01 01:00:00", 2.0),
+        ],
+        "event_type string, ts string, value double",
+    ).select("event_type", F.to_timestamp("ts").alias("ts"), "value")
+    rows = {r.event_type: r for r in trend_slopes(events).collect()}
+    assert rows["solo"].slope_per_sec is None
+    assert rows["same_ts"].slope_per_sec is None
+    assert rows["ok"].slope_per_sec == round(1.0 / 3600, 6)
