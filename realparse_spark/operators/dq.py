@@ -24,13 +24,18 @@ def _check(name: str, bad: DataFrame, total: DataFrame) -> DataFrame:
     whenever total divides 1e6 * bad)."""
     b = bad.agg(F.count(F.lit(1)).cast("bigint").alias("n_bad"))
     t = total.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # empty table -> NULL ppm (an ANSI cast of the 0/0 NaN would throw)
+    ppm = F.when(
+        F.col("n_total") != 0,
+        F.floor(F.lit(1000000.0) * F.col("n_bad") / F.col("n_total") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
     return b.crossJoin(F.broadcast(t)).select(
         F.lit(name).alias("check_name"),
         "n_bad",
         "n_total",
-        F.floor(F.lit(1000000.0) * F.col("n_bad") / F.col("n_total") + F.lit(0.5))
-        .cast("bigint")
-        .alias("bad_ppm"),
+        ppm.alias("bad_ppm"),
     )
 
 
@@ -103,7 +108,9 @@ WITH c AS (
 SELECT check_name,
   CAST(n_bad AS BIGINT) AS n_bad,
   CAST(n_total AS BIGINT) AS n_total,
-  CAST(floor(1000000.0 * n_bad / n_total + 0.5) AS BIGINT) AS bad_ppm
+  CASE WHEN n_total <> 0
+    THEN CAST(floor(1000000.0 * n_bad / n_total + 0.5) AS BIGINT)
+  END AS bad_ppm
 FROM c
 ORDER BY check_name
 """

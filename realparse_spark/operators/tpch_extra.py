@@ -104,10 +104,13 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.sum(rev).alias("_t"),
         )
     )
+    # empty month / zero revenue -> NULL pct, never a 0/0 NaN
+    pct = F.when(
+        F.col("_t").isNotNull() & (F.col("_t") != 0),
+        F.round(F.lit(100.0) * (F.col("_p").cast("double") / F.col("_t").cast("double")), 4),
+    )
     return agg.select(
-        F.round(
-            F.lit(100.0) * (F.col("_p").cast("double") / F.col("_t").cast("double")), 4
-        ).alias("promo_revenue_pct"),
+        pct.alias("promo_revenue_pct"),
         F.col("_p").cast("double").alias("promo_revenue"),
         F.col("_t").cast("double").alias("total_revenue"),
     )
@@ -130,7 +133,9 @@ WITH a AS (
   WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
 )
-SELECT round(100.0 * (CAST(p AS DOUBLE) / CAST(t AS DOUBLE)), 4) AS promo_revenue_pct,
+SELECT CASE WHEN t IS NOT NULL AND t <> 0
+         THEN round(100.0 * (CAST(p AS DOUBLE) / CAST(t AS DOUBLE)), 4)
+       END AS promo_revenue_pct,
   CAST(p AS DOUBLE) AS promo_revenue,
   CAST(t AS DOUBLE) AS total_revenue
 FROM a

@@ -157,3 +157,16 @@ def test_weighted_sample_boundary_and_monotonicity(spark):
     assert lo <= hi
     # keep rate lands near the weight (hash uniformity): 30% +- 8pp
     assert abs(len(lo) / n - 0.3) < 0.08
+
+
+def test_dq_checks_empty_tables_yield_null_ppm(spark):
+    """Empty inputs must produce NULL ppm rows, not an ANSI NaN-cast
+    crash — the first run of a brand-new pipeline has empty tables."""
+    from realparse_spark.operators.dq import dq_checks
+
+    c = spark.createDataFrame([], "c_custkey long, c_name string")
+    o = spark.createDataFrame([], "o_orderkey long, o_custkey long, o_orderpriority string")
+    l = spark.createDataFrame([], "l_orderkey long, l_quantity double")
+    rows = dq_checks(c, o, l).collect()
+    assert len(rows) == 5
+    assert all(r.n_bad == 0 and r.n_total == 0 and r.bad_ppm is None for r in rows)
