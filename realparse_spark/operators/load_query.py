@@ -78,6 +78,10 @@ def q_load_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lifecycle split on event time: run-2 lines are strictly newer than
     # run-1's watermark, so the incremental run loads exactly the new file
     split = events.agg(F.avg(F.unix_timestamp("ts"))).collect()[0][0]
+    if split is None:  # empty events table: nothing to load, typed empty report
+        return spark.createDataFrame(
+            [], "path string, n_rows bigint, sum_bytes bigint, n_ips bigint, max_dt string"
+        )
     older = synth_style5(events.filter(F.unix_timestamp("ts") <= split))
     newer = synth_style5(events.filter(F.unix_timestamp("ts") > split))
 

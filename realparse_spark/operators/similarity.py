@@ -93,6 +93,8 @@ def topk_cosine_arrow(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFra
     import pandas as pd
 
     row = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
+    if row is None:  # query vector absent (empty/filtered corpus)
+        return emb.sparkSession.createDataFrame([], "vec_id long, label int, cos double")
     qv = np.asarray(row.embedding, dtype=np.float64)
     qn = float(np.sqrt((qv * qv).sum()))
 
@@ -281,6 +283,12 @@ def build_lsh_index(emb: DataFrame, index_path: str) -> str:
         "sketch",
         F.posexplode(chunks).alias("chunk_id", "chunk_val"),
     )
+    if emb.limit(1).count() == 0:
+        # a partitionBy write of zero rows leaves a schema-less directory
+        # that cannot be read back; write the flat schema instead (probe
+        # filters on chunk_id/chunk_val work unchanged and return empty)
+        exploded.write.mode("overwrite").parquet(index_path)
+        return index_path
     exploded.write.mode("overwrite").partitionBy("chunk_id", "chunk_val").parquet(index_path)
     return index_path
 
@@ -361,11 +369,11 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-scan `ann_lsh_topk` at the same radius — parity is test-pinned
     (tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if row is None:  # query vector absent (empty/filtered corpus)
+        return spark.createDataFrame([], "vec_id long, label int, cos double")
     idx = _lsh_index_for(spark, sf_dir)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding
-    ]
+    qv = [float(x) for x in row.embedding]
     return lsh_probe(spark, idx, qv, k=10, radius=4, exclude_vec_id=0)
 
 
@@ -465,6 +473,17 @@ def build_ivf_index(emb: DataFrame, index_path: str, n_centroids: int = 16,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if emb.limit(1).count() == 0:
+        # KMeans cannot fit zero rows; write schema-bearing empty layouts
+        # so probes degrade to empty results instead of read errors
+        emb.select("vec_id", "label", "embedding").withColumn(
+            "centroid_id", F.lit(0)
+        ).limit(0).write.mode("overwrite").parquet(os.path.join(index_path, "vectors"))
+        emb.sparkSession.createDataFrame(
+            [], "centroid_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+        return index_path
+
     vecs = emb.withColumn("features", array_to_vector("embedding"))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid_id")
     model = km.fit(vecs)
@@ -502,7 +521,7 @@ def ivf_probe(
         for r in sorted(cents, key=lambda r: -_cos_py(qv, list(r.centroid)))[:n_probe]
     ]
     vectors = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
-        F.col("centroid_id").isin(probe)
+        F.col("centroid_id").isin(probe) if probe else F.lit(False)
     )
     if exclude_vec_id is not None:
         vectors = vectors.filter(F.col("vec_id") != exclude_vec_id)
@@ -546,8 +565,11 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
 
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if row is None:  # query vector absent (empty/filtered corpus)
+        return spark.createDataFrame([], "vec_id long, label int, centroid_id int, cos double")
     path = _ivf_index_for(spark, sf_dir)
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head().embedding]
+    qv = [float(x) for x in row.embedding]
     return ivf_probe(spark, path, qv, k=10, n_probe=4, exclude_vec_id=0)
 
 

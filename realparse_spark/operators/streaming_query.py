@@ -186,6 +186,10 @@ def q_stream_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     split = events.agg(F.avg(F.unix_timestamp("ts"))).collect()[0][0]
+    if split is None:  # empty events table: nothing to merge, typed empty report
+        return spark.createDataFrame(
+            [], "name string, n_rows bigint, sum_bytes bigint, n_ips bigint, max_dt string"
+        )
     older = synth_style5(events.filter(F.unix_timestamp("ts") <= split))
     full = synth_style5(events)  # includes every older line again
 
