@@ -473,7 +473,10 @@ def build_ivf_index(emb: DataFrame, index_path: str, n_centroids: int = 16,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    if emb.limit(1).count() == 0:
+    # bounded probe of the corpus size: enough rows to clamp k, never a
+    # full count of a 100 TB table
+    n_head = emb.limit(n_centroids).count()
+    if n_head == 0:
         # KMeans cannot fit zero rows; write schema-bearing empty layouts
         # so probes degrade to empty results instead of read errors
         emb.select("vec_id", "label", "embedding").withColumn(
@@ -484,8 +487,28 @@ def build_ivf_index(emb: DataFrame, index_path: str, n_centroids: int = 16,
         ).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
         return index_path
 
+    if n_head == 1:
+        # spark.ml KMeans requires k > 1; a 1-vector corpus gets the
+        # trivial single-centroid layout
+        emb.select("vec_id", "label", "embedding").withColumn(
+            "centroid_id", F.lit(0)
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(index_path, "vectors")
+        )
+        only = emb.select("embedding").head()
+        emb.sparkSession.createDataFrame(
+            [(0, [float(x) for x in only.embedding])],
+            "centroid_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+        return index_path
+
     vecs = emb.withColumn("features", array_to_vector("embedding"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid_id")
+    km = KMeans(
+        k=min(n_centroids, n_head),  # k can never exceed the point count
+        seed=seed,
+        featuresCol="features",
+        predictionCol="centroid_id",
+    )
     model = km.fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "label", "embedding", "centroid_id")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
