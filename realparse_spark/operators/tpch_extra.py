@@ -1,5 +1,5 @@
-"""Five more classic TPC-H query shapes over the fixture star schema —
-each one a DISTINCT physical-plan pattern the engine must handle at 100 TB
+"""Classic TPC-H query shapes over the fixture star schema — each one a
+DISTINCT physical-plan pattern the engine must handle at 100 TB
 (SURVEY.md §2.5-2.6 extensions; the reference's report stage,
 ``real_parse.pl:120-196``, is the degenerate 1-table version of these):
 
@@ -12,6 +12,22 @@ each one a DISTINCT physical-plan pattern the engine must handle at 100 TB
 - Q17 analog (``q17_small_qty_revenue``): per-group average join-back
   (correlated scalar subquery decorrelated by hand).
 - Q22 analog (``q22_idle_balance``): scalar threshold + anti-join.
+- Q4 analog (``q4_late_orders``): EXISTS → left-semi with date residual.
+- Q13 analog (``q13_order_counts``): outer join keeping the zero bucket.
+- Q6 analog (``q6_forecast_revenue``): pure scan-pushdown aggregate.
+- Q7 analog (``q7_nation_volume``): two dim chains off one fact, nation
+  pair disjunction pre-pruned through the tiny dim.
+- Q8 analog (``q8_market_share``): deepest join tree (6 tables, nation
+  twice), conditional share per year.
+- Q19 analog (``q19_disjunct_revenue``): disjunction-of-conjunctions with
+  hand-derived superset pushdown.
+- Q21 analog (``q21_waiting_supplier``): double-correlated EXISTS/NOT
+  EXISTS collapsed into one per-order window.
+
+The remaining classic shapes (Q2/Q9/Q11/Q16/Q20) all require the
+``partsupp`` table, which the fixture schema does not include
+(TESTDATA.md); their plan patterns (min-per-group join-back, NOT IN
+anti-join, nested semi-joins) are each covered by another query above.
 
 All math is exact-decimal until the final cast so the DuckDB oracle
 hash-matches bit-for-bit; ratios are computed double-then-round(4) with the
@@ -410,6 +426,365 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# ---------------------------------------------------------------------------
+# Q6 shape: forecast revenue change (pure scan-pushdown aggregate)
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """Revenue increase if discounts in a band were eliminated for one ship
+    year — TPC-H Q6, the canonical predicate-pushdown benchmark: ALL three
+    filters (shipdate range, discount band, quantity cap) must reach the
+    parquet scan so a 100 TB fact reads only the row groups whose min/max
+    stats overlap; the aggregate is a zero-shuffle map-side sum reduced to
+    one row.  The sum stays exact decimal until the final double cast."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+Q6_FORECAST_REVENUE_SQL = """
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+def q7_nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Revenue shipped between two nations (either direction) per year —
+    TPC-H Q7's shape: TWO independent dimension chains hang off the same
+    fact (supplier→nation on l_suppkey, orders→customer→nation on
+    l_orderkey).  Plan at scale: the nation filter is applied to the TINY
+    nation dim FIRST, so supplier and customer are semi-pruned to ~2/25 of
+    their rows before ever touching the fact — the pair disjunction then
+    only has 2×2 combinations left to test as a residual.  supplier⋈nation
+    broadcasts; lineitem⋈orders is the one unavoidable big⋈big shuffle;
+    customer is mid-sized so its join is left to AQE (broadcast at fixture
+    scale, shuffle at 100 TB)."""
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    s = supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c = customer.join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk")).select(
+        "c_custkey", "cust_nation"
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    l = lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q7_nation_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+Q7_NATION_VOLUME_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INTEGER) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1','NATION_2')
+    AND n2.n_name IN ('NATION_1','NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: national market share within a region
+# ---------------------------------------------------------------------------
+
+def q8_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """One nation's share of a region's revenue for one part type, per
+    order year — TPC-H Q8: the deepest join tree in the suite (6 tables +
+    the nation dim used TWICE).  Plan at scale: the part-type filter
+    semi-prunes the fact through the broadcast part join first (~1/6
+    survives), region→nation→customer pre-filters the customer side before
+    it meets orders, and the supplier chain only TAGS rows (no filter) —
+    so the numerator CASE rides the same rows as the denominator, one
+    shuffle for lineitem⋈orders, one for the final 2-group agg.  Ratio is
+    decimal/decimal in double with a zero-denominator NULL guard."""
+    pk = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    asia_nk = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("_rnk"))
+    )
+    c = customer.join(F.broadcast(asia_nk), customer.c_nationkey == F.col("_rnk")).select(
+        "c_custkey"
+    )
+    s = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    o = orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    rev = _rev_dec()
+    agg = (
+        lineitem.join(F.broadcast(pk), lineitem.l_partkey == pk.p_partkey)
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              lineitem.l_orderkey == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), lineitem.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("_n"),
+            F.sum(rev).alias("_d"),
+        )
+    )
+    share = F.when(
+        F.col("_d").isNotNull() & (F.col("_d") != 0),
+        F.round(F.col("_n").cast("double") / F.col("_d").cast("double"), 4),
+    )
+    return agg.select("o_year", share.alias("mkt_share")).orderBy("o_year")
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q8_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+Q8_MARKET_SHARE_SQL = """
+WITH t AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS rev,
+    n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+  CASE WHEN sum(rev) IS NOT NULL AND sum(rev) <> 0
+    THEN round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(sum(rev) AS DOUBLE), 4)
+  END AS mkt_share
+FROM t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive brand/size/quantity revenue
+# ---------------------------------------------------------------------------
+
+def q19_disjunct_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Revenue from three brand-specific (size, quantity) windows OR-ed
+    together — TPC-H Q19's disjunction-of-conjunctions.  Plan at scale:
+    the OR cannot be pushed as-is, so each side gets its DERIVED superset
+    predicate pushed first (part: brand IN the 3 brands AND size ≤ the max
+    window; lineitem: quantity within the hull of the 3 ranges) — the scan
+    reads a fraction of both tables and the exact disjunction runs as a
+    cheap residual after the broadcast part join.  This derived-pushdown
+    rewrite is the part Catalyst does NOT do for you; the residual
+    evaluation is whole-stage codegen either way."""
+    l = lineitem.filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+    p = part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#1") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#2") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(disj)
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+    )
+
+
+def q_q19_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q19_disjunct_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+Q19_DISJUNCT_REVENUE_SQL = """
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: suppliers who alone held up multi-supplier orders
+# ---------------------------------------------------------------------------
+
+def q21_waiting_supplier(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Late lines whose supplier was the ONLY late one in a multi-supplier
+    order — TPC-H Q21's EXISTS(other supplier) + NOT EXISTS(other LATE
+    supplier) double correlation.  The fixture has no commit/receipt
+    dates, so "late" is shipped > 60 days after order date (same residual
+    family as q4_late_orders; reference analog: the sanity bound F8,
+    ``pull_report.pl:139``).
+
+    Plan at scale: the naive form is TWO fact self-joins; here both
+    correlations collapse into ONE window over l_orderkey — per-order
+    distinct-supplier and distinct-late-supplier counts via
+    size(collect_set) — so the fact shuffles ONCE on orderkey (bounded
+    per-order state: ≤7 lines), and the EXISTS/NOT-EXISTS pair becomes
+    the predicate n_supp > 1 AND n_late_supp = 1 on the late rows.  The
+    oracle keeps the literal EXISTS/NOT EXISTS form to prove the rewrite
+    exact."""
+    from pyspark.sql.window import Window
+
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")
+    w = Window.partitionBy("l_orderkey")
+    tagged = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        late.alias("_late"),
+    ).select(
+        "*",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(w)
+        ).alias("_n_late"),
+    )
+    return (
+        tagged.filter(F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q21_waiting_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+Q21_WAITING_SUPPLIER_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "q12_priority_class": q_q12_priority_class,
     "q4_late_orders": q_q4_late_orders,
@@ -418,6 +793,11 @@ QUERIES = {
     "q15_top_supplier": q_q15_top_supplier,
     "q17_small_qty_revenue": q_q17_small_qty_revenue,
     "q22_idle_balance": q_q22_idle_balance,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q8_market_share": q_q8_market_share,
+    "q19_disjunct_revenue": q_q19_disjunct_revenue,
+    "q21_waiting_supplier": q_q21_waiting_supplier,
 }
 
 ORACLES = {
@@ -428,4 +808,9 @@ ORACLES = {
     "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
     "q17_small_qty_revenue": Q17_SMALL_QTY_REVENUE_SQL,
     "q22_idle_balance": Q22_IDLE_BALANCE_SQL,
+    "q6_forecast_revenue": Q6_FORECAST_REVENUE_SQL,
+    "q7_nation_volume": Q7_NATION_VOLUME_SQL,
+    "q8_market_share": Q8_MARKET_SHARE_SQL,
+    "q19_disjunct_revenue": Q19_DISJUNCT_REVENUE_SQL,
+    "q21_waiting_supplier": Q21_WAITING_SUPPLIER_SQL,
 }

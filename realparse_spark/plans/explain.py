@@ -26,8 +26,23 @@ def full_explain(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters clauses on the scan nodes."""
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", full_explain(df))
+    """All PushedFilters clauses on the scan nodes.
+
+    Bracket-aware: an ``In(col, [a,b,c])`` filter nests ``]`` inside the
+    clause, so a naive ``\\[[^\\]]*\\]`` capture would stop mid-list and
+    hide every filter after it from the gates."""
+    text = full_explain(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[", text):
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "[":
+                depth += 1
+            elif text[i] == "]":
+                depth -= 1
+            i += 1
+        out.append(text[m.end() : i - 1])
+    return out
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:

@@ -36,6 +36,9 @@ def get_spark(app_name: str = "realparse_spark", *, shuffle_partitions: int | No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan metadata (PushedFilters/Location) is truncated at 100 chars by
+        # default, which hides late-list filters from the plan-quality gates
+        .config("spark.sql.maxMetadataStringLength", "1000")
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in the source layer.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

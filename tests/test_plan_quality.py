@@ -378,6 +378,73 @@ def test_q4_semi_join_with_residual_not_cartesian(spark, queries):
     assert X.python_eval_nodes(df) == 0
 
 
+def test_q6_all_filters_reach_scan_no_shuffle_join(spark, queries):
+    df = queries["q6_forecast_revenue"](spark, SF)
+    # the canonical pushdown benchmark: every predicate must reach the scan
+    assert X.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert X.has_pushed_filter(df, "GreaterThanOrEqual(l_discount")
+    assert X.has_pushed_filter(df, "LessThan(l_quantity")
+    # column pruning: only the 4 referenced columns are read
+    schemas = X.read_schemas(df)
+    assert schemas and all("l_partkey" not in s for s in schemas)
+    # map-side sum + 1-row final reduce — no join, no wide shuffle
+    assert X.count_shuffles(df) <= 1
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_q7_nation_pair_prunes_dims_before_fact(spark, queries):
+    df = queries["q7_nation_volume"](spark, SF)
+    plan = X.executed_plan(df)
+    # the 2-nation filter must not become a cross/BNL anywhere; supplier
+    # and nation chains broadcast onto the fact
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert X.broadcast_join_count(df) >= 2
+    assert X.has_pushed_filter(df, "l_shipdate")
+    # nation pre-filter reaches the nation scans (semi-pruning the dims)
+    assert X.has_pushed_filter(df, "In(n_name")
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_q8_deep_join_tree_stays_broadcast_and_pushed(spark, queries):
+    df = queries["q8_market_share"](spark, SF)
+    plan = X.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # part keyset, region->nation chain, supplier tag chain all broadcast
+    assert X.broadcast_join_count(df) >= 3
+    assert X.has_pushed_filter(df, "EqualTo(p_type,ECONOMY)")
+    assert X.has_pushed_filter(df, "o_orderdate")
+    assert X.has_pushed_filter(df, "EqualTo(r_name,ASIA)")
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_q19_superset_predicates_pushed_disjunction_residual(spark, queries):
+    df = queries["q19_disjunct_revenue"](spark, SF)
+    # the hand-derived hull predicates must reach both scans even though
+    # the exact OR can only run post-join
+    assert X.has_pushed_filter(df, "GreaterThanOrEqual(l_quantity")
+    assert X.has_pushed_filter(df, "LessThanOrEqual(l_quantity")
+    assert X.has_pushed_filter(df, "In(p_brand")
+    assert X.has_pushed_filter(df, "LessThanOrEqual(p_size")
+    assert X.broadcast_join_count(df) >= 1
+    assert X.sortmerge_join_count(df) == 0
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_q21_double_exists_collapses_to_one_window(spark, queries):
+    df = queries["q21_waiting_supplier"](spark, SF)
+    plan = X.executed_plan(df)
+    # the EXISTS/NOT-EXISTS pair must NOT become fact self-joins: one
+    # orderkey-partitioned window computes both per-order counts
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    # lineitem appears in exactly one scan (no second/third fact pass)
+    schemas = X.read_schemas(df)
+    assert sum(1 for s in schemas if "l_suppkey" in s) == 1
+    assert X.has_pushed_filter(df, "EqualTo(o_orderstatus,F)")
+    assert X.python_eval_nodes(df) == 0
+
+
 def test_q13_outer_join_keeps_zero_bucket(spark, queries):
     df = queries["q13_order_counts"](spark, SF)
     plan = X.executed_plan(df)
