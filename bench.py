@@ -78,6 +78,17 @@ EXTRA = [
     "dq_checks",            # integrity gate (anti-joins + agg union)
     "doc_weighted_sample",  # continuous-weight importance sampling
     "salted_agg",           # two-phase skew-resistant aggregation
+    "q6_forecast_revenue",  # TPC-H Q6 shape (pure scan-pushdown agg)
+    "q7_nation_volume",     # TPC-H Q7 shape (two dim chains, nation pair)
+    "q8_market_share",      # TPC-H Q8 shape (deepest join tree, share ratio)
+    "q19_disjunct_revenue", # TPC-H Q19 shape (disjunctive superset pushdown)
+    "q21_waiting_supplier", # TPC-H Q21 shape (double EXISTS as one window)
+    "scd2_build",           # SCD2 dimension build (two windows, one shuffle)
+    # (stream_dedup_e2e is correctness-only, like the other streaming
+    # lifecycles: wall time is trigger/checkpoint overhead, not throughput)
+    "emb_pq",               # product-quantization encode + quality report
+    "sim_ann_pq",           # ADC shortlist + exact re-rank (compressed domain)
+    "multimodal_resize",    # real nearest-neighbor resize round trip
 ]
 
 

@@ -819,8 +819,70 @@ ORDER BY event_type, hour
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension build: change log -> type-2 validity intervals
+# ---------------------------------------------------------------------------
+
+def scd2_build(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change log: treating
+    each user's event stream as attribute updates (attribute =
+    ``event_type``), emit one row per VALUE RUN with its validity interval
+    — the nightly dimension-maintenance job every warehouse on a log
+    pipeline runs (the reference's `access` table is the raw change log;
+    `real_parse.pl:96-107`).
+
+    Shape: ONE shuffle on user_id serves both windows (lag for
+    change detection, lead for interval close) — the second window reuses
+    the first's partitioning, so the fact never moves twice.  State per
+    user is one row; no skew risk beyond a single hot user, which AQE
+    splits.  Ordering is (ts, event_id) so same-second updates resolve
+    deterministically in both engines; intervals are half-open
+    [valid_from, valid_to) with NULL valid_to marking the current row."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("_prev"),
+    )
+    ch = x.filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return ch.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_build(load_table(spark, sf_dir, "events"))
+
+
+SCD2_BUILD_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+ch AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM x WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS attr_value,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
+  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM ch
+"""
+
+
 QUERIES = {
     "events_retention": q_events_retention,
+    "scd2_build": q_scd2_build,
     "rollup_merge": q_rollup_merge,
     "trend_slopes": q_trend_slopes,
     "gap_fill": q_gap_fill,
@@ -837,6 +899,7 @@ QUERIES = {
 
 ORACLES = {
     "rollup_merge": ROLLUP_MERGE_SQL,
+    "scd2_build": SCD2_BUILD_SQL,
     "trend_slopes": TREND_SLOPES_SQL,
     "gap_fill": GAP_FILL_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,

@@ -510,6 +510,106 @@ def decode_video(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, VIDEO_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("dst_w", T.IntegerType()),
+        T.StructField("dst_h", T.IntegerType()),
+        T.StructField("resized_sum", T.LongType()),
+    ]
+)
+
+
+def _ppm_pixels(payload: bytes):
+    """PPM raster as an (h, w, 3) array, top-down (PPM's file order IS
+    image order)."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    w, h, _ = _decode_ppm(payload)
+    # re-locate the raster start exactly as _decode_ppm does
+    toks, pos = 0, 2
+    while toks < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        toks += 1
+    pos += 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3)
+
+
+def _bmp_pixels(payload: bytes):
+    """BMP raster as an (h, w, 3) array in IMAGE order: positive-height
+    BMPs store rows BOTTOM-UP, so the file's first row is the image's
+    last — a decoder that forgets the flip passes any sum-only check but
+    resizes/crops the wrong pixels."""
+    import struct  # noqa: PLC0415 — executor-side import
+
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs(height), offset=pix_off
+    ).reshape(abs(height), stride)[:, : width * 3]
+    img = rows.reshape(abs(height), width, 3)
+    if height > 0:  # bottom-up -> flip into image order
+        img = img[::-1]
+    return width, abs(height), img
+
+
+def resize_image(df: DataFrame, dst_w: int = 8, dst_h: int = 8) -> DataFrame:
+    """REAL nearest-neighbor resize stage (the third of the brief's four
+    media ops — decode / feature-extract / RESIZE / frame-sample): decode
+    the raster, gather rows ys=⌊y·h/dst_h⌋ and columns xs=⌊x·w/dst_w⌋,
+    and reduce the resized plane to an exact-integer sum so the oracle can
+    recompute the sampled indices arithmetically.  Honors BMP's bottom-up
+    row order — the oracle indexes file bytes, so a missing flip breaks
+    the hash.  Arrow-batched `mapInPandas`, one numpy gather per image."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "media_type": [], "src_w": [], "src_h": [],
+                "dst_w": [], "dst_h": [], "resized_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    mt, (w, h, img) = PPM_TYPE, _ppm_pixels(b)
+                elif b[:2] == b"BM":
+                    mt, (w, h, img) = BMP_TYPE, _bmp_pixels(b)
+                else:
+                    raise ValueError(f"unknown magic {b[:2]!r}")
+                ys = np.arange(dst_h, dtype=np.int64) * h // dst_h
+                xs = np.arange(dst_w, dtype=np.int64) * w // dst_w
+                resized = img[ys][:, xs, :]
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(dst_w)
+                out["dst_h"].append(dst_h)
+                out["resized_sum"].append(int(resized.astype(np.int64).sum()))
+            yield pd.DataFrame(out).astype(
+                {"src_w": "int32", "src_h": "int32", "dst_w": "int32",
+                 "dst_h": "int32", "resized_sum": "int64"}
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling *plan* (video analog): one output row per sampled
     offset, computed with posexplode over a JVM-generated offset sequence —
@@ -664,8 +764,54 @@ GROUP BY f.doc_id, f.f, f.w, f.h
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode→RESIZE round trip: build real PPM/BMP files, resize
+    each to 8×8 nearest-neighbor, emit exact-integer sums of the resized
+    plane.  The oracle recomputes the sampled byte indices arithmetically
+    — including BMP's bottom-up row mapping — over a target-grid unnest,
+    so a wrong gather index or a missing row flip breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image(synthesize_images(docs), dst_w=8, dst_h=8)
+
+
+# resized pixel (y, x, c) samples source row r=⌊y·h/8⌋, col q=⌊x·w/8⌋; the
+# generator wrote file byte i with value (doc_id*31 + i*7) % 256, where
+# PPM file order is image order (i = (r·w+q)·3+c) but BMP rows are stored
+# bottom-up (i = ((h-1-r)·w+q)·3+c).
+MULTIMODAL_RESIZE_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         12 + 4 * (doc_id % 5) AS w,
+         8 + 2 * (doc_id % 4) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+    CASE WHEN doc_id % 2 = 0
+      THEN (((y.y * h) // 8) * w + ((x.x * w) // 8)) * 3 + c.c
+      ELSE ((h - 1 - ((y.y * h) // 8)) * w + ((x.x * w) // 8)) * 3 + c.c
+    END AS i
+  FROM g,
+       unnest(range(8)) AS y(y),
+       unnest(range(8)) AS x(x),
+       unnest(range(3)) AS c(c)
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+            ELSE 'image/bmp' END AS media_type,
+       CAST(w AS INTEGER) AS src_w,
+       CAST(h AS INTEGER) AS src_h,
+       CAST(8 AS INTEGER) AS dst_w,
+       CAST(8 AS INTEGER) AS dst_h,
+       CAST(sum((doc_id * 31 + i * 7) % 256) AS BIGINT) AS resized_sum
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
@@ -673,6 +819,7 @@ QUERIES = {
 }
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_audio": MULTIMODAL_AUDIO_SQL,

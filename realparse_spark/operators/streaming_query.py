@@ -336,6 +336,101 @@ ORDER BY v.user_id
 """
 
 
+def q_stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming ingest dedup under the oracle (§2.8's ST4,
+    previously pytest-only): two JSON-lines rotations run through
+    ``stream_dedup_docs`` (fingerprint + ``dropDuplicatesWithinWatermark``)
+    with a shared checkpoint; rotation 2 REDELIVERS every batch-1 line and
+    adds the duplicate variants, and the bounded fingerprint state drops
+    them all across batches.
+
+    Determinism contract (what makes an approximate-state operator
+    oracle-able): all ingest timestamps span < 5 min while the watermark
+    delay is 10 min, so NO fingerprint state is ever evicted during the
+    run — the sink is exactly one row per distinct fingerprint.  And the
+    corpus is arranged so every fingerprint's FIRST delivery is its
+    canonical (min doc_id) copy — batch 1 carries only canonicals of the
+    even groups, batch 2 redelivers them (state-dropped), adds their other
+    copies (state-dropped), and delivers odd groups as canonical-only — so
+    WHICH row survives is never left to within-batch arrival order.  The
+    oracle recomputes min-doc_id-per-fingerprint in SQL."""
+    from pyspark.sql.window import Window
+
+    from realparse_spark.streaming.pipeline import stream_dedup_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    if docs.limit(1).count() == 0:  # empty corpus: typed empty report
+        return spark.createDataFrame([], "doc_id long, fp_md5 string, ingest string")
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    rows = docs.select("doc_id", "text", F.md5(norm).alias("fp")).withColumn(
+        "_md", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    canon = rows.filter(F.col("doc_id") == F.col("_md"))
+    r1 = canon.filter(F.col("_md") % 2 == 0)
+    # the fixture corpus is exact-duplicate-free at small SFs, so rotation 2
+    # also SYNTHESIZES same-text copies under fresh doc_ids: content-level
+    # dedup (same fp, different row) must trigger, not just line redelivery
+    copies = canon.filter(F.col("_md") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    r2 = (
+        rows.filter(F.col("_md") % 2 == 0)
+        .unionByName(copies.select(rows.columns))
+        .unionByName(canon.filter(F.col("_md") % 2 == 1))
+    )
+
+    def jsonify(df: DataFrame) -> DataFrame:
+        ingest = F.from_unixtime(
+            F.unix_timestamp(F.lit("2003-01-01 00:00:00").cast("timestamp"))
+            + F.col("doc_id") % 300
+        )
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id"),
+                    F.col("text"),
+                    F.date_format(ingest, "yyyy-MM-dd HH:mm:ss").alias("ingest_ts"),
+                )
+            ).alias("value")
+        )
+
+    root = tempfile.mkdtemp(prefix="realparse_stream_dedup_")
+    try:
+        inbox = os.path.join(root, "inbox")
+        os.makedirs(inbox)
+        out = os.path.join(root, "out")
+        ck = os.path.join(root, "ck")
+
+        _write_rotation(jsonify(r1), root, inbox, "docs.0001.json")
+        stream_dedup_docs(spark, inbox, out, ck).awaitTermination()
+        _write_rotation(jsonify(r2), root, inbox, "docs.0002.json")
+        stream_dedup_docs(spark, inbox, out, ck).awaitTermination()
+
+        sink = spark.read.parquet(out)
+        res = sink.select(
+            "doc_id",
+            "fp_md5",
+            F.date_format("ingest_ts", "yyyy-MM-dd HH:mm:ss").alias("ingest"),
+        ).orderBy("doc_id")
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_DEDUP_E2E_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+  FROM documents
+),
+canon AS (SELECT fp_md5, min(doc_id) AS doc_id FROM fp GROUP BY fp_md5)
+SELECT doc_id, fp_md5,
+  strftime(TIMESTAMP '2003-01-01 00:00:00' + to_seconds(doc_id % 300), '%Y-%m-%d %H:%M:%S') AS ingest
+FROM canon
+ORDER BY doc_id
+"""
+
+
 # The streaming lifecycle's contract is identical to the batch loader's:
 # after both runs every synthesized line is in the warehouse exactly once,
 # so the oracle IS the load_e2e oracle (aggregate the lines directly).
@@ -344,8 +439,10 @@ QUERIES = {
     "stream_window_e2e": q_stream_window_e2e,
     "stream_upsert_e2e": q_stream_upsert_e2e,
     "stream_join_e2e": q_stream_join_e2e,
+    "stream_dedup_e2e": q_stream_dedup_e2e,
 }
 ORACLES = {
+    "stream_dedup_e2e": STREAM_DEDUP_E2E_SQL,
     "stream_load_e2e": LOAD_E2E_SQL,
     "stream_window_e2e": STREAM_WINDOW_E2E_SQL,
     "stream_upsert_e2e": STREAM_UPSERT_E2E_SQL,

@@ -44,6 +44,12 @@ _MODULES = (
 # set_ops (r1-green; union/intersect/except re-verified in-repo),
 # percentile_metrics, sliding_window, window_rank and top_terms
 # and funnel_conversion (r1/r2-green, parity-covered in-repo).
+# ALSO front in round 6: the queries added in round 5's second session —
+# q6_forecast_revenue, q7_nation_volume, q8_market_share,
+# q19_disjunct_revenue, q21_waiting_supplier, scd2_build, stream_dedup_e2e,
+# emb_pq, sim_ann_pq, multimodal_resize (all in-repo-green via
+# tests/test_oracle_parity.py; they registered after this round's 50-query
+# window was already full).
 _PRIORITY = (
     # new in round 5
     "q12_priority_class",

@@ -210,3 +210,34 @@ def test_decode_video_distributed(spark, sf_dir):
     for d, fr in by_doc.items():
         assert len(fr) == 2 + d % 3  # every FRAME surfaced exactly once
         assert sorted(f.frame_no for f in fr) == list(range(len(fr)))
+
+
+def test_resize_identity_matches_decode_local():
+    """Resizing to the source dimensions must reproduce the full-plane
+    pixel sum for BOTH formats (gather indices become the identity), and
+    the BMP path must flip bottom-up rows: a non-identity resize of a BMP
+    whose rows differ must NOT equal the flip-less gather."""
+    import numpy as np
+
+    from realparse_spark.operators.multimodal import (
+        _bmp_bytes,
+        _bmp_pixels,
+        _decode_bmp,
+        _decode_ppm,
+        _ppm_bytes,
+        _ppm_pixels,
+    )
+
+    for doc_id in (2, 7):
+        w, h = 12 + 4 * (doc_id % 5), 8 + 2 * (doc_id % 4)
+        ppm = _ppm_bytes(doc_id, w, h)
+        bmp = _bmp_bytes(doc_id, w, h)
+        pw, ph, pimg = _ppm_pixels(ppm)
+        bw, bh, bimg = _bmp_pixels(bmp)
+        assert (pw, ph) == (w, h) and (bw, bh) == (w, h)
+        assert int(pimg.astype(np.int64).sum()) == _decode_ppm(ppm)[2]
+        assert int(bimg.astype(np.int64).sum()) == _decode_bmp(bmp)[2]
+        # BMP image order = flipped file order: row 0 of the image is the
+        # LAST file row
+        file_rows = np.frombuffer(bmp[54:], dtype=np.uint8).reshape(h, w * 3)
+        assert (bimg.reshape(h, w * 3) == file_rows[::-1]).all()

@@ -40,6 +40,8 @@ def test_all_queries_have_oracle_or_reason():
         "sim_ann_lsh_batch",  # approximate; exact per-query parity gate vs lsh_probe
         "sim_ann_ivf",
         "emb_knn_join_ivf",  # approximate (block boundaries); recall-gated
+        "emb_pq",  # KMeans codebooks not SQL-reproducible; error-bound gate
+        "sim_ann_pq",  # compressed-domain ADC ranking; recall-gated
         "approx_distinct",
         "approx_quantiles",
     }

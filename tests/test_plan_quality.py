@@ -445,6 +445,17 @@ def test_q21_double_exists_collapses_to_one_window(spark, queries):
     assert X.python_eval_nodes(df) == 0
 
 
+def test_scd2_both_windows_ride_one_shuffle(spark, queries):
+    df = queries["scd2_build"](spark, SF)
+    plan = X.executed_plan(df)
+    # lag (change detect) and lead (interval close) share the user_id
+    # partitioning AND sort order: one exchange, one sort, two windows
+    assert X.count_shuffles(df) == 1
+    assert plan.count("Window") == 2
+    assert plan.count("Sort ") == 1
+    assert X.python_eval_nodes(df) == 0
+
+
 def test_q13_outer_join_keeps_zero_bucket(spark, queries):
     df = queries["q13_order_counts"](spark, SF)
     plan = X.executed_plan(df)

@@ -231,3 +231,67 @@ def test_ivf_cache_invalidated_on_source_change(spark, sf_dir, tmp_path):
     q_sim_ivf(spark, d)
     keys2 = {k for k in _IVF_INDEX if k[0] == os.path.abspath(d)}
     assert len(keys2) == 2, "stale index reused after source change"
+
+
+def test_pq_reconstruction_beats_mean_baseline(spark, sf_dir):
+    """PQ error bound: per-dim reconstruction MSE must beat the 1-centroid
+    baseline (reconstructing every vector as the corpus mean, whose MSE is
+    the per-dim variance) by a wide margin — otherwise the codebooks
+    learned nothing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.similarity import fit_pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb)
+    pq_mse = pq_encode(emb, books).agg(F.avg("mse")).collect()[0][0]
+
+    X = np.asarray([r.embedding for r in emb.select("embedding").collect()],
+                   dtype=np.float64)
+    var = float(((X - X.mean(axis=0)) ** 2).sum(axis=1).mean() / X.shape[1])
+    assert pq_mse < 0.6 * var, (pq_mse, var)
+
+
+def test_pq_search_recall_vs_bruteforce(spark, sf_dir):
+    """ADC shortlist + exact re-rank must recall >= 0.8 of the exact top-10
+    (random unit vectors are PQ's adversarial case; the driver query's
+    adaptive shortlist holds 0.9 at every fixture scale)."""
+    from realparse_spark.operators.similarity import (
+        _pq_books_for,
+        pq_search,
+        topk_cosine,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    books = _pq_books_for(spark, sf_dir)
+    exact = {r.vec_id for r in topk_cosine(emb, 0, 10).collect()}
+    sl = max(100, emb.count() // 16)
+    got = {
+        r.vec_id
+        for r in pq_search(emb, books, [float(x) for x in row.embedding],
+                           k=10, shortlist=sl, exclude_vec_id=0).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8, (exact, got)
+
+
+def test_pq_encode_deterministic_and_code_bounds(spark, sf_dir):
+    """Encoding is a pure function of (corpus, seed): two fits + encodes
+    agree code-for-code, and every code is within [0, K)."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        fit_pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = pq_encode(emb, fit_pq_codebooks(emb)).orderBy("vec_id").collect()
+    e2 = pq_encode(emb, fit_pq_codebooks(emb)).orderBy("vec_id").collect()
+    assert [list(r.codes) for r in e1] == [list(r.codes) for r in e2]
+    assert all(len(r.codes) == PQ_M for r in e1)
+    assert all(0 <= c < PQ_K for r in e1 for c in r.codes)
