@@ -89,6 +89,8 @@ EXTRA = [
     "emb_pq",               # product-quantization encode + quality report
     "sim_ann_pq",           # ADC shortlist + exact re-rank (compressed domain)
     "multimodal_resize",    # real nearest-neighbor resize round trip
+    "daily_new_users",      # growth accounting (distinct + first-seen)
+    "rfm_segments",         # per-nation RFM quintiles (3 windows, 1 shuffle)
 ]
 
 

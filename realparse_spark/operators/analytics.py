@@ -880,9 +880,156 @@ FROM ch
 """
 
 
+# ---------------------------------------------------------------------------
+# growth accounting: daily active / new / cumulative users
+# ---------------------------------------------------------------------------
+
+def daily_new_users(events: DataFrame) -> DataFrame:
+    """Classic growth accounting: per day, distinct actives, first-time
+    users, and the cumulative user count.  Shape: one distinct over
+    (user, day), a per-user min (both shuffle on user_id — AQE pairs
+    them), then a |days|-row daily rollup; the running total is a window
+    over the POST-AGGREGATION series (tiny — the `yearly_growth`
+    precedent), never over the fact."""
+    per_day = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = per_day.groupBy("user_id").agg(F.min("d").alias("d0"))
+    daily = (
+        per_day.join(first, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("d") == F.col("d0"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_new",
+            F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_new_users(load_table(spark, sf_dir, "events"))
+
+
+DAILY_NEW_USERS_SQL = """
+WITH per_day AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS d0 FROM per_day GROUP BY user_id),
+daily AS (
+  SELECT d, count(*) AS n_active,
+    CAST(sum(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM per_day JOIN first USING (user_id)
+  GROUP BY d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, n_active, n_new,
+  CAST(sum(n_new) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: per-nation recency/frequency/monetary quintiles
+# ---------------------------------------------------------------------------
+
+def rfm_segments(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Recency-frequency-monetary segmentation, bucketed WITHIN each
+    nation: per ordering customer, days since last order (vs the corpus
+    max date — a 1-row broadcast), order count, and exact-decimal spend;
+    three ntile(5) windows share ONE c_nationkey shuffle (three sorts, no
+    global window — the partition key is what makes this shape survive
+    100 TB; a global ntile would single-partition the customer table).
+    Ties break on c_custkey so buckets are engine-deterministic.  Output
+    is the segment rollup: customers and spend per (nation, r, f, m)."""
+    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("_mx"))
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_mon"),
+    )
+    j = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(per, customer.c_custkey == per.o_custkey)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.datediff(F.col("_mx"), F.col("_last")).alias("recency"),
+            "frequency",
+            "_mon",
+        )
+    )
+    w_r = Window.partitionBy("c_nationkey").orderBy(F.col("recency").asc(), "c_custkey")
+    w_f = Window.partitionBy("c_nationkey").orderBy(F.col("frequency").desc(), "c_custkey")
+    w_m = Window.partitionBy("c_nationkey").orderBy(F.col("_mon").desc(), "c_custkey")
+    seg = j.select(
+        "c_nationkey",
+        "_mon",
+        F.ntile(5).over(w_r).alias("r_bucket"),
+        F.ntile(5).over(w_f).alias("f_bucket"),
+        F.ntile(5).over(w_m).alias("m_bucket"),
+    )
+    return (
+        seg.groupBy("c_nationkey", "r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_mon").cast("double").alias("total_monetary"),
+        )
+        .orderBy("c_nationkey", "r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segments(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
+per AS (
+  SELECT o_custkey,
+    max(CAST(o_orderdate AS DATE)) AS last_d,
+    count(*) AS frequency,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c_nationkey, c_custkey,
+    datediff('day', last_d, m) AS recency, frequency, mon
+  FROM customer JOIN per ON c_custkey = o_custkey, mx
+),
+seg AS (
+  SELECT c_nationkey, mon,
+    ntile(5) OVER (PARTITION BY c_nationkey ORDER BY recency ASC, c_custkey) AS r_bucket,
+    ntile(5) OVER (PARTITION BY c_nationkey ORDER BY frequency DESC, c_custkey) AS f_bucket,
+    ntile(5) OVER (PARTITION BY c_nationkey ORDER BY mon DESC, c_custkey) AS m_bucket
+  FROM j
+)
+SELECT c_nationkey,
+  CAST(r_bucket AS INTEGER) AS r_bucket,
+  CAST(f_bucket AS INTEGER) AS f_bucket,
+  CAST(m_bucket AS INTEGER) AS m_bucket,
+  count(*) AS n_customers,
+  CAST(sum(mon) AS DOUBLE) AS total_monetary
+FROM seg
+GROUP BY c_nationkey, r_bucket, f_bucket, m_bucket
+ORDER BY c_nationkey, r_bucket, f_bucket, m_bucket
+"""
+
+
 QUERIES = {
     "events_retention": q_events_retention,
     "scd2_build": q_scd2_build,
+    "daily_new_users": q_daily_new_users,
+    "rfm_segments": q_rfm_segments,
     "rollup_merge": q_rollup_merge,
     "trend_slopes": q_trend_slopes,
     "gap_fill": q_gap_fill,
@@ -900,6 +1047,8 @@ QUERIES = {
 ORACLES = {
     "rollup_merge": ROLLUP_MERGE_SQL,
     "scd2_build": SCD2_BUILD_SQL,
+    "daily_new_users": DAILY_NEW_USERS_SQL,
+    "rfm_segments": RFM_SEGMENTS_SQL,
     "trend_slopes": TREND_SLOPES_SQL,
     "gap_fill": GAP_FILL_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,

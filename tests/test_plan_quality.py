@@ -456,6 +456,28 @@ def test_scd2_both_windows_ride_one_shuffle(spark, queries):
     assert X.python_eval_nodes(df) == 0
 
 
+def test_rfm_three_windows_one_nation_shuffle(spark, queries):
+    df = queries["rfm_segments"](spark, SF)
+    plan = X.executed_plan(df)
+    # the three ntile windows (different orderings) must share ONE
+    # c_nationkey exchange — a global ntile would single-partition the
+    # customer table; the only SinglePartition here is the 1-row max date
+    assert plan.count("Window") == 3
+    assert plan.count("hashpartitioning(c_nationkey") == 1
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_daily_new_users_window_post_agg_only(spark, queries):
+    df = queries["daily_new_users"](spark, SF)
+    plan = X.executed_plan(df)
+    # the running total's global window sits on the |days|-row rollup, so
+    # exactly one SinglePartition exchange and one Window node
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert X.python_eval_nodes(df) == 0
+
+
 def test_q13_outer_join_keeps_zero_bucket(spark, queries):
     df = queries["q13_order_counts"](spark, SF)
     plan = X.executed_plan(df)
