@@ -91,6 +91,7 @@ EXTRA = [
     "multimodal_resize",    # real nearest-neighbor resize round trip
     "daily_new_users",      # growth accounting (distinct + first-seen)
     "rfm_segments",         # per-nation RFM quintiles (3 windows, 1 shuffle)
+    "scd2_lookup",          # point-in-time dimension join (interval residual)
 ]
 
 

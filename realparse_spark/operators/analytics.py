@@ -823,6 +823,28 @@ ORDER BY event_type, hour
 # SCD2 dimension build: change log -> type-2 validity intervals
 # ---------------------------------------------------------------------------
 
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Typed SCD2 intervals (user_id, attr_value, valid_from, valid_to
+    as timestamps) — the shared core of the build query and the
+    point-in-time lookup join."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("_prev"),
+    )
+    ch = x.filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ch.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
 def scd2_build(events: DataFrame) -> DataFrame:
     """Slowly-changing-dimension type 2 build from a change log: treating
     each user's event stream as attribute updates (attribute =
@@ -838,23 +860,13 @@ def scd2_build(events: DataFrame) -> DataFrame:
     splits.  Ordering is (ts, event_id) so same-second updates resolve
     deterministically in both engines; intervals are half-open
     [valid_from, valid_to) with NULL valid_to marking the current row."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    x = events.select(
+    iv = scd2_intervals(events)
+    return iv.select(
         "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.lag("event_type").over(w).alias("_prev"),
-    )
-    ch = x.filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w2)
-    return ch.select(
-        "user_id",
-        F.col("event_type").alias("attr_value"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
-        nxt.isNull().alias("is_current"),
+        "attr_value",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
     )
 
 
@@ -877,6 +889,73 @@ SELECT user_id, event_type AS attr_value,
   strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
   (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
 FROM ch
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup: enrich facts with the dimension version
+# valid at each fact's timestamp
+# ---------------------------------------------------------------------------
+
+def scd2_lookup(events: DataFrame) -> DataFrame:
+    """The consumption side of `scd2_build`: every purchase is enriched
+    with the user's STATE at purchase time — the state dimension is the
+    SCD2 interval table built from the user's non-purchase events, and
+    the join picks the version whose half-open interval contains the
+    purchase timestamp (purchases before any state row keep NULL →
+    'NONE').
+
+    Shape: an equi-join on user_id with the interval containment as a
+    RESIDUAL condition (never a range cross product); both sides
+    hash-partition on the same key, and interval half-openness guarantees
+    at most one match per fact — row counts are stable by construction.
+    This is the standard late-binding dimension join a warehouse runs
+    when facts must not see future dimension versions."""
+    state = scd2_intervals(events.filter(F.col("event_type") != "purchase"))
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    cond = (
+        (purch.user_id == state.user_id)
+        & (purch.ts >= state.valid_from)
+        & (state.valid_to.isNull() | (purch.ts < state.valid_to))
+    )
+    j = purch.join(state, cond, "left")
+    return (
+        j.groupBy(F.coalesce(state.attr_value, F.lit("NONE")).alias("state_at_purchase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("state_at_purchase")
+    )
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_lookup(load_table(spark, sf_dir, "events"))
+
+
+SCD2_LOOKUP_SQL = """
+WITH st AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type <> 'purchase'
+),
+iv AS (
+  SELECT user_id, event_type AS attr_value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM st WHERE prev IS NULL OR prev <> event_type
+),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT coalesce(iv.attr_value, 'NONE') AS state_at_purchase,
+  count(*) AS n_purchases,
+  CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM p LEFT JOIN iv
+  ON p.user_id = iv.user_id
+ AND p.ts >= iv.valid_from
+ AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+GROUP BY 1
+ORDER BY 1
 """
 
 
@@ -1028,6 +1107,7 @@ ORDER BY c_nationkey, r_bucket, f_bucket, m_bucket
 QUERIES = {
     "events_retention": q_events_retention,
     "scd2_build": q_scd2_build,
+    "scd2_lookup": q_scd2_lookup,
     "daily_new_users": q_daily_new_users,
     "rfm_segments": q_rfm_segments,
     "rollup_merge": q_rollup_merge,
@@ -1047,6 +1127,7 @@ QUERIES = {
 ORACLES = {
     "rollup_merge": ROLLUP_MERGE_SQL,
     "scd2_build": SCD2_BUILD_SQL,
+    "scd2_lookup": SCD2_LOOKUP_SQL,
     "daily_new_users": DAILY_NEW_USERS_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
     "trend_slopes": TREND_SLOPES_SQL,

@@ -468,6 +468,15 @@ def test_rfm_three_windows_one_nation_shuffle(spark, queries):
     assert X.python_eval_nodes(df) == 0
 
 
+def test_scd2_lookup_interval_join_not_cartesian(spark, queries):
+    df = queries["scd2_lookup"](spark, SF)
+    plan = X.executed_plan(df)
+    # interval containment must ride the user_id equi-join as a residual
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert X.python_eval_nodes(df) == 0
+
+
 def test_daily_new_users_window_post_agg_only(spark, queries):
     df = queries["daily_new_users"](spark, SF)
     plan = X.executed_plan(df)
