@@ -92,6 +92,7 @@ EXTRA = [
     "daily_new_users",      # growth accounting (distinct + first-seen)
     "rfm_segments",         # per-nation RFM quintiles (3 windows, 1 shuffle)
     "scd2_lookup",          # point-in-time dimension join (interval residual)
+    "approx_distinct_merge",  # HLL sketch-blob rollup (daily -> total)
 ]
 
 

@@ -231,6 +231,55 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mergeable-sketch rollup (DataSketches HLL) — the distinct-count analog
+# of rollup_merge
+# ---------------------------------------------------------------------------
+
+def q_approx_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-count rollup via DataSketches HLL builtins:
+    per-(type, day) sketches are map-side partials persisted as BLOBS, and
+    the per-type total comes from `hll_union_agg` over the |days|-row
+    sketch table — the distinct-count analog of `rollup_merge`: a nightly
+    job merges yesterday's sketch into the running total WITHOUT
+    re-scanning raw events, which `approx_count_distinct` (a one-shot
+    aggregate) cannot do.  Estimates are engine/seed-specific → rows-only
+    driver check; error vs exact distinct is pytest-gated."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_approx_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (`approx_top_k`): heaviest users by event
+    count from ONE pass with bounded memory (maxItemsTracked), exploded to
+    rows.  With maxItemsTracked ≥ the true cardinality the counts are
+    exact (pytest-gated against the groupBy truth); at 100 TB cardinality
+    the same plan degrades gracefully to approximate heavy-hitters —
+    the point of the sketch.  Sketch internals → rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    tk = ev.agg(F.expr("approx_top_k(user_id, 10, 8192)").alias("tk"))
+    return (
+        tk.select(F.posexplode("tk").alias("rk", "e"))
+        .select(
+            (F.col("rk") + 1).cast("int").alias("rk"),
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # cube aggregation (all grouping-set combinations)
 # ---------------------------------------------------------------------------
 
@@ -796,6 +845,8 @@ QUERIES = {
     "range_band_join": q_range_band_join,
     "window_rank": q_window_rank,
     "approx_distinct": q_approx_distinct,
+    "approx_distinct_merge": q_approx_distinct_merge,
+    "approx_topk_users": q_approx_topk_users,
     "approx_quantiles": q_approx_quantiles,
 }
 

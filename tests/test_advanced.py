@@ -208,3 +208,52 @@ def test_trend_slopes_degenerate_group_yields_null(spark):
     assert rows["solo"].slope_per_sec is None
     assert rows["same_ts"].slope_per_sec is None
     assert rows["ok"].slope_per_sec == round(1.0 / 3600, 6)
+
+
+def test_approx_distinct_merge_matches_exact(spark):
+    """Merging daily HLL sketch blobs must estimate per-type distinct
+    users within 5% of exact (exact at fixture cardinality), and the
+    sketch-table shape must be real: one sketch per (type, day)."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.advanced import q_approx_distinct_merge
+    from realparse_spark.sources.tables import load_table
+
+    got = {r.event_type: r for r in q_approx_distinct_merge(spark, ORACLE_SF).collect()}
+    ev = load_table(spark, ORACLE_SF, "events")
+    exact = {
+        r.event_type: (r.u, r.n, r.d)
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.to_date("ts")).alias("d"),
+        ).collect()
+    }
+    for et, (u, n, d) in exact.items():
+        r = got[et]
+        assert abs(r.approx_users - u) / u < 0.05, (et, r.approx_users, u)
+        assert r.n_events == n
+        assert r.n_daily_sketches == d
+
+
+def test_approx_topk_users_exact_when_tracked(spark):
+    """With maxItemsTracked >= |users| the frequent-items sketch is exact:
+    the top-10 (user, count) pairs must equal the groupBy truth up to
+    equal-count ties at the cut."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.advanced import q_approx_topk_users
+    from realparse_spark.sources.tables import load_table
+
+    got = [(r.user_id, r.n_events) for r in q_approx_topk_users(spark, ORACLE_SF).collect()]
+    ev = load_table(spark, ORACLE_SF, "events")
+    truth = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert len(got) == 10
+    for uid, n in got:
+        assert truth[uid] == n, (uid, n, truth[uid])
+    # every reported count is >= the 10th-largest true count (ties aside)
+    kth = sorted(truth.values(), reverse=True)[9]
+    assert all(n >= kth for _, n in got)

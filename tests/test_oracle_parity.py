@@ -43,6 +43,8 @@ def test_all_queries_have_oracle_or_reason():
         "emb_pq",  # KMeans codebooks not SQL-reproducible; error-bound gate
         "sim_ann_pq",  # compressed-domain ADC ranking; recall-gated
         "approx_distinct",
+        "approx_distinct_merge",  # HLL blob merge; error gate vs exact in tests
+        "approx_topk_users",  # frequent-items sketch; exact-match gate in tests
         "approx_quantiles",
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
