@@ -93,6 +93,7 @@ EXTRA = [
     "rfm_segments",         # per-nation RFM quintiles (3 windows, 1 shuffle)
     "scd2_lookup",          # point-in-time dimension join (interval residual)
     "approx_distinct_merge",  # HLL sketch-blob rollup (daily -> total)
+    "window_distribution",  # percent_rank/cume_dist/nth_value shared frames
 ]
 
 

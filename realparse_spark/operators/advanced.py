@@ -231,6 +231,54 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# distribution window functions (percent_rank / cume_dist / first / last /
+# nth_value) — the remaining §2.6 window surface beyond ranking and lag/lead
+# ---------------------------------------------------------------------------
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-price distribution positions plus full-frame
+    value picks.  percent_rank/cume_dist derive from exact integer ranks
+    ((rank-1)/(n-1), rank/n) so the doubles are engine-identical; ties
+    break on o_orderkey.  The deterministic 5%-of-customers slice keeps
+    the output bounded without touching any window's completeness (the
+    filter is on the PARTITION key, so it pushes below the window).  One
+    shuffle, one sort, every function shares the frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.first("o_orderkey").over(wf).alias("cheapest_order"),
+            F.last("o_orderkey").over(wf).alias("priciest_order"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest"),
+        )
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT o_custkey, o_orderkey,
+  round(percent_rank() OVER w, 6) AS pr,
+  round(cume_dist() OVER w, 6) AS cd,
+  first_value(o_orderkey) OVER wf AS cheapest_order,
+  last_value(o_orderkey) OVER wf AS priciest_order,
+  nth_value(o_orderkey, 2) OVER wf AS second_cheapest
+FROM orders
+WHERE o_custkey % 20 = 0
+WINDOW
+  w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey),
+  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
 # mergeable-sketch rollup (DataSketches HLL) — the distinct-count analog
 # of rollup_merge
 # ---------------------------------------------------------------------------
@@ -844,6 +892,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_band_join": q_range_band_join,
     "window_rank": q_window_rank,
+    "window_distribution": q_window_distribution,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_merge": q_approx_distinct_merge,
     "approx_topk_users": q_approx_topk_users,
@@ -870,6 +919,7 @@ ORACLES = {
     "asof_join": ASOF_JOIN_SQL,
     "range_band_join": RANGE_BAND_JOIN_SQL,
     "window_rank": WINDOW_RANK_SQL,
+    "window_distribution": WINDOW_DISTRIBUTION_SQL,
     # approx_distinct: HLL sketch values are engine-specific -> rows-only;
     # accuracy bound asserted in tests/test_advanced.py.
 }

@@ -102,6 +102,41 @@ def test_cli_query_list_and_run(spark, sf_dir, capsys):
     assert "Physical Plan" in out and "Scan parquet" in out
 
 
+def test_cli_load_web_and_stream_load(spark, sf_dir, tmp_path, capsys):
+    """The web_parse.pl analog and the streaming loader through the CLI:
+    load-web filters to .wma/.wmv lines; stream-load is exactly-once
+    across two invocations sharing a checkpoint."""
+    from realparse_spark.operators.parse_queries import synth_style5, synth_weblog
+    from realparse_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").limit(30)
+
+    weblogs = tmp_path / "weblogs"
+    weblogs.mkdir()
+    _write_lines(spark, synth_weblog(events), str(weblogs / "log.20021011"))
+    rc = main(
+        ["load-web", "--log-dir", str(weblogs), "--warehouse",
+         str(tmp_path / "whw")],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    counts = json.loads(out.strip().splitlines()[-1])
+    assert 0 < counts["access"] <= 30  # .wma/.wmv filter applied
+
+    logs = tmp_path / "slogs"
+    logs.mkdir()
+    _write_lines(spark, synth_style5(events), str(logs / "rmaccess.log.1"))
+    args = ["stream-load", "--log-dir", str(logs), "--warehouse",
+            str(tmp_path / "whs"), "--checkpoint", str(tmp_path / "ck")]
+    rc = main(args, spark=spark)
+    n1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["access_rows"]
+    assert rc == 0 and n1 == 30
+    rc = main(args, spark=spark)  # re-run: checkpoint skips the processed file
+    n2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["access_rows"]
+    assert rc == 0 and n2 == 30
+
+
 def test_cli_load_real_f3_gate(spark, tmp_path, capsys):
     """A config whose LoggingStyle is not 5 must abort the load — the
     reference's whole-file gate (real_parse.pl:58,186-188)."""
