@@ -94,6 +94,7 @@ EXTRA = [
     "scd2_lookup",          # point-in-time dimension join (interval residual)
     "approx_distinct_merge",  # HLL sketch-blob rollup (daily -> total)
     "window_distribution",  # percent_rank/cume_dist/nth_value shared frames
+    "multimodal_resample",  # real WAV decimation round trip
 ]
 
 

@@ -385,6 +385,68 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, AUDIO_SCHEMA)
 
 
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("src_rate", T.IntegerType()),
+        T.StructField("dst_rate", T.IntegerType()),
+        T.StructField("n_out", T.IntegerType()),
+        T.StructField("abs_sum", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def resample_audio(df: DataFrame, factor: int = 4) -> DataFrame:
+    """REAL audio resample stage (decimation by an integer factor): walk
+    the RIFF chunks, take every `factor`-th PCM sample, and reduce the
+    decimated stream to exact-integer amplitude stats.  Nearest-neighbor
+    decimation (no anti-alias filter) keeps every output sample an exact
+    input sample, so the oracle recomputes the picked indices
+    arithmetically — the audio sibling of `resize_image`'s gather.
+    Arrow-batched `mapInPandas`; the payload never leaves its row."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "media_type": [], "src_rate": [], "dst_rate": [],
+                "n_out": [], "abs_sum": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _n, _s, _p = _decode_wav(bytes(payload))
+                # re-walk for the raw samples (shared chunk walker)
+                import struct  # noqa: PLC0415 — executor-side import
+
+                b = bytes(payload)
+                pos, end = 12, 8 + struct.unpack_from("<I", b, 4)[0]
+                pcm = None
+                while pos + 8 <= min(end, len(b)):
+                    cid = b[pos : pos + 4]
+                    (sz,) = struct.unpack_from("<I", b, pos + 4)
+                    if cid == b"data":
+                        pcm = np.frombuffer(b[pos + 8 : pos + 8 + sz], dtype="<i2")
+                    pos += 8 + sz + (sz & 1)
+                dec = pcm[::factor].astype(np.int64)
+                a = np.abs(dec)
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(WAV_TYPE)
+                out["src_rate"].append(rate)
+                out["dst_rate"].append(rate // factor)
+                out["n_out"].append(int(dec.size))
+                out["abs_sum"].append(int(a.sum()))
+                out["peak"].append(int(a.max(initial=0)))
+            yield pd.DataFrame(out).astype(
+                {"src_rate": "int32", "dst_rate": "int32", "n_out": "int32",
+                 "abs_sum": "int64", "peak": "int32"}
+            )
+
+    return df.mapInPandas(batches, RESAMPLE_SCHEMA)
+
+
 Y4M_TYPE = "video/x-yuv4mpeg"
 
 
@@ -736,6 +798,30 @@ GROUP BY d.doc_id
 """
 
 
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode→RESAMPLE round trip: build real WAV files, decimate
+    each stream 4× and emit exact amplitude stats of the decimated
+    samples.  The generator's sample i is ((doc_id*131 + i*17) % 4096) -
+    2048, so the oracle sums over i ∈ {0, 4, 8, ...} directly — any
+    off-by-one in the chunk walk or the stride breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resample_audio(synthesize_audio(docs), factor=4)
+
+
+MULTIMODAL_RESAMPLE_SQL = """
+SELECT d.doc_id,
+       'audio/wav' AS media_type,
+       CAST(8000 + 1000 * (d.doc_id % 3) AS INTEGER) AS src_rate,
+       CAST((8000 + 1000 * (d.doc_id % 3)) // 4 AS INTEGER) AS dst_rate,
+       CAST(count(*) AS INTEGER) AS n_out,
+       CAST(sum(abs((d.doc_id * 131 + t.i * 17) % 4096 - 2048)) AS BIGINT) AS abs_sum,
+       CAST(max(abs((d.doc_id * 131 + t.i * 17) % 4096 - 2048)) AS INTEGER) AS peak
+FROM documents d,
+     unnest(range(0, 256 + 32 * (d.doc_id % 8), 4)) AS t(i)
+GROUP BY d.doc_id
+"""
+
+
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video encode→decode round trip over REAL Y4M streams: one output
     row per decoded FRAME with its exact luma sum.  The oracle recomputes
@@ -812,6 +898,7 @@ GROUP BY doc_id, w, h
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_resample": q_multimodal_resample,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
@@ -820,6 +907,7 @@ QUERIES = {
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_resample": MULTIMODAL_RESAMPLE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_audio": MULTIMODAL_AUDIO_SQL,

@@ -212,6 +212,30 @@ def test_decode_video_distributed(spark, sf_dir):
         assert sorted(f.frame_no for f in fr) == list(range(len(fr)))
 
 
+def test_resample_identity_matches_decode(spark, sf_dir):
+    """factor=1 decimation must reproduce decode_audio's exact stats —
+    the stride and the chunk walk agree on every sample."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.multimodal import (
+        decode_audio,
+        resample_audio,
+        synthesize_audio,
+    )
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    wav = synthesize_audio(docs)
+    dec = {r.doc_id: (r.n_samples, r.abs_sum, r.peak)
+           for r in decode_audio(wav).collect()}
+    res = {r.doc_id: (r.n_out, r.abs_sum, r.peak)
+           for r in resample_audio(wav, factor=1).collect()}
+    assert dec == res
+    # 4x decimation keeps exactly ceil(n/4) samples
+    q = {r.doc_id: r.n_out for r in resample_audio(wav, factor=4).collect()}
+    assert all(q[d] == -(-dec[d][0] // 4) for d in dec)
+
+
 def test_resize_identity_matches_decode_local():
     """Resizing to the source dimensions must reproduce the full-plane
     pixel sum for BOTH formats (gather indices become the identity), and

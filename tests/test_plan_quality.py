@@ -362,7 +362,8 @@ def test_trend_slopes_single_group_exchange(spark, queries):
 def test_multimodal_decode_paths_are_shuffle_free(spark, queries):
     # encode→decode is a per-row map (Arrow kernels): any Exchange here
     # would mean the binary payloads move across the cluster for nothing
-    for name in ("multimodal_decode", "multimodal_audio", "multimodal_video"):
+    for name in ("multimodal_decode", "multimodal_audio", "multimodal_video",
+                 "multimodal_resize", "multimodal_resample"):
         df = queries[name](spark, SF)
         assert X.count_shuffles(df) == 0, name
 
