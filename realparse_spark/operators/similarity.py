@@ -676,16 +676,23 @@ def fit_pq_codebooks(
     iters: int = 25,
 ) -> list[list[list[float]]]:
     """Offline half: per-subspace k-means codebooks, fit DRIVER-SIDE on a
-    bounded deterministic sample (lowest vec_ids — a TakeOrdered, never a
-    full sort).  That is the production shape: at 100 TB codebooks are
-    always trained on a sample (16k × 64 floats = 4 MB here), then applied
-    corpus-wide; an exact distributed fit would buy nothing.  Seeded
-    numpy k-means (argmin ties -> lowest code) keeps rebuilds
-    deterministic.  Result: M×K×(d/M) floats ≈ 32 KB, shipped to the
-    encode kernel as a constant."""
+    bounded deterministic sample — the `sample` lowest xxhash64(vec_id)
+    rows, i.e. a UNIFORM hash sample via TakeOrdered (per-partition heaps,
+    never a full sort; lowest-raw-ids would bias the fit to one region of
+    an id-correlated corpus).  That is the production shape: at 100 TB
+    codebooks are always trained on a sample (16k × 64 floats = 4 MB
+    here), then applied corpus-wide; an exact distributed fit would buy
+    nothing.  Seeded numpy k-means (argmin ties -> lowest code) keeps
+    rebuilds deterministic.  Result: M×K×(d/M) floats ≈ 32 KB, shipped to
+    the encode kernel as a constant."""
     import numpy as np
 
-    rows = emb.select("embedding").orderBy("vec_id").limit(sample).collect()
+    rows = (
+        emb.select("embedding", F.xxhash64("vec_id").alias("_h"))
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
     if not rows:
         return []
     X = np.asarray([r.embedding for r in rows], dtype=np.float64)
@@ -880,9 +887,9 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shortlist is THE recall knob: this corpus is random unit vectors
     # (PQ's adversarial worst case — no cluster structure, so ADC noise is
     # large vs the cosine spread), and a fixed shortlist decays with corpus
-    # growth; ~6% holds recall@10 >= 0.9 here (parquet row count is a
-    # metadata read, not a scan)
-    shortlist = max(100, emb.count() // 16)
+    # growth; ~10% holds recall@10 >= 0.9 at every fixture scale (parquet
+    # row count is a metadata read, not a scan)
+    shortlist = max(100, emb.count() // 10)
     return pq_search(emb, books, [float(x) for x in row.embedding], k=10,
                      shortlist=shortlist, exclude_vec_id=0)
 

@@ -199,3 +199,55 @@ def test_token_entropy_matches_python(spark, texts):
         h = math.log(n) - sum(tf * math.log(tf) for tf in c.values()) / n
         assert got[doc_id][0] == n
         assert abs(got[doc_id][1] - round(h, 6)) < 1e-9, (doc_id, got[doc_id], h)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),        # user_id
+            st.integers(0, 50),       # ts offset (seconds; collisions likely)
+            st.sampled_from(["a", "b", "c"]),  # attr value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_intervals_match_python_reference(spark, rows):
+    """SCD2 run-length contract vs a direct Python reference: for any
+    change log (including same-second updates), the intervals are exactly
+    the value runs under (ts, event_id) order, chained half-open, with
+    one NULL-terminated current row per user."""
+    import datetime
+
+    from realparse_spark.operators.analytics import scd2_intervals
+
+    base = datetime.datetime(2003, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(seconds=off), uid, typ, 0.0, "{}")
+        for i, (uid, off, typ) in enumerate(rows)
+    ]
+    events = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = sorted(
+        (r.user_id, r.attr_value, r.valid_from, r.valid_to)
+        for r in scd2_intervals(events).collect()
+    )
+
+    # Python reference: per user, sort by (ts, event_id), collapse runs
+    expect = []
+    by_user: dict[int, list] = {}
+    for i, (uid, off, typ) in enumerate(rows):
+        by_user.setdefault(uid, []).append((base + datetime.timedelta(seconds=off), i, typ))
+    for uid, evs in by_user.items():
+        evs.sort()
+        runs = []
+        for ts, _i, typ in evs:
+            if not runs or runs[-1][1] != typ:
+                runs.append([ts, typ])
+        for j, (ts, typ) in enumerate(runs):
+            nxt = runs[j + 1][0] if j + 1 < len(runs) else None
+            expect.append((uid, typ, ts, nxt))
+    assert got == sorted(expect)

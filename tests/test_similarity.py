@@ -268,7 +268,7 @@ def test_pq_search_recall_vs_bruteforce(spark, sf_dir):
     row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     books = _pq_books_for(spark, sf_dir)
     exact = {r.vec_id for r in topk_cosine(emb, 0, 10).collect()}
-    sl = max(100, emb.count() // 16)
+    sl = max(100, emb.count() // 10)
     got = {
         r.vec_id
         for r in pq_search(emb, books, [float(x) for x in row.embedding],
