@@ -170,6 +170,55 @@ GROUP BY 1, 2
 )
 
 
+STREAM_SESSION_E2E_SQL = (
+    "WITH "
+    + _STYLE5_LINES_SQL.strip()
+    + r""",
+parsed AS (
+  SELECT value,
+    regexp_extract(value, '^(\S+)', 1) AS client_ip_address,
+    regexp_extract_all(value, '\s(\d+)', 1) AS toks_raw,
+    strptime(regexp_extract(regexp_extract_all(value, '\[([^\]]*)\]', 1)[1],
+                            '^(.+) -(\d+)$', 1), '%d/%b/%Y:%H:%M:%S') AS ts2
+  FROM lines
+),
+toks AS (
+  SELECT *,
+    CASE WHEN regexp_matches(toks_raw[1], '[69_]\w') THEN toks_raw[2:] ELSE toks_raw END AS t
+  FROM parsed
+),
+flat AS (
+  SELECT client_ip_address, ts2, CAST(t[-4] AS INTEGER) AS sent_time
+  FROM toks WHERE ts2 IS NOT NULL
+),
+marks AS (
+  SELECT *, CASE WHEN epoch(ts2) - epoch(lag(ts2) OVER (
+      PARTITION BY client_ip_address ORDER BY ts2)) >= 1800.0
+    THEN 1 ELSE 0 END AS brk
+  FROM flat
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY client_ip_address ORDER BY ts2
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+),
+agg AS (
+  SELECT client_ip_address, sid, min(ts2) AS s0, max(ts2) AS s1,
+         count(*) AS n_views, sum(sent_time) AS tot
+  FROM s GROUP BY 1, 2
+),
+wm AS (SELECT max(epoch(ts2)) - 1800 AS w FROM flat)
+SELECT strftime(s0, '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(s1 + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+  client_ip_address,
+  n_views,
+  CAST(tot AS BIGINT) AS total_sent_sec
+FROM agg, wm
+WHERE epoch(s1) + 1800 <= wm.w
+"""
+)
+
+
 def q_stream_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch MERGE under the oracle — the at-least-once story
     (§2.8): run 2's rotation REDELIVERS every run-1 line (it contains the
@@ -336,6 +385,53 @@ ORDER BY v.user_id
 """
 
 
+def q_stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows under the oracle: two rotations through
+    `stream_session_views` (checkpointed, so sessions straddling the
+    rotation split merge correctly in state), then the sink is compared
+    against a batch lag-cumsum sessionization restricted to CLOSED
+    sessions.
+
+    Determinism contract (the stream_window_e2e discipline): after the
+    final run the no-data batch advances the watermark to max(event_ts) -
+    30min and flushes every session whose end (last event + 30min gap) is
+    <= that watermark; run 2's lines are strictly newer than run 1's max,
+    so no emitted session ever sees a late event.  The oracle's closed-
+    session predicate is last_ts + 1800 <= max_ts - 1800, with the same
+    strictly-under-gap merge rule as `session_window_native` (break on
+    gap >= 1800)."""
+    from realparse_spark.streaming.pipeline import stream_session_views
+
+    events = load_table(spark, sf_dir, "events")
+    split = events.agg(F.avg(F.unix_timestamp("ts"))).collect()[0][0]
+    older = synth_style5(events.filter(F.unix_timestamp("ts") <= split))
+    newer = synth_style5(events.filter(F.unix_timestamp("ts") > split))
+
+    root = tempfile.mkdtemp(prefix="realparse_stream_sess_")
+    try:
+        logs = os.path.join(root, "logs")
+        os.makedirs(logs)
+        out = os.path.join(root, "out")
+        ck = os.path.join(root, "ck")
+
+        _write_rotation(older, root, logs, "rmaccess.log.20021011")
+        stream_session_views(spark, logs, out, ck).awaitTermination()
+        _write_rotation(newer, root, logs, "rmaccess.log.20021012")
+        stream_session_views(spark, logs, out, ck).awaitTermination()
+
+        sink = spark.read.parquet(out)
+        res = sink.select(
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "client_ip_address",
+            "n_views",
+            "total_sent_sec",
+        )
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming ingest dedup under the oracle (§2.8's ST4,
     previously pytest-only): two JSON-lines rotations run through
@@ -440,9 +536,11 @@ QUERIES = {
     "stream_upsert_e2e": q_stream_upsert_e2e,
     "stream_join_e2e": q_stream_join_e2e,
     "stream_dedup_e2e": q_stream_dedup_e2e,
+    "stream_session_e2e": q_stream_session_e2e,
 }
 ORACLES = {
     "stream_dedup_e2e": STREAM_DEDUP_E2E_SQL,
+    "stream_session_e2e": STREAM_SESSION_E2E_SQL,
     "stream_load_e2e": LOAD_E2E_SQL,
     "stream_window_e2e": STREAM_WINDOW_E2E_SQL,
     "stream_upsert_e2e": STREAM_UPSERT_E2E_SQL,

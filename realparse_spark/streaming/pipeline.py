@@ -113,6 +113,51 @@ def stream_windowed_views(
     )
 
 
+def stream_session_views(
+    spark: SparkSession,
+    log_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    prefix: str = "rmaccess",
+    gap: str = "30 minutes",
+    late: str = "30 minutes",
+):
+    """Native STREAMING session windows (`F.session_window` + watermark):
+    per-IP sessions merge in the aggregation state as events arrive —
+    including across micro-batches and restarts (checkpointed state) —
+    and a session emits exactly once in append mode when the watermark
+    passes its end (last event + gap).  This is the streaming counterpart
+    of the batch `session_window_native` query, with the same
+    strictly-under-gap merge rule; state per key is the open sessions
+    only, evicted at the watermark."""
+    lines = stream_log_lines(spark, log_dir, prefix)
+    agg = (
+        parsed_stream(lines)
+        .withWatermark("event_ts", late)
+        .groupBy(
+            F.session_window("event_ts", gap).alias("w"),
+            F.col("client_ip_address"),
+        )
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum("sent_time").alias("total_sent_sec"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "client_ip_address", "n_views", "total_sent_sec",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_upsert_access(
     spark: SparkSession,
     log_dir: str,
