@@ -136,3 +136,38 @@ def test_salted_groupby_rejects_avg(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         salted_groupby(events, ["event_type"], [("avg", "value", "a")])
+
+
+def test_float_queries_invariant_under_partitioning(spark, sf_dir):
+    """Bit-reproducibility across parallelism: every float-producing query
+    here must hash identically when the shuffle-partition count (and so
+    the partial-aggregation grouping and merge order) changes — the
+    property the exact-decimal-sums-then-fixed-formula discipline exists
+    to guarantee.  A failure means some float accumulates in partition
+    order and would differ run-to-run on a real cluster."""
+    from realparse_spark.registry import all_queries
+
+    names = [
+        "pricing_summary", "trend_slopes", "emb_centroids",
+        "text_unigram_logprob", "event_zscore", "yearly_growth",
+        "doc_source_mix", "q14_promo_revenue", "rfm_segments",
+        "q8_market_share", "gap_fill", "rollup_merge",
+    ]
+    q = all_queries()
+
+    def hashes(sp: int) -> dict[str, int]:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+        try:
+            out = {}
+            for n in names:
+                df = q[n](spark, sf_dir)
+                out[n] = df.select(
+                    F.sum(F.xxhash64(*df.columns)).alias("h")
+                ).collect()[0].h
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    a, b = hashes(3), hashes(29)
+    diffs = [n for n in names if a[n] != b[n]]
+    assert not diffs, diffs
