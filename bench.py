@@ -95,6 +95,7 @@ EXTRA = [
     "approx_distinct_merge",  # HLL sketch-blob rollup (daily -> total)
     "window_distribution",  # percent_rank/cume_dist/nth_value shared frames
     "multimodal_resample",  # real WAV decimation round trip
+    "sim_ann_ivf_pq",       # composed IVF-PQ probe (pruned read + ADC)
 ]
 
 

@@ -894,6 +894,76 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                      shortlist=shortlist, exclude_vec_id=0)
 
 
+def ivf_pq_search(
+    spark: SparkSession,
+    index_path: str,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the two halves composed into the layout every production
+    ANN system ships (FAISS's default): IVF partition pruning decides
+    WHICH vectors are read (n_probe of n_centroids partitions), PQ/ADC
+    decides HOW — codes only — and the exact re-rank touches floats for
+    just the shortlist.  At 100 TB: centroid ranking is driver-side over
+    a KB table, the probe reads ~n_probe/n_centroids of the CODES
+    (~1/32 of the vector bytes), and float I/O is `shortlist` rows.
+    Recall multiplies the two stages' recalls — both knobs (n_probe,
+    shortlist) scale independently; gated in tests."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    qv = [float(x) for x in query_vec]
+    probe = [
+        int(r.centroid_id)
+        for r in sorted(cents, key=lambda r: -_cos_py(qv, list(r.centroid)))[:n_probe]
+    ]
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
+        F.col("centroid_id").isin(probe) if probe else F.lit(False)
+    )
+    if exclude_vec_id is not None:
+        vectors = vectors.filter(F.col("vec_id") != exclude_vec_id)
+    # ADC shortlist over the pruned partitions' codes, then exact re-rank
+    sl = pq_adc_topk(vectors, books, qv, k=shortlist).select("vec_id")
+    qe = F.array(*[F.lit(x) for x in qv])
+    return (
+        vectors.join(F.broadcast(sl), "vec_id")
+        .select(
+            "vec_id", "label",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.round(cosine(F.col("embedding"), qe), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def q_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for `sim_ann_ivf_pq`: the composed IVF-PQ probe for
+    stored vector 0.  n_probe=12 of 16: random unit vectors give KMeans
+    nothing to cluster, so true neighbors scatter across partitions and
+    the IVF stage needs a wide probe for recall >= 0.9 here — on a real
+    clustered corpus the same layout runs n_probe ≈ 1-4 of hundreds (the
+    whole point of the pruning); the ~10% ADC shortlist mirrors
+    `sim_ann_pq`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if row is None:
+        return spark.createDataFrame(
+            [], "vec_id long, label int, centroid_id int, cos double"
+        )
+    idx = _ivf_index_for(spark, sf_dir)
+    books = _pq_books_for(spark, sf_dir)
+    n = emb.count()
+    return ivf_pq_search(
+        spark, idx, books, [float(x) for x in row.embedding],
+        k=10, n_probe=12, shortlist=max(100, n // 10), exclude_vec_id=0,
+    )
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk,
     "sim_topk_cosine_arrow": q_sim_topk_arrow,
@@ -904,6 +974,7 @@ QUERIES = {
     "emb_knn_join_ivf": q_knn_join_ivf,
     "emb_pq": q_emb_pq,
     "sim_ann_pq": q_sim_ann_pq,
+    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
 }
 
 ORACLES = {

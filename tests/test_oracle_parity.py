@@ -42,6 +42,7 @@ def test_all_queries_have_oracle_or_reason():
         "emb_knn_join_ivf",  # approximate (block boundaries); recall-gated
         "emb_pq",  # KMeans codebooks not SQL-reproducible; error-bound gate
         "sim_ann_pq",  # compressed-domain ADC ranking; recall-gated
+        "sim_ann_ivf_pq",  # composed IVF-PQ probe; recall-gated
         "approx_distinct",
         "approx_distinct_merge",  # HLL blob merge; error gate vs exact in tests
         "approx_topk_users",  # frequent-items sketch; exact-match gate in tests

@@ -295,3 +295,31 @@ def test_pq_encode_deterministic_and_code_bounds(spark, sf_dir):
     assert [list(r.codes) for r in e1] == [list(r.codes) for r in e2]
     assert all(len(r.codes) == PQ_M for r in e1)
     assert all(0 <= c < PQ_K for r in e1 for c in r.codes)
+
+
+def test_ivf_pq_search_recall_vs_bruteforce(spark, sf_dir):
+    """The composed IVF-PQ probe (partition pruning × compressed-domain
+    shortlist) must recall >= 0.8 of the exact top-10 at the driver
+    query's knobs."""
+    from realparse_spark.operators.similarity import (
+        _ivf_index_for,
+        _pq_books_for,
+        ivf_pq_search,
+        topk_cosine,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    idx = _ivf_index_for(spark, sf_dir)
+    books = _pq_books_for(spark, sf_dir)
+    exact = {r.vec_id for r in topk_cosine(emb, 0, 10).collect()}
+    got = {
+        r.vec_id
+        for r in ivf_pq_search(
+            spark, idx, books, [float(x) for x in row.embedding],
+            k=10, n_probe=12, shortlist=max(100, emb.count() // 10),
+            exclude_vec_id=0,
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8, (exact, got)
