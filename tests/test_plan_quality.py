@@ -83,6 +83,28 @@ def test_no_python_in_extension_hot_paths(spark, queries):
         assert X.python_eval_nodes(df) == 0, name
 
 
+def test_every_registered_query_plan_is_clean(spark, queries):
+    """Blanket gate over ALL registered queries: no plan may contain a
+    row-at-a-time Python UDF (BatchEvalPython) or an unpartitioned
+    CartesianProduct — the two plan shapes that cannot survive 100 TB.
+    Runs at sf0.001 so the e2e lifecycle queries (which execute their
+    pipelines during construction) stay cheap; this checks PLANS, the
+    per-query gates above check the stronger properties."""
+    bad = []
+    for name, fn in queries.items():
+        try:
+            df = fn(spark, "/root/testdata/sf0.001")
+        except Exception as e:  # noqa: BLE001 — a build failure is a finding too
+            bad.append((name, f"build failed: {repr(e)[:80]}"))
+            continue
+        plan = X.executed_plan(df)
+        if "BatchEvalPython" in plan:
+            bad.append((name, "BatchEvalPython"))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+    assert not bad, bad
+
+
 def test_surrogate_keys_no_global_sort(spark, queries):
     df = queries["surrogate_keys"](spark, SF)
     plan = X.executed_plan(df)
