@@ -96,6 +96,7 @@ EXTRA = [
     "window_distribution",  # percent_rank/cume_dist/nth_value shared frames
     "multimodal_resample",  # real WAV decimation round trip
     "sim_ann_ivf_pq",       # composed IVF-PQ probe (pruned read + ADC)
+    "approx_audience_overlap",  # theta-sketch set algebra (overlap/reach)
 ]
 
 

@@ -308,6 +308,44 @@ def q_approx_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via DataSketches THETA sketches — the set
+    OPERATIONS HLL cannot do: two per-segment sketches (high-value
+    viewers / high-value purchasers) combine with theta_union /
+    theta_intersection / theta_difference into overlap, reach, and
+    exclusive-audience estimates WITHOUT ever joining the raw user sets.
+    At 100 TB each segment's sketch is a KB-scale mergeable blob built in
+    one pass; overlap queries across any segment pair become driver-cheap
+    sketch algebra.  Estimates are exact below the sketch's nominal
+    capacity (the fixture case — pytest-gated against exact distinct
+    counts) and ~2% beyond it; sketch blobs are engine-specific →
+    rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = F.when(
+        (F.col("event_type") == "view") & (F.col("value") > 98), "viewer"
+    ).when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 98), "buyer"
+    )
+    sk = (
+        ev.select(seg.alias("seg"), "user_id")
+        .filter(F.col("seg").isNotNull())
+        .groupBy("seg")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    both = sk.agg(
+        F.expr("first(sk) FILTER (WHERE seg = 'viewer')").alias("v"),
+        F.expr("first(sk) FILTER (WHERE seg = 'buyer')").alias("b"),
+    )
+    est = lambda e: F.expr(f"CAST(round(theta_sketch_estimate({e})) AS BIGINT)")  # noqa: E731
+    return both.select(
+        est("v").alias("est_viewers"),
+        est("b").alias("est_buyers"),
+        est("theta_intersection(v, b)").alias("est_both"),
+        est("theta_union(v, b)").alias("est_either"),
+        est("theta_difference(v, b)").alias("est_viewer_only"),
+    )
+
+
 def q_approx_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch (`approx_top_k`): heaviest users by event
     count from ONE pass with bounded memory (maxItemsTracked), exploded to
@@ -896,6 +934,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "approx_distinct_merge": q_approx_distinct_merge,
     "approx_topk_users": q_approx_topk_users,
+    "approx_audience_overlap": q_approx_audience_overlap,
     "approx_quantiles": q_approx_quantiles,
 }
 

@@ -257,3 +257,30 @@ def test_approx_topk_users_exact_when_tracked(spark):
     # every reported count is >= the 10th-largest true count (ties aside)
     kth = sorted(truth.values(), reverse=True)[9]
     assert all(n >= kth for _, n in got)
+
+
+def test_theta_overlap_matches_exact_set_algebra(spark):
+    """Theta-sketch union/intersection/difference must reproduce the
+    exact distinct-set algebra below sketch capacity (the fixture case) —
+    a wrong segment filter or a swapped operand breaks equality."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.advanced import q_approx_audience_overlap
+    from realparse_spark.sources.tables import load_table
+
+    got = q_approx_audience_overlap(spark, ORACLE_SF).collect()[0]
+    ev = load_table(spark, ORACLE_SF, "events")
+    v = {
+        r.user_id
+        for r in ev.filter((F.col("event_type") == "view") & (F.col("value") > 98))
+        .select("user_id").distinct().collect()
+    }
+    b = {
+        r.user_id
+        for r in ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 98))
+        .select("user_id").distinct().collect()
+    }
+    assert (got.est_viewers, got.est_buyers, got.est_both,
+            got.est_either, got.est_viewer_only) == (
+        len(v), len(b), len(v & b), len(v | b), len(v - b)
+    )

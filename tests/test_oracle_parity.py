@@ -46,6 +46,7 @@ def test_all_queries_have_oracle_or_reason():
         "approx_distinct",
         "approx_distinct_merge",  # HLL blob merge; error gate vs exact in tests
         "approx_topk_users",  # frequent-items sketch; exact-match gate in tests
+        "approx_audience_overlap",  # theta set algebra; exact-match gate in tests
         "approx_quantiles",
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
