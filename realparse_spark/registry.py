@@ -126,6 +126,8 @@ def _load():
 
     missing = [n for n in _PRIORITY if n not in queries]
     assert not missing, f"_PRIORITY names not registered: {missing}"
+    orphans = sorted(set(oracles) - set(queries))
+    assert not orphans, f"oracles without a registered query: {orphans}"
     ordered = {n: queries[n] for n in _PRIORITY}
     ordered.update((n, f) for n, f in queries.items() if n not in ordered)
     return ordered, oracles

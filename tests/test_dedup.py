@@ -166,3 +166,27 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     assert clusters.select("cluster_id").distinct().count() == 1
     assert clusters.count() == n_docs
     pairs.unpersist()
+
+
+def test_clusters_cache_invalidated_on_source_change(spark, tmp_path):
+    """The materialized cluster table is fingerprint-keyed like the
+    LSH/IVF indexes: a regenerated documents fixture must rebuild, never
+    serve stale components."""
+    import os
+    import shutil
+
+    from realparse_spark.operators.dedup import _CLUSTERS, q_dedup_clusters
+
+    d = str(tmp_path / "sfcopy_cc")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", p)
+
+    q_dedup_clusters(spark, d).count()
+    keys1 = {k for k in _CLUSTERS if k[0] == os.path.abspath(d)}
+    assert len(keys1) == 1
+
+    os.utime(p, ns=(1, 1))
+    q_dedup_clusters(spark, d).count()
+    keys2 = {k for k in _CLUSTERS if k[0] == os.path.abspath(d)}
+    assert len(keys2) == 2, "stale cluster table reused after source change"
