@@ -97,6 +97,7 @@ EXTRA = [
     "multimodal_resample",  # real WAV decimation round trip
     "sim_ann_ivf_pq",       # composed IVF-PQ probe (pruned read + ADC)
     "approx_audience_overlap",  # theta-sketch set algebra (overlap/reach)
+    "dq_embeddings",        # vector-table QA (array-expression checks)
 ]
 
 

@@ -116,5 +116,62 @@ ORDER BY check_name
 """
 
 
-QUERIES = {"dq_checks": q_dq_checks}
-ORACLES = {"dq_checks": DQ_CHECKS_SQL}
+def dq_embeddings(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Vector-table QA — the gate a pipeline runs BEFORE building any ANN
+    index (a zero-norm or NaN vector silently poisons cosine math; a
+    wrong-dimension vector crashes the encode kernel mid-job): dimension
+    mismatches, non-finite components, zero norms, and null labels, one
+    row per check with exact ppm.  All pure array expressions over one
+    scan — `exists` short-circuits per row, nothing leaves the JVM."""
+    bad_dim = emb.filter(F.size("embedding") != dim)
+    nonfinite = emb.filter(
+        F.exists("embedding", lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e30)))
+    )
+    zero_norm = emb.filter(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+        == 0.0
+    )
+    null_label = emb.filter(F.col("label").isNull())
+    return (
+        _check("embedding_dim", bad_dim, emb)
+        .unionByName(_check("non_finite_component", nonfinite, emb))
+        .unionByName(_check("zero_norm", zero_norm, emb))
+        .unionByName(_check("null_label", null_label, emb))
+    )
+
+
+def q_dq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+DQ_EMBEDDINGS_SQL = """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings),
+c AS (
+  SELECT 'embedding_dim' AS check_name,
+    CAST(count(*) FILTER (WHERE len(embedding) <> 64) AS BIGINT) AS n_bad FROM embeddings
+  UNION ALL
+  SELECT 'non_finite_component',
+    CAST(count(*) FILTER (WHERE EXISTS (
+      SELECT 1 FROM unnest(embedding) AS u(x) WHERE isnan(x) OR abs(x) > 1e30
+    )) AS BIGINT) FROM embeddings
+  UNION ALL
+  SELECT 'zero_norm',
+    CAST(count(*) FILTER (WHERE list_aggregate(
+      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'
+    ) = 0.0 OR len(embedding) = 0) AS BIGINT) FROM embeddings
+  UNION ALL
+  SELECT 'null_label',
+    CAST(count(*) FILTER (WHERE label IS NULL) AS BIGINT) FROM embeddings
+)
+SELECT check_name, n_bad, n_total,
+  CASE WHEN n_total <> 0
+    THEN CAST(floor(1000000.0 * n_bad / n_total + 0.5) AS BIGINT)
+  END AS bad_ppm
+FROM c, t
+"""
+
+
+QUERIES = {"dq_checks": q_dq_checks, "dq_embeddings": q_dq_embeddings}
+ORACLES = {"dq_checks": DQ_CHECKS_SQL, "dq_embeddings": DQ_EMBEDDINGS_SQL}

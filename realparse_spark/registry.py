@@ -50,9 +50,9 @@ _MODULES = (
 # emb_pq, sim_ann_pq, multimodal_resize, daily_new_users, rfm_segments,
 # scd2_lookup, approx_distinct_merge, approx_topk_users,
 # window_distribution, multimodal_resample, stream_session_e2e,
-# sim_ann_ivf_pq, approx_audience_overlap (all in-repo-green via
-# tests/test_oracle_parity.py / recall gates; they registered after this
-# round's 50-query window was already full).
+# sim_ann_ivf_pq, approx_audience_overlap, dq_embeddings (all
+# in-repo-green via tests/test_oracle_parity.py / recall gates; they
+# registered after this round's 50-query window was already full).
 _PRIORITY = (
     # new in round 5
     "q12_priority_class",

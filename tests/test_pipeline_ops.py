@@ -199,3 +199,25 @@ def test_all_queries_survive_tiny_corpus(spark, tmp_path, n_rows):
         except Exception as e:  # noqa: BLE001 — collecting every failure
             failures.append((name, repr(e).splitlines()[0][:90]))
     assert not failures, failures
+
+
+def test_dq_embeddings_detects_seeded_violations(spark):
+    """Each embedding check must fire on a seeded bad vector: wrong dim,
+    NaN component, zero norm, null label — and pass a clean row."""
+    from realparse_spark.operators.dq import dq_embeddings
+
+    rows = [
+        (1, [1.0] * 64, 3),            # clean
+        (2, [1.0] * 63, 3),            # wrong dim
+        (3, [float("nan")] + [1.0] * 63, 3),  # NaN component
+        (4, [0.0] * 64, 3),            # zero norm
+        (5, [1.0] * 64, None),         # null label
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.check_name: r.n_bad for r in dq_embeddings(emb).collect()}
+    assert got == {
+        "embedding_dim": 1,
+        "non_finite_component": 1,
+        "zero_norm": 1,
+        "null_label": 1,
+    }
