@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     sl.add_argument("--checkpoint", required=True)
     sl.add_argument("--prefix", default="rmaccess")
 
+    cp = sub.add_parser("compact", help="compact a parquet table's small files")
+    cp.add_argument("--path", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--partition-by", default=None,
+                    help="comma-separated partition columns, if any")
+
     q = sub.add_parser("query", help="run a registered analytics query")
     q.add_argument("--name", help="query name (see --list)")
     q.add_argument("--sf-dir", default=None, help="table directory (parquet per table)")
@@ -167,6 +173,23 @@ def cmd_stream_load(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_compact(args, spark: SparkSession) -> int:
+    from realparse_spark.operators.compact import compact_table, table_file_stats
+
+    before = table_file_stats(spark, args.path)
+    compact_table(
+        spark, args.path,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+    )
+    after = table_file_stats(spark, args.path)
+    print(json.dumps({
+        "files_before": before[0], "files_after": after[0],
+        "bytes_before": before[1], "bytes_after": after[1],
+    }))
+    return 0
+
+
 def cmd_query(args, spark: SparkSession) -> int:
     from realparse_spark.registry import all_queries
 
@@ -197,6 +220,7 @@ _COMMANDS = {
     "report": cmd_report,
     "open-log": cmd_open_log,
     "stream-load": cmd_stream_load,
+    "compact": cmd_compact,
     "query": cmd_query,
 }
 

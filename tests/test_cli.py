@@ -137,6 +137,22 @@ def test_cli_load_web_and_stream_load(spark, sf_dir, tmp_path, capsys):
     assert rc == 0 and n2 == 30
 
 
+def test_cli_compact(spark, sf_dir, tmp_path, capsys):
+    """The maintenance subcommand: many small files in, fewer out, bytes
+    preserved within parquet-overhead noise, rows identical."""
+    from realparse_spark.sources.tables import load_table
+
+    p = str(tmp_path / "frag")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(16).write.parquet(p)
+    n_rows = spark.read.parquet(p).count()
+    rc = main(["compact", "--path", p, "--target-mb", "128"], spark=spark)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["files_after"] < out["files_before"]
+    assert spark.read.parquet(p).count() == n_rows
+
+
 def test_cli_load_real_f3_gate(spark, tmp_path, capsys):
     """A config whose LoggingStyle is not 5 must abort the load — the
     reference's whole-file gate (real_parse.pl:58,186-188)."""
