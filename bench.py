@@ -210,20 +210,33 @@ def main() -> None:
                         f"baseline {floor}s (> 2x + 0.5s, reproduced on re-measure)"
                     )
 
-    print(json.dumps({
+    # Two lines: the full per-query detail FIRST, then a compact headline
+    # summary LAST.  The driver archives only the tail of stdout (observed:
+    # BENCH_r05 lost the headline totals because the detail line outgrew the
+    # 2000-char window), so the line that must survive — headline timings,
+    # warm totals, regressions — is printed last and kept small.  The detail
+    # is also written to BENCH_DETAIL.json for in-repo inspection.
+    detail = {
+        "queries_extra": extra,
+        "queries_extra_warm": extra_warm,
+        "remeasures": remeasures,
+    }
+    summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
-        "queries_extra": extra,
-        "queries_extra_warm": extra_warm,
         "extra_warm_total": round(sum(extra_warm.values()), 3),
+        "extra_count": len(extra_warm),
         "sf": sf,
         "regressions": regressions,
-        "remeasures": remeasures,
-    }))
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump({**summary, **detail}, fh, indent=1, sort_keys=True)
+    print(json.dumps(detail))
+    print(json.dumps(summary))
     if regressions:
         print("BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr)
         sys.exit(1)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from collections.abc import Sequence
 
@@ -91,13 +92,12 @@ def _print_df(df: DataFrame, limit: int) -> None:
     """TSV to stdout: header, up to `limit` rows, then the total count —
     bounded driver materialization (a CLI prints; it does not collect the
     corpus)."""
-    rows = df.limit(limit).collect()
+    rows = df.limit(limit + 1).collect()  # limit+1: one job answers "more?"
     print("\t".join(df.columns))
-    for r in rows:
+    for r in rows[:limit]:
         print("\t".join("" if v is None else str(v) for v in r))
-    n = df.count()
-    if n > len(rows):
-        print(f"... ({n} rows total)", file=sys.stderr)
+    if len(rows) > limit:
+        print(f"... (more than {limit} rows)", file=sys.stderr)
 
 
 def cmd_load_real(args, spark: SparkSession) -> int:
@@ -165,11 +165,16 @@ def cmd_open_log(args, spark: SparkSession) -> int:
 def cmd_stream_load(args, spark: SparkSession) -> int:
     from realparse_spark.streaming.pipeline import stream_load_access
 
+    # sink under <warehouse>/access so `report` / read_warehouse_table can
+    # consume a stream-loaded warehouse exactly like a batch-loaded one
+    out = os.path.join(args.warehouse, "access")
     stream_load_access(
-        spark, args.log_dir, args.warehouse, args.checkpoint, prefix=args.prefix
+        spark, args.log_dir, out, args.checkpoint, prefix=args.prefix
     ).awaitTermination()
-    n = spark.read.parquet(args.warehouse).count()
-    print(json.dumps({"access_rows": n}))
+    from realparse_spark.operators.load import read_warehouse_table
+
+    df = read_warehouse_table(spark, args.warehouse, "access")
+    print(json.dumps({"access_rows": 0 if df is None else df.count()}))
     return 0
 
 

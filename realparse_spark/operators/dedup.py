@@ -658,14 +658,26 @@ def _clusters_for(spark: SparkSession, sf_dir: str) -> str:
     key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 3, 0.5)
     path = _CLUSTERS.get(key)
     if path is None:
+        import shutil
+
         path = os.path.join(
             tempfile.gettempdir(),
             "realparse_clusters_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
         )
-        pairs = ngram_jaccard_pairs(
-            fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5
-        )
-        dup_clusters(pairs).write.mode("overwrite").parquet(path)
+        if not os.path.isdir(path):
+            # write to a process-unique temp dir, then atomically rename into
+            # place: two concurrent processes computing the same key must
+            # never overwrite a directory the other is lazily reading
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pairs = ngram_jaccard_pairs(
+                fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5
+            )
+            dup_clusters(pairs).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # lost the race — the winner's table is byte-equivalent
+                shutil.rmtree(tmp, ignore_errors=True)
         _CLUSTERS[key] = path
     return path
 

@@ -123,7 +123,12 @@ def dq_embeddings(emb: DataFrame, dim: int = 64) -> DataFrame:
     mismatches, non-finite components, zero norms, and null labels, one
     row per check with exact ppm.  All pure array expressions over one
     scan — `exists` short-circuits per row, nothing leaves the JVM."""
-    bad_dim = emb.filter(F.size("embedding") != dim)
+    # size(NULL) is -1 in Spark while DuckDB's len(NULL) is NULL (dropped by
+    # the filter) — an explicit isNull branch on BOTH sides keeps a
+    # null-vector row counted identically in engine and oracle.
+    bad_dim = emb.filter(
+        F.col("embedding").isNull() | (F.size("embedding") != dim)
+    )
     nonfinite = emb.filter(
         F.exists("embedding", lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e30)))
     )
@@ -150,7 +155,7 @@ DQ_EMBEDDINGS_SQL = """
 WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings),
 c AS (
   SELECT 'embedding_dim' AS check_name,
-    CAST(count(*) FILTER (WHERE len(embedding) <> 64) AS BIGINT) AS n_bad FROM embeddings
+    CAST(count(*) FILTER (WHERE embedding IS NULL OR len(embedding) <> 64) AS BIGINT) AS n_bad FROM embeddings
   UNION ALL
   SELECT 'non_finite_component',
     CAST(count(*) FILTER (WHERE EXISTS (

@@ -820,8 +820,10 @@ def pq_adc_topk(
     floats: M array lookups + adds per row, over the codes column only.
     Scores approximate the raw dot product; ranking quality is the PQ
     trade, recall-gated in tests."""
-    dim = sum(len(b[0]) for b in books) if books else 0
-    slices = _subslices(dim, len(books)) if books else []
+    if not books:
+        raise ValueError("pq_adc_topk: empty codebooks (fit_pq_codebooks first)")
+    dim = sum(len(b[0]) for b in books)
+    slices = _subslices(dim, len(books))
     qv = [float(x) for x in query_vec]
     luts = [
         [sum(qv[off + i] * cent[i] for i in range(size)) for cent in book]

@@ -41,6 +41,17 @@ def pushed_filters(df: DataFrame) -> list[str]:
             elif text[i] == "]":
                 depth -= 1
             i += 1
+        if depth:
+            # unbalanced clause — the scan metadata was truncated (filters
+            # longer than spark.sql.maxMetadataStringLength); appending the
+            # unbounded tail would silently corrupt gate matches
+            import warnings
+
+            warnings.warn(
+                "pushed_filters: truncated/unbalanced PushedFilters clause "
+                "skipped — raise spark.sql.maxMetadataStringLength"
+            )
+            continue
         out.append(text[m.end() : i - 1])
     return out
 
