@@ -24,10 +24,11 @@ DISTINCT physical-plan pattern the engine must handle at 100 TB
 - Q21 analog (``q21_waiting_supplier``): double-correlated EXISTS/NOT
   EXISTS collapsed into one per-order window.
 
-The remaining classic shapes (Q2/Q9/Q11/Q16/Q20) all require the
+The remaining classic shapes (Q2/Q9/Q11/Q16/Q20) require the
 ``partsupp`` table, which the fixture schema does not include
-(TESTDATA.md); their plan patterns (min-per-group join-back, NOT IN
-anti-join, nested semi-joins) are each covered by another query above.
+(TESTDATA.md); they live in tpch_partsupp.py over a deterministic
+partsupp SYNTHESIZED with identical arithmetic in Spark and in the
+DuckDB oracle, so every one has a real differential check.
 
 All math is exact-decimal until the final cast so the DuckDB oracle
 hash-matches bit-for-bit; ratios are computed double-then-round(4) with the

@@ -27,6 +27,7 @@ _MODULES = (
     "realparse_spark.operators.privacy",
     "realparse_spark.operators.analytics",
     "realparse_spark.operators.tpch_extra",
+    "realparse_spark.operators.tpch_partsupp",
     "realparse_spark.operators.dq",
     "realparse_spark.operators.scale",
 )
