@@ -265,3 +265,69 @@ def test_resize_identity_matches_decode_local():
         # LAST file row
         file_rows = np.frombuffer(bmp[54:], dtype=np.uint8).reshape(h, w * 3)
         assert (bimg.reshape(h, w * 3) == file_rows[::-1]).all()
+
+
+def test_png_roundtrip_all_filters_local():
+    from realparse_spark.operators.multimodal import _decode_png, _png_bytes
+
+    # height 7 cycles filter types 0,1,2,3,4,0,1 — every unfilter path runs
+    w, h, s = _decode_png(_png_bytes(9, 6, 7))
+    assert (w, h) == (6, 7)
+    assert s == sum((9 * 31 + i * 7) % 256 for i in range(6 * 7 * 3))
+    # the compressed stream is genuinely smaller-or-reshaped, not raw bytes
+    assert b"IDAT" in _png_bytes(9, 6, 7)
+
+
+def test_png_rejects_tampered_and_malformed_local():
+    import pytest
+
+    from realparse_spark.operators.multimodal import _decode_png, _png_bytes
+
+    good = bytearray(_png_bytes(4, 5, 5))
+    # flip one bit inside the IDAT payload: the chunk CRC must catch it
+    idat_off = bytes(good).index(b"IDAT") + 6
+    tampered = bytearray(good)
+    tampered[idat_off] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(tampered))
+    with pytest.raises(ValueError):
+        _decode_png(b"\x89PNG\r\n\x1a\nXXXX")  # truncated, no IHDR
+    # greyscale (color type 0) is out of scope and must be refused
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    grey = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x7f"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="RGB"):
+        _decode_png(grey)
+
+
+def test_decode_png_distributed(spark, sf_dir):
+    from realparse_spark.operators.multimodal import (
+        decode_image,
+        synthesize_images_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = decode_image(synthesize_images_png(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.media_type == "image/png"
+        assert r.width == 5 + r.doc_id % 7
+        assert r.height == 4 + r.doc_id % 5
+        n = r.width * r.height * 3
+        assert r.pixel_sum == sum(
+            (r.doc_id * 31 + i * 7) % 256 for i in range(n)
+        )
