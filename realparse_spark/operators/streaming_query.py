@@ -527,6 +527,92 @@ ORDER BY doc_id
 """
 
 
+def q_stream_custom_state_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (`applyInPandasWithState` per-IP
+    session assembly, streaming/pipeline.py `stream_sessionize`) under
+    the oracle — previously pytest-only, the last streaming lifecycle
+    without a driver-verifiable query.
+
+    Determinism contract: the operator runs in NoTimeout mode
+    (`timeout_ms=None`) — wall-clock flushes would make the sink
+    timing-dependent, and an availableNow run with armed processing-time
+    timeouts never terminates on its own.  The corpus is ONE rotation
+    file (one data batch), so emissions are a pure function of the data:
+    exactly the gap-closed sessions (strict > 30 min between a key's
+    consecutive events, matching the operator's `> gap_sec` test), while
+    each key's open tail stays in state.  The oracle is the lag-cumsum
+    sessionization MINUS each key's last (open) session."""
+    from realparse_spark.streaming.pipeline import stream_sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    lines = synth_style5(events)
+
+    root = tempfile.mkdtemp(prefix="realparse_stream_state_")
+    try:
+        logs = os.path.join(root, "logs")
+        os.makedirs(logs)
+        out = os.path.join(root, "out")
+        ck = os.path.join(root, "ck")
+
+        _write_rotation(lines, root, logs, "rmaccess.log.20021011")
+        stream_sessionize(
+            spark, logs, out, ck, timeout_ms=None
+        ).awaitTermination()
+
+        sink = spark.read.parquet(out)
+        res = sink.select(
+            "client_ip_address",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        ).orderBy("client_ip_address", "session_start")
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# sessions break on gap > 1800 s (strict — the stateful fn tests
+# `(t - last) > gap`); each key's LAST session is still open in state
+# when the run terminates, so the oracle keeps sid < max(sid) only.
+STREAM_CUSTOM_STATE_E2E_SQL = (
+    "WITH "
+    + _STYLE5_LINES_SQL.strip()
+    + r""",
+parsed AS (
+  SELECT
+    regexp_extract(value, '^(\S+)', 1) AS client_ip_address,
+    strptime(regexp_extract(regexp_extract_all(value, '\[([^\]]*)\]', 1)[1],
+                            '^(.+) -(\d+)$', 1), '%d/%b/%Y:%H:%M:%S') AS ts2
+  FROM lines
+),
+flat AS (SELECT * FROM parsed WHERE ts2 IS NOT NULL),
+marks AS (
+  SELECT *, CASE WHEN epoch(ts2) - epoch(lag(ts2) OVER (
+      PARTITION BY client_ip_address ORDER BY ts2)) > 1800.0
+    THEN 1 ELSE 0 END AS brk
+  FROM flat
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY client_ip_address ORDER BY ts2
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+),
+agg AS (
+  SELECT client_ip_address, sid, min(ts2) AS s0, max(ts2) AS s1,
+         count(*) AS n, max(sid) OVER (PARTITION BY client_ip_address) AS last_sid
+  FROM s GROUP BY client_ip_address, sid
+)
+SELECT client_ip_address,
+  strftime(s0, '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(s1, '%Y-%m-%d %H:%M:%S') AS session_end,
+  CAST(n AS BIGINT) AS n_events
+FROM agg
+WHERE sid < last_sid
+ORDER BY client_ip_address, session_start
+"""
+)
+
+
 # The streaming lifecycle's contract is identical to the batch loader's:
 # after both runs every synthesized line is in the warehouse exactly once,
 # so the oracle IS the load_e2e oracle (aggregate the lines directly).
@@ -537,10 +623,12 @@ QUERIES = {
     "stream_join_e2e": q_stream_join_e2e,
     "stream_dedup_e2e": q_stream_dedup_e2e,
     "stream_session_e2e": q_stream_session_e2e,
+    "stream_custom_state_e2e": q_stream_custom_state_e2e,
 }
 ORACLES = {
     "stream_dedup_e2e": STREAM_DEDUP_E2E_SQL,
     "stream_session_e2e": STREAM_SESSION_E2E_SQL,
+    "stream_custom_state_e2e": STREAM_CUSTOM_STATE_E2E_SQL,
     "stream_load_e2e": LOAD_E2E_SQL,
     "stream_window_e2e": STREAM_WINDOW_E2E_SQL,
     "stream_upsert_e2e": STREAM_UPSERT_E2E_SQL,

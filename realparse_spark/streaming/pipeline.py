@@ -306,12 +306,22 @@ def stream_sessionize(
     checkpoint_dir: str,
     prefix: str = "rmaccess",
     gap_minutes: int = 30,
+    timeout_ms: int | None = 60_000,
 ):
     """Custom stateful operator via applyInPandasWithState: per-IP session
     assembly with a processing-time timeout — the §2.8 'no stateful ops'
     gap filled with the public stateful API.  State = (session_start,
     last_seen, n_events); a session row is emitted when the gap elapses or
-    the state times out."""
+    the state times out.
+
+    ``timeout_ms`` is the processing-time flush for idle keys — the right
+    production behavior for a continuous trigger.  Pass ``None`` for
+    GroupStateTimeout.NoTimeout: open tails then stay in state, which is
+    what a DETERMINISTIC availableNow consumer needs — the runtime keeps
+    scheduling empty micro-batches for as long as processing-time
+    timeouts remain armed (observed: an availableNow run with pending
+    timeouts never terminates on its own), and wall-clock flushes would
+    make the sink contents timing-dependent anyway."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     lines = stream_log_lines(spark, log_dir, prefix)
@@ -349,15 +359,21 @@ def stream_sessionize(
             last = t
             n += 1
         state.update((start, last, n))
-        state.setTimeoutDuration(60_000)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         if sessions:
             yield pd.DataFrame(
                 sessions,
                 columns=["client_ip_address", "session_start", "session_end", "n_events"],
             )
 
+    mode = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     sessions = events.groupBy("client_ip_address").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+        fn, out_schema, state_schema, "append", mode
     )
     return (
         sessions.writeStream.format("parquet")
