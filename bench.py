@@ -98,6 +98,15 @@ EXTRA = [
     "sim_ann_ivf_pq",       # composed IVF-PQ probe (pruned read + ADC)
     "approx_audience_overlap",  # theta-sketch set algebra (overlap/reach)
     "dq_embeddings",        # vector-table QA (array-expression checks)
+    "q2_min_cost_supplier", # TPC-H Q2 shape (min + join-back over partsupp)
+    "q9_product_profit",    # TPC-H Q9 shape (composite-key fact join)
+    "q11_important_stock",  # TPC-H Q11 shape (scalar-threshold HAVING)
+    "q16_supplier_counts",  # TPC-H Q16 shape (NOT-IN anti + count distinct)
+    "q20_promotable_stock", # TPC-H Q20 shape (nested semi-joins)
+    "multimodal_png",       # real PNG decode (inflate + unfilter + CRC)
+    "maintenance_compact",  # fragment -> compact -> row-preserving report
+    # (stream_custom_state_e2e is correctness-only, like the other
+    # streaming lifecycles)
 ]
 
 

@@ -108,3 +108,57 @@ def compact_table(
     fs.rmtree(backup)
     after, _ = table_file_stats(spark, path, fs)
     return before, after
+
+
+def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Compaction under the oracle: fragment the documents table into 16
+    files, compact to ~1 file, and report per-source aggregates READ FROM
+    THE COMPACTED TABLE alongside the file counts.  Every output value is
+    deterministic — before = the 16-way repartition, after = 1 (corpus ≪
+    the 1 GiB target), and the aggregates prove compaction is
+    row-preserving (a dropped/duplicated row breaks the hash match)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from realparse_spark.operators.load_query import persist_result
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="realparse_compact_")
+    try:
+        p = os.path.join(root, "frag")
+        docs.repartition(16).write.parquet(p)
+        before, _b = table_file_stats(spark, p)
+        compact_table(spark, p, target_file_bytes=1 << 30)
+        after, _a = table_file_stats(spark, p)
+        res = (
+            spark.read.parquet(p)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+            )
+            .withColumn("files_before", F.lit(before).cast("int"))
+            .withColumn("files_after", F.lit(after).cast("int"))
+            .orderBy("source")
+        )
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MAINTENANCE_COMPACT_SQL = """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(16 AS INTEGER) AS files_before,
+  CAST(1 AS INTEGER) AS files_after
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {"maintenance_compact": q_maintenance_compact}
+ORACLES = {"maintenance_compact": MAINTENANCE_COMPACT_SQL}

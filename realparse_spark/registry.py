@@ -30,84 +30,80 @@ _MODULES = (
     "realparse_spark.operators.tpch_partsupp",
     "realparse_spark.operators.dq",
     "realparse_spark.operators.scale",
+    "realparse_spark.operators.compact",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so
 # registration order decides which queries earn a hard driver-verified row
 # each round.  Names listed here are emitted FIRST (in this order); everything
 # else follows in module order.  Rotate per round so every query accumulates
-# driver rows: round 5 fronts queries new this round plus the entries that
-# fell outside the r4 window (all driver-green in r1-r3 and re-verified by the
-# in-repo parity suite each session).  The list is EXACTLY 50 names; deferred
-# to the round-6 window: approx_distinct / approx_quantiles (rows-only, driver
-# rows in r1-r2), datetime_roundtrip (r1-green, property-tested) and
-# sql_interface (r2-green; a thin SQL door over already-windowed paths) and
-# set_ops (r1-green; union/intersect/except re-verified in-repo),
-# percentile_metrics, sliding_window, window_rank and top_terms
-# and funnel_conversion (r1/r2-green, parity-covered in-repo).
-# ALSO front in round 6: the queries added in round 5's second session —
-# q6_forecast_revenue, q7_nation_volume, q8_market_share,
-# q19_disjunct_revenue, q21_waiting_supplier, scd2_build, stream_dedup_e2e,
-# emb_pq, sim_ann_pq, multimodal_resize, daily_new_users, rfm_segments,
-# scd2_lookup, approx_distinct_merge, approx_topk_users,
-# window_distribution, multimodal_resample, stream_session_e2e,
-# sim_ann_ivf_pq, approx_audience_overlap, dq_embeddings (all
-# in-repo-green via tests/test_oracle_parity.py / recall gates; they
-# registered after this round's 50-query window was already full).
+# driver rows.  The round-6 window (EXACTLY 50 names): the 22 round-5
+# second-session additions that registered after the r5 window filled (all
+# in-repo-green via tests/test_oracle_parity.py / recall gates), the 10
+# entries deferred from the r5 comment plan (driver-green in r1-r3,
+# parity-covered in-repo since), the 8 queries NEW in round 6 (partsupp
+# TPC-H shapes, PNG decode, the stateful-session lifecycle, compaction),
+# and 10 re-verification slots for flagship queries whose newest driver row
+# is r4.  Deferred to the round-7 window: everything with an r5 row
+# (q12/q14/q15/q17/q22/q4/q13, stream_join_e2e, rollup_merge, trend_slopes,
+# gap_fill, dq_checks, doc_weighted_sample, multimodal_audio/video/decode,
+# sim_ann_lsh_batch, emb_knn_join_ivf, the parse/text/load families,
+# sim_ann_lsh — all re-verified in-repo every session).
 _PRIORITY = (
-    # new in round 5
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q22_idle_balance",
-    "q4_late_orders",
-    "q13_order_counts",
-    "stream_join_e2e",
-    "rollup_merge",
-    "trend_slopes",
-    "gap_fill",
-    "dq_checks",
-    "doc_weighted_sample",
-    "multimodal_audio",
-    "multimodal_video",
-    "multimodal_decode",
-    "sim_ann_lsh_batch",
-    "emb_knn_join_ivf",
-    # green in earlier rounds but outside the r4 window
-    "json_props",
-    "sessionize",
-    "session_window_native",
-    "anti_semi_join",
-    "parse_style5",
-    "parse_positional",
-    "parse_weblog",
-    "client_info_parse",
-    "stats_mask_explode",
-    "log_report_e2e",
-    "load_e2e",
-    "stream_load_e2e",
-    "text_repetition",
-    "text_unigram_logprob",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_winnow",
-    "text_contamination",
-    "dedup_exact",
-    "doc_source_mix",
-    "value_histogram",
-    "revenue_by_nation",
-    "emb_centroids",
-    "above_avg_parts",
-    "cube_agg",
-    "pivot_events",
-    "asof_join",
-    "range_band_join",
-    "anonymize_ips",
-    "redact_pii",
-    # re-verify the reworked ANN probe this round
-    "sim_ann_lsh",
+    # round-5 additions still without a driver row
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q19_disjunct_revenue",
+    "q21_waiting_supplier",
+    "scd2_build",
+    "scd2_lookup",
+    "daily_new_users",
+    "rfm_segments",
+    "stream_dedup_e2e",
+    "stream_session_e2e",
+    "window_distribution",
+    "multimodal_resize",
+    "multimodal_resample",
+    "emb_pq",
+    "sim_ann_pq",
+    "sim_ann_ivf_pq",
+    "approx_distinct_merge",
+    "approx_topk_users",
+    "approx_audience_overlap",
+    "dq_embeddings",
+    "salted_agg",
+    # deferred from the round-5 plan (last driver row r1-r3)
+    "approx_distinct",
+    "approx_quantiles",
+    "datetime_roundtrip",
+    "sql_interface",
+    "set_ops",
+    "percentile_metrics",
+    "sliding_window",
+    "window_rank",
+    "top_terms",
+    "funnel_conversion",
+    # new in round 6
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_counts",
+    "q20_promotable_stock",
+    "multimodal_png",
+    "stream_custom_state_e2e",
+    "maintenance_compact",
+    # flagship re-verification (newest driver row is r4)
+    "customer_report",
+    "pricing_summary",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "tumbling_window",
+    "like_pattern_join",
+    "surrogate_keys",
+    "watermark_incremental",
+    "report_formatted",
+    "top2_files",
 )
 
 
