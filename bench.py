@@ -219,12 +219,12 @@ def main() -> None:
                         f"baseline {floor}s (> 2x + 0.5s, reproduced on re-measure)"
                     )
 
-    # Two lines: the full per-query detail FIRST, then a compact headline
-    # summary LAST.  The driver archives only the tail of stdout (observed:
-    # BENCH_r05 lost the headline totals because the detail line outgrew the
-    # 2000-char window), so the line that must survive — headline timings,
-    # warm totals, regressions — is printed last and kept small.  The detail
-    # is also written to BENCH_DETAIL.json for in-repo inspection.
+    # stdout is EXACTLY one compact JSON line (headline timings, warm
+    # totals, regressions) — the driver archives only the tail of stdout
+    # (observed: BENCH_r05's single giant line outgrew the 2000-char
+    # window and lost the headline totals), so the line must stay well
+    # under that.  The full per-query detail goes to BENCH_DETAIL.json,
+    # version-tracked in the repo.
     detail = {
         "queries_extra": extra,
         "queries_extra_warm": extra_warm,
@@ -244,7 +244,6 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump({**summary, **detail}, fh, indent=1, sort_keys=True)
-    print(json.dumps(detail))
     print(json.dumps(summary))
     if regressions:
         print("BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr)
