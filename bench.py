@@ -105,6 +105,7 @@ EXTRA = [
     "q20_promotable_stock", # TPC-H Q20 shape (nested semi-joins)
     "multimodal_png",       # real PNG decode (inflate + unfilter + CRC)
     "maintenance_compact",  # fragment -> compact -> row-preserving report
+    "schema_evolution",     # two-epoch write -> mergeSchema read -> report
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

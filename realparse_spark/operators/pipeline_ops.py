@@ -525,7 +525,63 @@ FROM per, tot
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the oracle (promotes the pytest-only
+    capability in test_formats.py to a driver row): the documents table
+    is written in two epochs — epoch 0 (even doc_id) BEFORE the pipeline
+    extracted `source`/`n_chars`, epoch 1 (odd doc_id) with them — then
+    read back as ONE DataFrame via mergeSchema, the long-lived-warehouse
+    story where old files are never rewritten.  The report counts
+    backfilled-NULL rows per lang, which only comes out right if the
+    merged read reconciles both physical schemas."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from realparse_spark.operators.load_query import persist_result
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="realparse_evolve_")
+    try:
+        p = os.path.join(root, "evolving")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang"
+        ).write.mode("append").parquet(p)
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).write.mode("append").parquet(p)
+        merged = spark.read.option("mergeSchema", "true").parquet(p)
+        res = (
+            merged.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pre_evolution"),
+                F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+                .cast("bigint")
+                .alias("chars_post"),
+            )
+            .orderBy("lang")
+        )
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_pre_evolution,
+  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_post
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "schema_evolution": q_schema_evolution,
     "doc_split": q_doc_split,
     "doc_length_buckets": q_doc_length_buckets,
     "doc_pack": q_doc_pack,
@@ -538,6 +594,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "doc_split": DOC_SPLIT_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "doc_pack": DOC_PACK_SQL,

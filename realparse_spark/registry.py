@@ -93,6 +93,7 @@ _PRIORITY = (
     "multimodal_png",
     "stream_custom_state_e2e",
     "maintenance_compact",
+    "schema_evolution",
     # flagship re-verification (newest driver row is r4)
     "customer_report",
     "pricing_summary",
@@ -103,7 +104,6 @@ _PRIORITY = (
     "surrogate_keys",
     "watermark_incremental",
     "report_formatted",
-    "top2_files",
 )
 
 
