@@ -251,3 +251,23 @@ def test_scd2_intervals_match_python_reference(spark, rows):
             nxt = runs[j + 1][0] if j + 1 < len(runs) else None
             expect.append((uid, typ, ts, nxt))
     assert got == sorted(expect)
+
+
+@given(
+    doc_id=st.integers(0, 2**40),
+    width=st.integers(1, 24),
+    height=st.integers(1, 16),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(doc_id, width, height):
+    """Any (doc_id, w, h) encodes to a genuine PNG that decodes back to
+    the exact generator pixel sum — including 1-pixel-wide images (the
+    Sub/Paeth left neighbor is always 0) and heights < 5 (not every
+    filter type present).  Pure local codec property, no Spark."""
+    from realparse_spark.operators.multimodal import _decode_png, _png_bytes
+
+    w, h, s = _decode_png(_png_bytes(doc_id, width, height))
+    assert (w, h) == (width, height)
+    assert s == sum(
+        (doc_id * 31 + i * 7) % 256 for i in range(width * height * 3)
+    )
