@@ -106,6 +106,7 @@ EXTRA = [
     "multimodal_png",       # real PNG decode (inflate + unfilter + CRC)
     "maintenance_compact",  # fragment -> compact -> row-preserving report
     "schema_evolution",     # two-epoch write -> mergeSchema read -> report
+    "salted_join",          # salt-replicated skew join (parity vs plain join)
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

@@ -76,6 +76,41 @@ def salted_groupby(
     return out
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_n: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join by salt-replication — the technique for a
+    hot join key that AQE's skew-split cannot fix (AQE splits a skewed
+    PARTITION, but a single key's rows still hash to one partition when
+    the key itself owns the skew and the other side must be replicated to
+    meet it).
+
+    The fact side gets a uniform salt in [0, salt_n) from a full-row
+    hash; the dim side is replicated salt_n× (one copy per salt value);
+    the join runs on (key, salt), so the hot key's probe work spreads
+    over salt_n tasks.  Cost: salt_n× the dim shuffle volume — use when
+    the dim is too big to broadcast but cheap to replicate (the classic
+    middle ground at 100 TB).  Result is EXACTLY the plain join: each
+    fact row carries one salt and meets exactly one copy of its dim row
+    (inner/left semantics both preserved)."""
+    f = fact.withColumn(
+        "_salt_l", F.pmod(F.xxhash64(*fact.columns), F.lit(salt_n))
+    )
+    d = dim.withColumn(
+        "_salt_r",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)).cast("array<bigint>")),
+    )
+    out = f.join(
+        d, (f[fact_key] == d[dim_key]) & (f["_salt_l"] == d["_salt_r"]), how
+    )
+    return out.drop("_salt_l", "_salt_r")
+
+
 def colocated_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
     """Join two same-bucketed tables on their bucket key — planner emits
     SortMergeJoin with zero Exchange on either side."""
@@ -126,5 +161,41 @@ ORDER BY event_type
 """
 
 
-QUERIES = {"salted_agg": q_salted_agg}
-ORACLES = {"salted_agg": SALTED_AGG_SQL}
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible form of the salt-replicated join: revenue per brand
+    through `salted_join` must EXACTLY equal the plain-join answer — the
+    oracle is the unsalted SQL.  The plan shape is the point: the fact's
+    hot keys spread over 8 salt buckets while the part dim is replicated
+    8×, bounding any task to 1/8 of a hot key's rows."""
+    from realparse_spark.sources.tables import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(lineitem, part, "l_partkey", "p_partkey", salt_n=8)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT p_brand,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+QUERIES = {"salted_agg": q_salted_agg, "salted_join": q_salted_join}
+ORACLES = {"salted_agg": SALTED_AGG_SQL, "salted_join": SALTED_JOIN_SQL}

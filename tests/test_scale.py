@@ -171,3 +171,33 @@ def test_float_queries_invariant_under_partitioning(spark, sf_dir):
     a, b = hashes(3), hashes(29)
     diffs = [n for n in names if a[n] != b[n]]
     assert not diffs, diffs
+
+
+def test_salted_join_parity_under_hot_key(spark, tmp_path):
+    """Join-side skew: salted_join must produce EXACTLY the plain join's
+    multiset when one key holds 50% of the fact (the hot key's probes
+    spread over the salt space; each fact row meets exactly one replica
+    of its dim row).  Inner and left semantics both checked, including
+    fact keys with no dim match under 'left'."""
+    from realparse_spark.operators.scale import salted_join
+
+    facts, dim = _write_hot_key_fixture(spark, str(tmp_path))
+    sparse_dim = dim.filter(F.col("k") % 2 == 0)  # force unmatched fact keys
+
+    for how in ("inner", "left"):
+        plain = (
+            facts.join(sparse_dim, facts.k == sparse_dim.k, how)
+            .groupBy(facts.k)
+            .agg(F.count(F.lit(1)).alias("n"), F.count("dv").alias("n_matched"))
+        )
+        salted = (
+            salted_join(facts, sparse_dim, "k", "k", salt_n=8, how=how)
+            .groupBy(facts.k)
+            .agg(F.count(F.lit(1)).alias("n"), F.count("dv").alias("n_matched"))
+        )
+        p = {r[0]: (r.n, r.n_matched) for r in plain.collect()}
+        s = {r[0]: (r.n, r.n_matched) for r in salted.collect()}
+        assert p == s, how
+    # hot key survives with full multiplicity (k=7 is odd -> dim-filtered,
+    # so check it under left where it must appear unmatched)
+    assert s[7] == (100_000, 0)
