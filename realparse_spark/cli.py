@@ -165,8 +165,14 @@ def cmd_open_log(args, spark: SparkSession) -> int:
 def cmd_stream_load(args, spark: SparkSession) -> int:
     from realparse_spark.streaming.pipeline import stream_load_access
 
-    # sink under <warehouse>/access so `report` / read_warehouse_table can
-    # consume a stream-loaded warehouse exactly like a batch-loaded one
+    # sink under <warehouse>/access so read_warehouse_table (and any
+    # access-table consumer) sees the same layout as a batch-loaded
+    # warehouse.  (`report` additionally needs the `file` table, which the
+    # streaming loader does not produce — use load-real for full reports.)
+    # NOTE: checkpoints created before this layout change keep their
+    # committed offsets; re-running over an old checkpoint skips the
+    # already-processed files and reports 0 new rows — point --checkpoint
+    # at a fresh directory to re-ingest under the new layout.
     out = os.path.join(args.warehouse, "access")
     stream_load_access(
         spark, args.log_dir, out, args.checkpoint, prefix=args.prefix

@@ -129,9 +129,7 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> "DataFrame":
     try:
         p = os.path.join(root, "frag")
         docs.repartition(16).write.parquet(p)
-        before, _b = table_file_stats(spark, p)
-        compact_table(spark, p, target_file_bytes=1 << 30)
-        after, _a = table_file_stats(spark, p)
+        before, after = compact_table(spark, p, target_file_bytes=1 << 30)
         res = (
             spark.read.parquet(p)
             .groupBy("source")

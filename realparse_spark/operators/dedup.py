@@ -664,7 +664,9 @@ def _clusters_for(spark: SparkSession, sf_dir: str) -> str:
             tempfile.gettempdir(),
             "realparse_clusters_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
         )
-        if not os.path.isdir(path):
+        # _SUCCESS (not just the directory) gates reuse: a directory left
+        # by a crashed pre-rename writer must be recomputed, not trusted
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
             # write to a process-unique temp dir, then atomically rename into
             # place: two concurrent processes computing the same key must
             # never overwrite a directory the other is lazily reading
@@ -673,6 +675,9 @@ def _clusters_for(spark: SparkSession, sf_dir: str) -> str:
                 fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5
             )
             dup_clusters(pairs).write.mode("overwrite").parquet(tmp)
+            # clear a crashed writer's partial directory (no _SUCCESS)
+            # so the atomic rename can land
+            shutil.rmtree(path, ignore_errors=True)
             try:
                 os.rename(tmp, path)
             except OSError:

@@ -342,6 +342,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, int]:
     idat = bytearray()
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            # declared chunk length runs past EOF — raise the documented
+            # signal, not struct.error from the CRC unpack below
+            raise ValueError("truncated chunk")
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
@@ -360,7 +364,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, int]:
         pos += 12 + ln
     if w is None:
         raise ValueError("missing IHDR")
-    stream = zlib.decompress(bytes(idat))
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as ex:
+        raise ValueError(f"corrupt IDAT stream: {ex}") from ex
     bpp, rb = 3, w * 3
     if len(stream) != h * (rb + 1):
         raise ValueError("raster length mismatch")

@@ -96,8 +96,21 @@ def salted_join(
     over salt_n tasks.  Cost: salt_n× the dim shuffle volume — use when
     the dim is too big to broadcast but cheap to replicate (the classic
     middle ground at 100 TB).  Result is EXACTLY the plain join: each
-    fact row carries one salt and meets exactly one copy of its dim row
-    (inner/left semantics both preserved)."""
+    fact row carries one salt and meets exactly one copy of its dim row.
+
+    Fact-preserving modes only (inner/left/left_semi/left_anti): an
+    unmatched DIM row exists salt_n times after replication, so
+    right/full outer would emit salt_n null-extended duplicates —
+    rejected explicitly rather than silently wrong."""
+    fact_preserving = {"inner", "left", "leftouter", "left_outer",
+                       "semi", "leftsemi", "left_semi",
+                       "anti", "leftanti", "left_anti"}
+    if how.lower() not in fact_preserving:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving; the "
+            f"replicated dim side would duplicate unmatched rows "
+            f"salt_n x (supported: {sorted(fact_preserving)})"
+        )
     f = fact.withColumn(
         "_salt_l", F.pmod(F.xxhash64(*fact.columns), F.lit(salt_n))
     )
@@ -169,18 +182,17 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     8×, bounding any task to 1/8 of a hot key's rows."""
     from realparse_spark.sources.tables import load_table
 
+    from realparse_spark.operators.tpch_extra import _rev_dec
+    from realparse_spark.sources.tables import load_table
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = salted_join(lineitem, part, "l_partkey", "p_partkey", salt_n=8)
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
-    ).cast("decimal(18,4)")
     return (
         joined.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(rev).cast("double").alias("revenue"),
+            F.sum(_rev_dec()).cast("double").alias("revenue"),
         )
         .orderBy("p_brand")
     )

@@ -46,17 +46,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realparse_spark.operators.tpch_extra import _rev_dec
 from realparse_spark.sources.tables import load_table
 
 _DEC2 = "decimal(18,2)"
 _DEC4 = "decimal(18,4)"
-
-
-def _rev_dec() -> F.Column:
-    return (
-        F.col("l_extendedprice").cast(_DEC2)
-        * (F.lit(1.0) - F.col("l_discount")).cast(_DEC2)
-    ).cast(_DEC4)
 
 
 # ---------------------------------------------------------------------------

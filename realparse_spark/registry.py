@@ -41,10 +41,12 @@ _MODULES = (
 # second-session additions that registered after the r5 window filled (all
 # in-repo-green via tests/test_oracle_parity.py / recall gates), the 10
 # entries deferred from the r5 comment plan (driver-green in r1-r3,
-# parity-covered in-repo since), the 8 queries NEW in round 6 (partsupp
-# TPC-H shapes, PNG decode, the stateful-session lifecycle, compaction),
-# and 10 re-verification slots for flagship queries whose newest driver row
-# is r4.  Deferred to the round-7 window: everything with an r5 row
+# parity-covered in-repo since), the 10 queries NEW in round 6 (partsupp
+# TPC-H shapes, PNG decode, the stateful-session lifecycle, compaction,
+# schema evolution, salted join), and 8 re-verification slots for flagship
+# queries whose newest driver row is r4 (watermark_incremental and
+# top2_files yield their slots — F1 is independently re-verified through
+# load_e2e's r5 row and the in-repo parity suite).  Deferred to the round-7 window: everything with an r5 row
 # (q12/q14/q15/q17/q22/q4/q13, stream_join_e2e, rollup_merge, trend_slopes,
 # gap_fill, dq_checks, doc_weighted_sample, multimodal_audio/video/decode,
 # sim_ann_lsh_batch, emb_knn_join_ivf, the parse/text/load families,
@@ -94,6 +96,7 @@ _PRIORITY = (
     "stream_custom_state_e2e",
     "maintenance_compact",
     "schema_evolution",
+    "salted_join",
     # flagship re-verification (newest driver row is r4)
     "customer_report",
     "pricing_summary",
@@ -102,7 +105,6 @@ _PRIORITY = (
     "tumbling_window",
     "like_pattern_join",
     "surrogate_keys",
-    "watermark_incremental",
     "report_formatted",
 )
 

@@ -331,3 +331,44 @@ def test_decode_png_distributed(spark, sf_dir):
         assert r.pixel_sum == sum(
             (r.doc_id * 31 + i * 7) % 256 for i in range(n)
         )
+
+
+def test_png_truncated_chunk_raises_valueerror_local():
+    """The documented malformed-input signal is ValueError — a declared
+    chunk length running past EOF must not leak struct.error, and a
+    per-chunk-valid but truncated IDAT must not leak zlib.error."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from realparse_spark.operators.multimodal import _decode_png, _png_bytes
+
+    good = _png_bytes(2, 6, 6)
+    # inflate the declared IDAT length beyond EOF, fix nothing else
+    idat_at = good.index(b"IDAT") - 4
+    bad_len = good[:idat_at] + struct.pack(">I", 10_000) + good[idat_at + 4:]
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(bad_len)
+
+    # rebuild with a VALID CRC over a truncated IDAT payload: the chunk
+    # walk passes, zlib.decompress must surface as ValueError
+    sig = good[:8]
+    ihdr_len = struct.unpack(">I", good[8:12])[0]
+    ihdr_chunk = good[8 : 8 + 12 + ihdr_len]
+    idat_len = struct.unpack(">I", good[idat_at : idat_at + 4])[0]
+    idat_data = good[idat_at + 8 : idat_at + 8 + idat_len][: max(1, idat_len // 2)]
+    crc = zlib.crc32(b"IDAT" + idat_data) & 0xFFFFFFFF
+    trunc = (
+        sig
+        + ihdr_chunk
+        + struct.pack(">I", len(idat_data))
+        + b"IDAT"
+        + idat_data
+        + struct.pack(">I", crc)
+        + struct.pack(">I", 0)
+        + b"IEND"
+        + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="IDAT|raster"):
+        _decode_png(trunc)

@@ -201,3 +201,18 @@ def test_salted_join_parity_under_hot_key(spark, tmp_path):
     # hot key survives with full multiplicity (k=7 is odd -> dim-filtered,
     # so check it under left where it must appear unmatched)
     assert s[7] == (100_000, 0)
+
+
+def test_salted_join_rejects_dim_preserving_modes(spark, sf_dir):
+    """right/full outer would emit salt_n null-extended duplicates for
+    every unmatched dim row (the dim side is replicated) — must be
+    rejected, not silently wrong."""
+    import pytest
+
+    from realparse_spark.operators.scale import salted_join
+
+    facts = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "part")
+    for how in ("right", "full", "outer", "cross"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(facts, dim, "l_partkey", "p_partkey", how=how)
