@@ -271,3 +271,45 @@ def test_png_roundtrip_property(doc_id, width, height):
     assert s == sum(
         (doc_id * 31 + i * 7) % 256 for i in range(width * height * 3)
     )
+
+
+@given(
+    doc_id=st.integers(0, 2**40),
+    n_samples=st.integers(1, 600),
+    sample_rate=st.integers(1, 96_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(doc_id, n_samples, sample_rate):
+    """Any (doc_id, n, rate) — including ODD sample counts, whose 2-byte
+    samples keep the data chunk even, and odd doc_ids carrying the extra
+    LIST chunk — round-trips through the RIFF chunk walk to the exact
+    generator amplitude stats."""
+    from realparse_spark.operators.multimodal import _decode_wav, _wav_bytes
+
+    rate, n, abs_sum, peak = _decode_wav(_wav_bytes(doc_id, n_samples, sample_rate))
+    samples = [((doc_id * 131 + i * 17) % 4096) - 2048 for i in range(n_samples)]
+    assert (rate, n) == (sample_rate, n_samples)
+    assert abs_sum == sum(abs(s) for s in samples)
+    assert peak == max(abs(s) for s in samples)
+
+
+@given(
+    doc_id=st.integers(0, 2**40),
+    width=st.integers(1, 16).map(lambda x: x * 2),   # C420 needs even dims
+    height=st.integers(1, 12).map(lambda x: x * 2),
+    n_frames=st.integers(1, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_property(doc_id, width, height, n_frames):
+    """Any even-dimension C420 stream round-trips frame-exactly: per-frame
+    luma sums match the generator, which fails if the plane walk mis-skips
+    the two quarter-size chroma planes."""
+    from realparse_spark.operators.multimodal import _decode_y4m, _y4m_bytes
+
+    frames = _decode_y4m(_y4m_bytes(doc_id, width, height, n_frames))
+    assert len(frames) == n_frames
+    for f, w, h, y_sum in frames:
+        assert (w, h) == (width, height)
+        assert y_sum == sum(
+            (doc_id * 37 + f * 11 + i * 5) % 256 for i in range(width * height)
+        )
