@@ -107,6 +107,7 @@ EXTRA = [
     "maintenance_compact",  # fragment -> compact -> row-preserving report
     "schema_evolution",     # two-epoch write -> mergeSchema read -> report
     "salted_join",          # salt-replicated skew join (parity vs plain join)
+    "dq_profile",           # per-column profile in one Expand aggregate pass
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

@@ -178,5 +178,93 @@ FROM c, t
 """
 
 
-QUERIES = {"dq_checks": q_dq_checks, "dq_embeddings": q_dq_embeddings}
-ORACLES = {"dq_checks": DQ_CHECKS_SQL, "dq_embeddings": DQ_EMBEDDINGS_SQL}
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Per-column data profile — the first report a pipeline runs on an
+    unfamiliar table: null count, distinct count, min/max (as strings so
+    one schema fits every column type).
+
+    One row per column, computed in a SINGLE aggregate pass: Spark plans
+    the multi-column count(DISTINCT) set via Expand (one shuffle carrying
+    |cols| streams), never one job per column.  At 100 TB pass
+    ``approx=True``: exact per-column distinct is an Expand-multiplied
+    shuffle of every row, while approx_count_distinct (HLL) is one
+    map-side sketch per column — the profile every warehouse actually
+    runs at scale.  (The driver query uses exact so the DuckDB oracle
+    hash-matches; `approx_distinct` covers the sketch path.)"""
+    columns = columns or df.columns
+    nd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"_null_{c}"),
+            nd(c).cast("bigint").alias(f"_nd_{c}"),
+            # min/max on the NATIVE type, cast to string after — casting
+            # first would make numeric columns compare lexicographically
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs)
+    stacked = ", ".join(
+        f"'{c}', _null_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stacked}) AS "
+        "(column_name, n_null, n_distinct, min_repr, max_repr)",
+        "_n AS n_rows",
+    ).orderBy("column_name")
+
+
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(
+        load_table(spark, sf_dir, "documents"),
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+DQ_PROFILE_SQL = """
+WITH w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS null_doc_id,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_doc_id,
+    CAST(min(doc_id) AS VARCHAR) AS min_doc_id, CAST(max(doc_id) AS VARCHAR) AS max_doc_id,
+    CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) AS null_lang,
+    CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang,
+    min(lang) AS min_lang, max(lang) AS max_lang,
+    CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT) AS null_source,
+    CAST(count(DISTINCT source) AS BIGINT) AS nd_source,
+    min(source) AS min_source, max(source) AS max_source,
+    CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT) AS null_n_chars,
+    CAST(count(DISTINCT n_chars) AS BIGINT) AS nd_n_chars,
+    CAST(min(n_chars) AS VARCHAR) AS min_n_chars, CAST(max(n_chars) AS VARCHAR) AS max_n_chars
+  FROM documents
+)
+SELECT column_name, n_null, n_distinct, min_repr, max_repr, n_rows FROM (
+  SELECT 'doc_id' AS column_name, null_doc_id AS n_null, nd_doc_id AS n_distinct,
+         min_doc_id AS min_repr, max_doc_id AS max_repr, n_rows FROM w
+  UNION ALL
+  SELECT 'lang', null_lang, nd_lang, min_lang, max_lang, n_rows FROM w
+  UNION ALL
+  SELECT 'source', null_source, nd_source, min_source, max_source, n_rows FROM w
+  UNION ALL
+  SELECT 'n_chars', null_n_chars, nd_n_chars, min_n_chars, max_n_chars, n_rows FROM w
+)
+ORDER BY column_name
+"""
+
+
+QUERIES = {
+    "dq_checks": q_dq_checks,
+    "dq_embeddings": q_dq_embeddings,
+    "dq_profile": q_dq_profile,
+}
+ORACLES = {
+    "dq_checks": DQ_CHECKS_SQL,
+    "dq_embeddings": DQ_EMBEDDINGS_SQL,
+    "dq_profile": DQ_PROFILE_SQL,
+}

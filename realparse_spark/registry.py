@@ -50,7 +50,8 @@ _MODULES = (
 # (q12/q14/q15/q17/q22/q4/q13, stream_join_e2e, rollup_merge, trend_slopes,
 # gap_fill, dq_checks, doc_weighted_sample, multimodal_audio/video/decode,
 # sim_ann_lsh_batch, emb_knn_join_ivf, the parse/text/load families,
-# sim_ann_lsh — all re-verified in-repo every session).
+# sim_ann_lsh — all re-verified in-repo every session) plus dq_profile
+# (added after this round's window filled; tri-scale parity-green).
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",
