@@ -202,7 +202,11 @@ def profile_table(
     aggs = []
     for c in columns:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"_null_{c}"),
+            # coalesce: Spark's sum over ZERO rows is NULL while DuckDB's
+            # filtered count is 0 — align the empty-table profile
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias(f"_null_{c}"),
             nd(c).cast("bigint").alias(f"_nd_{c}"),
             # min/max on the NATIVE type, cast to string after — casting
             # first would make numeric columns compare lexicographically
