@@ -108,6 +108,7 @@ EXTRA = [
     "schema_evolution",     # two-epoch write -> mergeSchema read -> report
     "salted_join",          # salt-replicated skew join (parity vs plain join)
     "dq_profile",           # per-column profile in one Expand aggregate pass
+    "doc_stratified_take",  # exact-n-per-stratum deterministic quota sample
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

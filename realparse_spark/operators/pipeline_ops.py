@@ -525,6 +525,68 @@ FROM per, tot
 """
 
 
+def stratified_take(
+    docs: DataFrame, stratum_col: str, n_per_stratum: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """EXACTLY-n-per-stratum deterministic sample ("take 1000 docs per
+    language") — the companion to the fraction-based `doc_sample`:
+    quotas, not rates.  Selection order is md5(key) (stable across runs,
+    machines, partitionings — never `rand()`), with the key itself as
+    the tiebreak so equal-hash rows (impossible in practice, cheap to
+    guard) stay deterministic.
+
+    Plan at scale: ONE shuffle on the stratum column; row_number is a
+    per-partition window (no global sort).  A skewed stratum (one lang
+    owning half the corpus) makes that window a straggler — for that
+    corpus shape, pre-filter with `doc_sample` at a rate that
+    overshoots the quota ~2×, then quota the survivors: the window then
+    sees ~2n rows per stratum instead of the full stratum."""
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(
+            F.md5(F.col(key_col).cast("string")), F.col(key_col)
+        )
+    )
+    return docs.withColumn("_rk", rk).filter(F.col("_rk") <= n_per_stratum).drop("_rk")
+
+
+def q_doc_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    took = stratified_take(docs, "lang", 20)
+    return (
+        took.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            # the exact sampled doc set, not just its size: any
+            # ordering/tiebreak divergence changes this hash
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))))
+            .alias("sample_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_STRATIFIED_TAKE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rk
+  FROM documents
+),
+took AS (SELECT * FROM ranked WHERE rk <= 20)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_taken,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS sample_digest
+FROM took
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution under the oracle (promotes the pytest-only
     capability in test_formats.py to a driver row): the documents table
@@ -582,6 +644,7 @@ ORDER BY lang
 
 QUERIES = {
     "schema_evolution": q_schema_evolution,
+    "doc_stratified_take": q_doc_stratified_take,
     "doc_split": q_doc_split,
     "doc_length_buckets": q_doc_length_buckets,
     "doc_pack": q_doc_pack,
@@ -595,6 +658,7 @@ QUERIES = {
 
 ORACLES = {
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
+    "doc_stratified_take": DOC_STRATIFIED_TAKE_SQL,
     "doc_split": DOC_SPLIT_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "doc_pack": DOC_PACK_SQL,
