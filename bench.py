@@ -109,6 +109,7 @@ EXTRA = [
     "salted_join",          # salt-replicated skew join (parity vs plain join)
     "dq_profile",           # per-column profile in one Expand aggregate pass
     "doc_stratified_take",  # exact-n-per-stratum deterministic quota sample
+    "text_tfidf_cosine",    # weighted sparse-vector similarity (integer idf)
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

@@ -652,7 +652,108 @@ GROUP BY doc_id
 """
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame, threshold: float = 0.9, df_cap: int = 1000
+) -> DataFrame:
+    """Weighted sparse-vector document similarity — the tf-idf retrieval
+    scorer as a pair join: cosine over per-doc term vectors with weight
+    tf · (100000 div (df+1)).  The integer weight is the repo's idf
+    surrogate (cf. doc_top_terms): monotone-decreasing in df like
+    log-idf, but EXACT in both engines — float ln differs across libms
+    and would flake the hash compare.  All dot products and norms are
+    exact integer/decimal sums; the single sqrt/divide/round runs on
+    identical inputs, so the doubles agree bit-for-bit.
+
+    Shape at scale (same discipline as ngram_jaccard_pairs): terms with
+    df > df_cap are dropped from vectors AND scores (boilerplate carries
+    no similarity signal, and the cap bounds the inverted-index join's
+    Zipf blowup); one term-keyed self-join whose matched rows ARE the
+    non-zero dot-product contributions, one (doc_a, doc_b) groupBy, two
+    broadcast joins against the tiny per-doc norm table."""
+    tf = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+    )
+    wt = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.expr("CAST(tf * (100000 div (df + 1)) AS BIGINT)").alias("w"),
+    ).localCheckpoint()  # feeds norms + both join sides (cf. _gram_pair_counts)
+    norms = wt.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("n2")
+    )
+    a, b = wt.alias("a"), wt.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,0)")).alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    wcos = F.round(
+        F.col("num").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        4,
+    )
+    return (
+        num.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select("doc_a", "doc_b", wcos.alias("wcos"))
+        .filter(F.col("wcos") >= threshold)
+    )
+
+
+def q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_cosine_pairs(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+TEXT_TFIDF_COSINE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 1000
+),
+wt AS (
+  SELECT doc_id, term, CAST(tf * (100000 // (df + 1)) AS BIGINT) AS w
+  FROM tf JOIN dfreq USING (term)
+),
+norms AS (
+  SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wt GROUP BY doc_id
+),
+num AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(CAST(a.w AS HUGEINT) * b.w) AS num
+  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(CAST(num AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) AS wcos
+FROM num
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE round(CAST(num AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) >= 0.9
+"""
+
+
 QUERIES = {
+    "text_tfidf_cosine": q_text_tfidf_cosine,
     "text_repetition": q_text_repetition,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -666,6 +767,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tfidf_cosine": TEXT_TFIDF_COSINE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
     "text_bigram_logprob": TEXT_BIGRAM_LOGPROB_SQL,
