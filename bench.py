@@ -110,6 +110,11 @@ EXTRA = [
     "dq_profile",           # per-column profile in one Expand aggregate pass
     "doc_stratified_take",  # exact-n-per-stratum deterministic quota sample
     "text_tfidf_cosine",    # weighted sparse-vector similarity (integer idf)
+    "fuzzy_match_parts",    # blocked edit-distance record linkage
+    "pagerank_parts",       # 3-iteration integer PageRank (co-order graph)
+    "skew_profile",         # shuffle-key pre-flight (heavy-key shares)
+    "join_size_profile",    # exact join-cardinality pre-flight (O(keys))
+    "market_basket",        # frequent-pair support + integer lift
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

@@ -1104,7 +1104,89 @@ ORDER BY c_nationkey, r_bucket, f_bucket, m_bucket
 """
 
 
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair market-basket analysis: co-purchased part pairs with
+    support and lift, exact integer arithmetic end-to-end (lift in ppm =
+    n_ab * N * 1e6 div (n_a * n_b) — no float, so the oracle must
+    hash-match).
+
+    100 TB shape: pair generation is a basket self-join on the order
+    key — quadratic only in basket size (max lines per order), never in
+    corpus size; the pair groupBy is one uniform shuffle; the per-item
+    support table is O(|parts|) and broadcast into the lift join; the
+    basket total is a 1-row broadcast scalar.  Output is bounded by a
+    per-partition top-k heap, not a global sort."""
+    from realparse_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("part_a").cast("bigint").alias("part_a"),
+            F.col("part_b").cast("bigint").alias("part_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("n_ab").desc(), F.col("lift_ppm").desc(), "part_a", "part_b"
+        )
+        .limit(50)
+    )
+
+
+MARKET_BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+item AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+  n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+  CAST(n_ab * (SELECT n_orders FROM n) * 1000000 // (ia.n_item * ib.n_item)
+       AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN item ia ON pairs.part_a = ia.l_partkey
+JOIN item ib ON pairs.part_b = ib.l_partkey
+ORDER BY n_ab DESC, lift_ppm DESC, part_a, part_b
+LIMIT 50
+"""
+
+
 QUERIES = {
+    "market_basket": q_market_basket,
     "events_retention": q_events_retention,
     "scd2_build": q_scd2_build,
     "scd2_lookup": q_scd2_lookup,
@@ -1125,6 +1207,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "market_basket": MARKET_BASKET_SQL,
     "rollup_merge": ROLLUP_MERGE_SQL,
     "scd2_build": SCD2_BUILD_SQL,
     "scd2_lookup": SCD2_LOOKUP_SQL,

@@ -1,0 +1,258 @@
+"""Iterative graph algorithms as DataFrame plans: PageRank.
+
+The reference has no graph surface; a training-data pipeline does —
+link-graph centrality ranks crawl frontiers and weights documents by
+authority (the original PageRank use case), and the same join-aggregate
+iteration underlies label propagation and influence scoring.
+
+Exactness discipline
+--------------------
+Power iteration is inherently float — and float sums are
+order-dependent, so a Spark result and a DuckDB oracle would drift in
+the last bits.  Here ranks are BIGINT micro-units (SCALE = 1e12):
+
+    r0(v)     = SCALE div N
+    r_{k+1}(v) = (15 * (SCALE div N) + 85 * sum_{u->v} (r_k(u) div deg(u))) div 100
+
+Every operation is integral (div = truncating integer division; all
+values non-negative so truncation == floor in both engines), every sum
+is an exact BIGINT sum — associative, partitioning-invariant, and
+engine-identical.  The oracle unrolls the same recurrence in SQL.
+
+100 TB design
+-------------
+- The edge list is the big table; it is shuffled ONCE per iteration on
+  `src` (join with ranks) and once on `dst` (contribution sum) — the
+  same two-exchange shape GraphX/Pregel lowers to.  In production the
+  edge list is bucketed by `src` so the rank join co-locates without a
+  shuffle, leaving one exchange per iteration.
+- Per-iteration state is one (node, rank) row per vertex — O(V), tiny
+  next to O(E); the iteration count is fixed (compile-time unrolled
+  into one lazy plan), so lineage depth is bounded.  For >10
+  iterations, `localCheckpoint` per iteration caps plan growth (same
+  discipline as dedup.py's connected components, dedup.py:552).
+- Candidate-pair generation (co-order graph) is a self-join on the
+  basket key: the quadratic term is bounded by basket size (max lines
+  per order), not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000_000_000  # rank micro-units per unit of probability mass
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    broadcast_ranks: bool = False,
+    deg: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list (src, dst).
+
+    Returns (node, deg, rank_micro): rank in SCALE-denominated integer
+    units (sum over nodes ~= SCALE up to truncation).  Nodes are the
+    distinct `src` values; with a symmetric edge list that is every
+    vertex.  `iterations` is compile-time: the loop unrolls into one
+    lazy DataFrame plan.
+
+    The edge list is consumed 1 + k times (deg, then once per
+    iteration); callers should hand in a MATERIALIZED edge table (a
+    parquet/bucketed scan), not an expensive derivation — Spark will
+    re-evaluate the input subtree per consumer.  `broadcast_ranks=True`
+    turns each iteration's contribution join into a broadcast hash join:
+    correct whenever the O(V) rank table fits an executor (V is
+    typically orders of magnitude below E); with billions of vertices
+    leave it False and bucket the edge table by `src` so the
+    shuffle-join co-locates instead.
+    """
+    edges = edges.select("src", "dst").distinct()
+    if deg is None:
+        # deg's subtree is re-evaluated per iteration (it seeds every
+        # rebuild of the rank table) — when the edge list is a derived
+        # plan this is a full shuffle of E rows per iteration.  Callers
+        # on big graphs should pass a materialized (src, deg) table,
+        # turning each re-evaluation into a trivial O(V) scan.
+        deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
+    else:
+        deg = deg.select("src", F.col("deg").cast("bigint").alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    # 1-row broadcast scalar (same idiom as the other scalar-threshold
+    # queries): keeps N in-plan without a driver collect
+    base = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"), "deg", "n_nodes"
+    )
+    ranks = base.select(
+        "node", "deg", F.expr(f"{_SCALE} div n_nodes").alias("r"), "n_nodes"
+    )
+    # Each iteration rebuilds ranks from the STATIC base table + the new
+    # contribution sums, so ranks_{k-1} appears exactly ONCE in
+    # ranks_k's lineage (inside contrib).  Referencing the previous
+    # ranks on both sides of the update join would double-evaluate it
+    # per iteration — a 2^k lineage blowup Spark will happily execute.
+    for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (
+            edges.join(rank_side, edges["src"] == rank_side["node"])
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
+        ranks = (
+            base.join(contrib, base["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "deg",
+                F.expr(
+                    f"(15 * ({_SCALE} div n_nodes) + 85 * coalesce(s, 0L)) div 100"
+                ).alias("r"),
+                "n_nodes",
+            )
+        )
+    return ranks.select("node", "deg", F.col("r").alias("rank_micro"))
+
+
+# Materialized edge table, fingerprint-keyed per corpus snapshot (same
+# cache discipline as dedup's cluster table, dedup.py:650): the iterative
+# consumer reads the edge list 1 + k times, so production pipelines
+# derive the graph ONCE per snapshot and every traversal scans the
+# compact 2-column table — re-running the basket self-join per iteration
+# would multiply the most expensive stage by the iteration count.
+_EDGES: dict[tuple, str] = {}
+
+
+def _co_order_edges_for(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size)
+    path = _EDGES.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "realparse_coedges_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        # _SUCCESS (not just the directory) gates reuse: a directory left
+        # by a crashed pre-rename writer must be recomputed, not trusted
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            from realparse_spark.sources.tables import load_table
+
+            li = (
+                load_table(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_partkey")
+                .distinct()
+            )
+            a = li.select(
+                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+            )
+            b = li.select(
+                F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("dst")
+            )
+            edges = (
+                a.join(
+                    b,
+                    (F.col("ok") == F.col("ok_b"))
+                    & (F.col("src") != F.col("dst")),
+                )
+                .select("src", "dst")
+                .distinct()
+            )
+            # process-unique temp dir + atomic rename: concurrent
+            # processes computing the same key must never clobber a
+            # directory the other is lazily reading.  Both the edge list
+            # and the degree table are part of the snapshot — the
+            # iterative consumer reads deg once per iteration, so it
+            # must be an O(V) scan, not a recomputed O(E) shuffle.
+            tmp = f"{path}.tmp-{os.getpid()}"
+            edges.write.mode("overwrite").parquet(os.path.join(tmp, "edges"))
+            spark.read.parquet(os.path.join(tmp, "edges")).groupBy("src").agg(
+                F.count(F.lit(1)).cast("bigint").alias("deg")
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "deg"))
+            # top-level marker only after BOTH sub-tables landed
+            with open(os.path.join(tmp, "_SUCCESS"), "w"):
+                pass
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        _EDGES[key] = path
+    return path
+
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph: parts are vertices,
+    symmetric edges link parts bought in the same order (basket
+    self-join, quadratic only in basket size).  3 iterations, damping
+    0.85, exact integer arithmetic — the oracle unrolls the identical
+    recurrence in SQL, so values must hash-match, not merely correlate.
+    The rank table is O(|parts|) — far under the broadcast threshold at
+    any scale where the part dim itself broadcasts — so each iteration
+    is a broadcast join + one map-side-combined shuffle of partials."""
+    import os
+
+    snap = _co_order_edges_for(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(snap, "edges"))
+    deg = spark.read.parquet(os.path.join(snap, "deg"))
+    out = pagerank(edges, iterations=3, broadcast_ranks=True, deg=deg)
+    return (
+        out.select(
+            F.col("node").cast("bigint").alias("part"),
+            "deg",
+            "rank_micro",
+        )
+        .orderBy(F.col("rank_micro").desc(), "part")
+        .limit(100)
+    )
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    prev = "r0"
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(
+            f"""it{k} AS (
+  SELECT d.src AS node, d.deg,
+    CAST((15 * (1000000000000 // (SELECT n_nodes FROM n))
+          + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM deg d LEFT JOIN (
+    SELECT p.dst AS dst, CAST(sum(r.r // r.deg) AS BIGINT) AS s
+    FROM pairs p JOIN {prev} r ON p.src = r.node GROUP BY p.dst
+  ) c ON d.src = c.dst
+)"""
+        )
+        prev = f"it{k}"
+    joined_iters = ",\n".join(iters)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pairs GROUP BY src),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+r0 AS (
+  SELECT src AS node, deg,
+    CAST(1000000000000 // (SELECT n_nodes FROM n) AS BIGINT) AS r
+  FROM deg
+),
+{joined_iters}
+SELECT CAST(node AS BIGINT) AS part, deg, r AS rank_micro
+FROM {prev}
+ORDER BY rank_micro DESC, part
+LIMIT 100
+"""
+
+
+QUERIES = {"pagerank_parts": q_pagerank_parts}
+ORACLES = {"pagerank_parts": _pagerank_sql(3)}

@@ -209,5 +209,192 @@ ORDER BY p_brand
 """
 
 
-QUERIES = {"salted_agg": q_salted_agg, "salted_join": q_salted_join}
-ORACLES = {"salted_agg": SALTED_AGG_SQL, "salted_join": SALTED_JOIN_SQL}
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10, partitions: int = 32
+) -> DataFrame:
+    """Heavy-key diagnostic for a candidate shuffle key: the top keys by
+    row count, each with its corpus share in integer ppm and a
+    `needs_salt` verdict (share above one reducer's fair slice at
+    `partitions` reducers — exactly the condition under which a
+    shuffle on this key produces a straggler and `salted_groupby` /
+    `salted_join` should be applied, or AQE skew-join left to split it).
+
+    This is the pre-flight job a 100 TB pipeline runs BEFORE picking a
+    partitioning: one map-side-combined shuffle on the key (partial
+    counts), a 1-row broadcast total derived from the partials (no
+    second scan of the fact), and a per-partition top-N heap
+    (TakeOrderedAndProject) — output is O(top_n), never the key list.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("bigint").alias("_total"))
+    fair_ppm = 1_000_000 // partitions
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.lit(key_col).alias("key_col"),
+            F.col(key_col).cast("string").alias("key"),
+            "n_rows",
+            F.expr("n_rows * 1000000 div _total").alias("share_ppm"),
+        )
+        .withColumn("needs_salt", F.col("share_ppm") > F.lit(fair_ppm))
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(top_n)
+    )
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key pre-flight over the fact table: profile a
+    low-cardinality key (l_returnflag — every key owns ~1/3 of the
+    corpus, so ALL of them exceed a 32-reducer fair share and flag
+    needs_salt) and a high-cardinality key (l_suppkey — uniform, none
+    flag) in one pass each.  Exact integer shares; oracle is the
+    literal SQL."""
+    from realparse_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = key_skew_profile(li, "l_returnflag", top_n=5).unionAll(
+        key_skew_profile(li, "l_suppkey", top_n=5)
+    )
+    return prof
+
+
+SKEW_PROFILE_SQL = """
+WITH rf AS (
+  SELECT 'l_returnflag' AS key_col, CAST(l_returnflag AS VARCHAR) AS key,
+    CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+),
+rf_top AS (
+  SELECT key_col, key, n_rows,
+    CAST(n_rows * 1000000 // (SELECT sum(n_rows) FROM rf) AS BIGINT) AS share_ppm
+  FROM rf ORDER BY n_rows DESC, key LIMIT 5
+),
+sk AS (
+  SELECT 'l_suppkey' AS key_col, CAST(l_suppkey AS VARCHAR) AS key,
+    CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_suppkey
+),
+sk_top AS (
+  SELECT key_col, key, n_rows,
+    CAST(n_rows * 1000000 // (SELECT sum(n_rows) FROM sk) AS BIGINT) AS share_ppm
+  FROM sk ORDER BY n_rows DESC, key LIMIT 5
+)
+SELECT key_col, key, n_rows, share_ppm, share_ppm > 31250 AS needs_salt FROM rf_top
+UNION ALL
+SELECT key_col, key, n_rows, share_ppm, share_ppm > 31250 AS needs_salt FROM sk_top
+"""
+
+
+def join_size_profile(
+    left: DataFrame, lkey: str, right: DataFrame, rkey: str, label: str
+) -> DataFrame:
+    """Exact pre-flight cardinality of a proposed equi-join, computed
+    WITHOUT executing it: per-key counts on each side (column-pruned,
+    map-side-combined shuffles of the key projection only), joined as
+    O(keys) count tables, then sum/max of per-key products.
+
+    Returns one row: (join_label, left_rows, n_keys_left, right_rows,
+    n_keys_right, matched_keys, out_rows, max_key_out).  `out_rows` is
+    the exact inner-join output size; `max_key_out` is the largest
+    single key's contribution — the straggler bound that decides
+    between a plain shuffle join, salting, or AQE skew splitting.  At
+    100 TB this scan reads two narrow columns instead of materializing
+    a possibly-exploding join."""
+    lc = left.groupBy(F.col(lkey).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_l")
+    )
+    rc = right.groupBy(F.col(rkey).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    l_tot = lc.agg(
+        F.sum("n_l").cast("bigint").alias("left_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_left"),
+    )
+    r_tot = rc.agg(
+        F.sum("n_r").cast("bigint").alias("right_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_right"),
+    )
+    matched = (
+        lc.join(rc, "key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+            F.sum(F.expr("n_l * n_r")).cast("bigint").alias("out_rows"),
+            F.max(F.expr("n_l * n_r")).cast("bigint").alias("max_key_out"),
+        )
+    )
+    return (
+        matched.crossJoin(F.broadcast(l_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            F.lit(label).alias("join_label"),
+            "left_rows",
+            "n_keys_left",
+            "right_rows",
+            "n_keys_right",
+            "matched_keys",
+            "out_rows",
+            "max_key_out",
+        )
+    )
+
+
+def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight the two flagship fact joins (lineitem-orders on the
+    order key, lineitem-part on the part key): exact output
+    cardinality and worst single-key contribution from O(keys) count
+    tables.  Oracle is the literal SQL."""
+    from realparse_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    return join_size_profile(
+        li, "l_orderkey", orders, "o_orderkey", "lineitem-orders"
+    ).unionAll(
+        join_size_profile(li, "l_partkey", part, "p_partkey", "lineitem-part")
+    )
+
+
+JOIN_SIZE_PROFILE_SQL = """
+WITH lo AS (
+  SELECT 'lineitem-orders' AS join_label,
+    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS left_rows,
+    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_keys_left,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS right_rows,
+    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS n_keys_right,
+    CAST(count(*) AS BIGINT) AS matched_keys,
+    CAST(sum(n_l * n_r) AS BIGINT) AS out_rows,
+    CAST(max(n_l * n_r) AS BIGINT) AS max_key_out
+  FROM (SELECT l_orderkey AS key, count(*) AS n_l FROM lineitem GROUP BY 1) lc
+  JOIN (SELECT o_orderkey AS key, count(*) AS n_r FROM orders GROUP BY 1) rc
+    USING (key)
+),
+lp AS (
+  SELECT 'lineitem-part' AS join_label,
+    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS left_rows,
+    (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS n_keys_left,
+    (SELECT CAST(count(*) AS BIGINT) FROM part) AS right_rows,
+    (SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) FROM part) AS n_keys_right,
+    CAST(count(*) AS BIGINT) AS matched_keys,
+    CAST(sum(n_l * n_r) AS BIGINT) AS out_rows,
+    CAST(max(n_l * n_r) AS BIGINT) AS max_key_out
+  FROM (SELECT l_partkey AS key, count(*) AS n_l FROM lineitem GROUP BY 1) lc
+  JOIN (SELECT p_partkey AS key, count(*) AS n_r FROM part GROUP BY 1) rc
+    USING (key)
+)
+SELECT * FROM lo UNION ALL SELECT * FROM lp
+"""
+
+
+QUERIES = {
+    "salted_agg": q_salted_agg,
+    "salted_join": q_salted_join,
+    "skew_profile": q_skew_profile,
+    "join_size_profile": q_join_size_profile,
+}
+ORACLES = {
+    "salted_agg": SALTED_AGG_SQL,
+    "salted_join": SALTED_JOIN_SQL,
+    "skew_profile": SKEW_PROFILE_SQL,
+    "join_size_profile": JOIN_SIZE_PROFILE_SQL,
+}

@@ -31,6 +31,8 @@ _MODULES = (
     "realparse_spark.operators.dq",
     "realparse_spark.operators.scale",
     "realparse_spark.operators.compact",
+    "realparse_spark.operators.linkage",
+    "realparse_spark.operators.graph",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so

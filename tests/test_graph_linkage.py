@@ -1,0 +1,91 @@
+"""Graph + linkage operator tests: PageRank's integer recurrence against
+hand-computed values on a known graph; blocked fuzzy matching semantics
+(blocking, distinct-first counts, threshold)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.graph import pagerank
+from realparse_spark.operators.linkage import blocked_fuzzy_pairs
+from realparse_spark.plans import explain as X
+
+
+def test_pagerank_hand_computed_path_graph(spark):
+    # symmetric path A - B - C: deg A=1, B=2, C=1, N=3
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in pagerank(edges, iterations=1).collect()}
+    # r0 = 10^12 div 3 = 333333333333 for every node
+    # A <- B/2: (15*333333333333 + 85*166666666666) div 100 = 191666666666
+    # B <- A + C: (15*333333333333 + 85*666666666666) div 100 = 616666666666
+    assert out["A"]["rank_micro"] == 191666666666
+    assert out["C"]["rank_micro"] == 191666666666
+    assert out["B"]["rank_micro"] == 616666666666
+    assert out["A"]["deg"] == 1 and out["B"]["deg"] == 2
+
+
+def test_pagerank_mass_conserved_and_converging(spark):
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")], ["src", "dst"]
+    )
+    r3 = {r["node"]: r["rank_micro"] for r in pagerank(edges, iterations=3).collect()}
+    # total mass stays ~SCALE (integer truncation only loses < N*100 units)
+    assert abs(sum(r3.values()) - 1_000_000_000_000) < 3 * 100 + 3
+    # hub keeps the highest rank at every depth
+    assert r3["B"] > r3["A"] == r3["C"]
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    # the operator declares distinct-edge semantics: repeating an edge
+    # must not double its contribution
+    once = spark.createDataFrame([("A", "B"), ("B", "A")], ["src", "dst"])
+    dup = once.union(once)
+    assert sorted(map(tuple, pagerank(once, 2).collect())) == sorted(
+        map(tuple, pagerank(dup, 2).collect())
+    )
+
+
+def test_fuzzy_pairs_blocking_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("T1", "cold anvil"),
+            ("T1", "cold anvil"),
+            ("T1", "old anvil"),
+            ("T2", "cold anvil"),  # same name, other block: must NOT pair
+            ("T1", "blue widget"),  # far from everything in T1
+        ],
+        ["blk", "name"],
+    )
+    rows = blocked_fuzzy_pairs(df, "blk", "name", max_dist=2).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["blk"], r["name_a"], r["name_b"], r["dist"]) == (
+        "T1",
+        "cold anvil",
+        "old anvil",
+        1,
+    )
+    # distinct-first counts carry the collapsed record mass
+    assert (r["n_a"], r["n_b"]) == (2, 1)
+
+
+def test_fuzzy_pairs_threshold_inclusive(spark):
+    df = spark.createDataFrame(
+        [("B", "abcd"), ("B", "abXY"), ("B", "abcZ")], ["blk", "name"]
+    )
+    out = blocked_fuzzy_pairs(df, "blk", "name", max_dist=2)
+    got = {(r["name_a"], r["name_b"]): r["dist"] for r in out.collect()}
+    # abcZ~abcd dist 1, abXY~abcd dist 2 (inclusive), abXY~abcZ dist 2
+    assert got == {("abcZ", "abcd"): 1, ("abXY", "abcd"): 2, ("abXY", "abcZ"): 2}
+
+
+def test_new_ops_stay_jvm_side(spark, sf_dir):
+    from realparse_spark.registry import all_queries
+
+    q = all_queries()
+    for name in ("pagerank_parts", "fuzzy_match_parts"):
+        df = q[name](spark, sf_dir)
+        assert X.python_eval_nodes(df) == 0, name
+        assert "CartesianProduct" not in X.executed_plan(df), name
