@@ -115,6 +115,8 @@ EXTRA = [
     "skew_profile",         # shuffle-key pre-flight (heavy-key shares)
     "join_size_profile",    # exact join-cardinality pre-flight (O(keys))
     "market_basket",        # frequent-pair support + integer lift
+    "zorder_key",           # Morton-key arithmetic (data-skipping layout)
+    "table_diff",           # keyed snapshot reconciliation (CDC validation)
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

@@ -262,13 +262,130 @@ ORDER BY column_name
 """
 
 
+def table_diff(
+    old: DataFrame, new: DataFrame, key_col: str, compare_cols: list[str]
+) -> DataFrame:
+    """Keyed snapshot reconciliation (CDC validation): classify every key
+    as added / removed / changed / unchanged between two table versions,
+    plus a per-column changed count.  Returns one row per label.
+
+    100 TB shape: ONE full-outer join on the key (both sides shuffled
+    once on the same key — in production the snapshots are bucketed on
+    it and the join co-locates), then a single aggregate over CASE
+    flags; column comparisons are codegen expressions.  Output is
+    O(labels), never row-level (row-level diffs are a filter on the
+    same join, not a different plan)."""
+    o = old.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("_k2"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, o["_k"] == n["_k2"], "full_outer")
+    col_changed = [
+        (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).cast("int").alias(f"_ch_{c}")
+        for c in compare_cols
+    ]
+    any_changed = None
+    for c in compare_cols:
+        term = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        any_changed = term if any_changed is None else (any_changed | term)
+    flagged = j.select(
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(any_changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        *col_changed,
+        (F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()).alias("_both"),
+    )
+    summary = flagged.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    percol = [
+        flagged.filter(F.col("_both"))
+        .agg(F.sum(f"_ch_{c}").cast("bigint").alias("n_rows"))
+        .select(F.lit(f"changed:{c}").alias("status"), "n_rows")
+        for c in compare_cols
+    ]
+    out = summary
+    for p in percol:
+        out = out.unionAll(p)
+    return out.orderBy("status")
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two deterministic epochs of the orders table: the old
+    epoch drops keys divisible by 7, the new epoch drops keys divisible
+    by 10 and bumps totalprice/priority on keys divisible by 3 — so
+    added/removed/changed/unchanged and both per-column change counts
+    are all non-trivially exercised.  Oracle is the literal full-outer
+    reconciliation in SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("RECLASSIFIED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return table_diff(old, new, "o_orderkey", ["o_totalprice", "o_orderpriority"])
+
+
+TABLE_DIFF_SQL = """
+WITH old_t AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderpriority AS pr
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new_t AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS p,
+    CASE WHEN o_orderkey % 3 = 0 THEN 'RECLASSIFIED' ELSE o_orderpriority END AS pr
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+j AS (
+  SELECT o.k AS ok, n.k AS nk,
+    o.p AS op, n.p AS np, o.pr AS opr, n.pr AS npr
+  FROM old_t o FULL OUTER JOIN new_t n ON o.k = n.k
+),
+flagged AS (
+  SELECT
+    CASE WHEN ok IS NULL THEN 'added'
+         WHEN nk IS NULL THEN 'removed'
+         WHEN op IS DISTINCT FROM np OR opr IS DISTINCT FROM npr THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    CASE WHEN op IS DISTINCT FROM np THEN 1 ELSE 0 END AS ch_p,
+    CASE WHEN opr IS DISTINCT FROM npr THEN 1 ELSE 0 END AS ch_pr,
+    (ok IS NOT NULL AND nk IS NOT NULL) AS both_present
+  FROM j
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows FROM flagged GROUP BY status
+UNION ALL
+SELECT 'changed:o_totalprice', CAST(sum(ch_p) AS BIGINT) FROM flagged WHERE both_present
+UNION ALL
+SELECT 'changed:o_orderpriority', CAST(sum(ch_pr) AS BIGINT) FROM flagged WHERE both_present
+ORDER BY status
+"""
+
+
 QUERIES = {
     "dq_checks": q_dq_checks,
     "dq_embeddings": q_dq_embeddings,
     "dq_profile": q_dq_profile,
+    "table_diff": q_table_diff,
 }
 ORACLES = {
     "dq_checks": DQ_CHECKS_SQL,
     "dq_embeddings": DQ_EMBEDDINGS_SQL,
     "dq_profile": DQ_PROFILE_SQL,
+    "table_diff": TABLE_DIFF_SQL,
 }

@@ -33,6 +33,7 @@ _MODULES = (
     "realparse_spark.operators.compact",
     "realparse_spark.operators.linkage",
     "realparse_spark.operators.graph",
+    "realparse_spark.operators.layout",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so

@@ -1,0 +1,68 @@
+"""Z-order layout tests: Morton-key bit arithmetic against hand-computed
+values, and the data-skipping property the layout exists for — a 2-D box
+predicate must touch far fewer files under Z clustering than under a
+single-dimension sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.layout import cluster_by_zorder, zorder_key
+from realparse_spark.plans import explain as X
+
+
+def test_zorder_key_hand_bits(spark):
+    # x=0b101, y=0b011 -> interleave (x owns even positions):
+    # pos0=x0=1 pos1=y0=1 pos2=x1=0 pos3=y1=1 pos4=x2=1 pos5=y2=0 -> 0b011011
+    df = spark.createDataFrame([(5, 3)], ["x", "y"])
+    (r,) = df.select(zorder_key(["x", "y"], bits=3).alias("z")).collect()
+    assert r["z"] == 0b011011 == 27
+    # origin maps to zero; max corner maps to all ones
+    df2 = spark.createDataFrame([(0, 0), (7, 7)], ["x", "y"])
+    zs = sorted(
+        r["z"] for r in df2.select(zorder_key(["x", "y"], bits=3).alias("z")).collect()
+    )
+    assert zs == [0, 63]
+
+
+def test_zorder_locality_beats_linear_sort(spark, tmp_path):
+    # deterministic 64x64 grid
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).cast("bigint").alias("x"),
+            (F.col("id") / 64).cast("bigint").alias("y"),
+        )
+    )
+    z = zorder_key(["x", "y"], bits=6)
+    zdir = str(tmp_path / "zclustered")
+    xdir = str(tmp_path / "xsorted")
+    cluster_by_zorder(grid, z, n_files=16).write.parquet(zdir)
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xdir)
+
+    box = "x < 16 AND y < 16"  # one Morton quadrant, 1/16 of the space
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    zf, xf = files_touched(zdir), files_touched(xdir)
+    # Z layout: the box is one contiguous key range -> ~1 file (allow
+    # boundary slop from repartitionByRange's sampled range bounds).
+    # x-sorted layout: the box spans every file holding x<16 -> >=4.
+    assert zf <= 2, (zf, xf)
+    assert xf >= 4, (zf, xf)
+    assert zf < xf
+
+
+def test_zorder_query_jvm_side(spark, sf_dir):
+    from realparse_spark.registry import all_queries
+
+    df = all_queries()["zorder_key"](spark, sf_dir)
+    assert X.python_eval_nodes(df) == 0
+    assert "CartesianProduct" not in X.executed_plan(df)
