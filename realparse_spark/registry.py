@@ -53,8 +53,12 @@ _MODULES = (
 # (q12/q14/q15/q17/q22/q4/q13, stream_join_e2e, rollup_merge, trend_slopes,
 # gap_fill, dq_checks, doc_weighted_sample, multimodal_audio/video/decode,
 # sim_ann_lsh_batch, emb_knn_join_ivf, the parse/text/load families,
-# sim_ann_lsh — all re-verified in-repo every session) plus dq_profile
-# (added after this round's window filled; tri-scale parity-green).
+# sim_ann_lsh — all re-verified in-repo every session) plus the queries
+# added after this round's window filled, every one tri-scale
+# (sf0.001/0.01/0.1) parity-green in-repo: dq_profile,
+# doc_stratified_take, text_tfidf_cosine, fuzzy_match_parts,
+# pagerank_parts, skew_profile, join_size_profile, market_basket,
+# zorder_key, table_diff.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",
