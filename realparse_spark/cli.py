@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--target-mb", type=int, default=128)
     cp.add_argument("--partition-by", default=None,
                     help="comma-separated partition columns, if any")
+    cp.add_argument("--zorder", default=None,
+                    help="comma-separated numeric columns to Z-order "
+                         "cluster on during the rewrite (unpartitioned only)")
 
     q = sub.add_parser("query", help="run a registered analytics query")
     q.add_argument("--name", help="query name (see --list)")
@@ -192,6 +195,7 @@ def cmd_compact(args, spark: SparkSession) -> int:
         spark, args.path,
         target_file_bytes=args.target_mb * 1024 * 1024,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
+        zorder_cols=args.zorder.split(",") if args.zorder else None,
     )
     after = table_file_stats(spark, args.path)
     print(json.dumps({

@@ -54,6 +54,7 @@ def compact_table(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
     fs: WarehouseFS = LOCAL,
 ) -> tuple[int, int]:
     """Rewrite `path` into ~target_file_bytes files.  Unpartitioned: one
@@ -61,15 +62,31 @@ def compact_table(
     salted into ceil(its_bytes / target) buckets — sized from the listing
     pass, so a hot partition splits into many ~target files instead of one
     giant single-task file (a skewed `repartition(n, *partition_by)` would
-    hash every row of a partition value into ONE task).  Returns
-    (files_before, files_after)."""
+    hash every row of a partition value into ONE task).
+
+    `zorder_cols` (unpartitioned tables): instead of an order-preserving
+    coalesce, re-cluster the rewrite on the Morton key of the given
+    numeric columns (layout.py) — compaction is THE moment to fix data
+    locality, since the table is being rewritten anyway; every later
+    multi-dimensional filter then skips most of the compacted files.
+    Returns (files_before, files_after)."""
+    if zorder_cols and partition_by:
+        raise ValueError(
+            "zorder_cols currently applies to unpartitioned tables only"
+        )
     before, total = table_file_stats(spark, path, fs)
 
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".__compact__"
     if not partition_by:
         n_files = max(1, total // target_file_bytes)
-        w = df.coalesce(int(n_files)).write.mode("overwrite")
+        if zorder_cols:
+            from realparse_spark.operators.layout import zorder_shape
+
+            shaped = zorder_shape(df, zorder_cols, n_files=int(n_files))
+            w = shaped.write.mode("overwrite")
+        else:
+            w = df.coalesce(int(n_files)).write.mode("overwrite")
     else:
         leaf = _leaf_partition_bytes(path, partition_by, fs)
         salt_rows = [

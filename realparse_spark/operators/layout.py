@@ -77,6 +77,31 @@ def cluster_by_zorder(
     )
 
 
+def zorder_shape(
+    df: DataFrame, cols: Sequence[str], bits: int = 8, n_files: int = 16
+) -> DataFrame:
+    """End-to-end Z-shaping of arbitrary numeric columns: compute the
+    min/max extrema in one pass (1-row broadcast), normalize each column
+    to [0, 2^bits) by exact integer scaling, interleave into the Morton
+    key, range-partition + sort.  Layout only — row VALUES are untouched,
+    so results of any query over the output are identical; only file
+    locality changes.  Doubles are binned via truncating integer casts:
+    fine for clustering (stats tightness), irrelevant for correctness."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("bigint")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("bigint")).alias(f"_max_{c}"))
+    ext = df.agg(*aggs)
+    widened = df.crossJoin(F.broadcast(ext))
+    norm = [
+        _norm_expr(f"CAST({c} AS BIGINT)", f"_min_{c}", f"_max_{c}", bits)
+        for c in cols
+    ]
+    z = zorder_key(norm, bits=bits)
+    helper = [f"_min_{c}" for c in cols] + [f"_max_{c}" for c in cols]
+    return cluster_by_zorder(widened, z, n_files=n_files).drop(*helper)
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible form of the Morton key arithmetic: normalize
     (user_id, value) of the events table to 8 bits each by exact

@@ -60,6 +60,49 @@ def test_zorder_locality_beats_linear_sort(spark, tmp_path):
     assert zf < xf
 
 
+def test_compact_with_zorder_recluster(spark, tmp_path):
+    from realparse_spark.operators.compact import compact_table, table_file_stats
+
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).cast("bigint").alias("x"),
+            (F.col("id") / 64).cast("bigint").alias("y"),
+        )
+    )
+    path = str(tmp_path / "frag")
+    # fragment: 64 tiny row-ordered files
+    grid.repartition(64).write.parquet(path)
+    before_files, total = table_file_stats(spark, path)
+    assert before_files == 64
+    # compact to ~16 files, re-clustered on (x, y)
+    target = max(1, total // 16)
+    b, a = compact_table(spark, path, target_file_bytes=target, zorder_cols=["x", "y"])
+    assert b == 64 and 8 <= a <= 24
+    out = spark.read.parquet(path)
+    # row-preserving
+    assert out.count() == 64 * 64
+    # locality restored: the box lives in a few files, not all of them
+    touched = (
+        out.filter("x < 16 AND y < 16")
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert touched <= max(3, a // 4), (touched, a)
+
+
+def test_compact_zorder_rejects_partitioned(spark, tmp_path):
+    import pytest
+
+    from realparse_spark.operators.compact import compact_table
+
+    with pytest.raises(ValueError):
+        compact_table(
+            spark, str(tmp_path / "x"), partition_by=["p"], zorder_cols=["x"]
+        )
+
+
 def test_zorder_query_jvm_side(spark, sf_dir):
     from realparse_spark.registry import all_queries
 
