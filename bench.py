@@ -117,6 +117,7 @@ EXTRA = [
     "market_basket",        # frequent-pair support + integer lift
     "zorder_key",           # Morton-key arithmetic (data-skipping layout)
     "table_diff",           # keyed snapshot reconciliation (CDC validation)
+    "k_anonymity",          # quasi-identifier equivalence-class audit
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

@@ -144,5 +144,69 @@ FROM planted
 """
 
 
-QUERIES = {"anonymize_ips": q_anonymize_ips, "redact_pii": q_redact_pii}
-ORACLES = {"anonymize_ips": _anonymize_sql(), "redact_pii": REDACT_PII_SQL}
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: every
+    row must be indistinguishable from at least k-1 others on those
+    columns before a dataset is released/trained on.  Returns one row
+    per equivalence-class size bucket: (class_size_bucket, n_classes,
+    n_rows, at_risk) where at_risk marks buckets under k.
+
+    100 TB shape: ONE map-side-combined groupBy on the quasi-identifier
+    tuple (the equivalence classes), then a second tiny aggregation over
+    the O(classes) counts.  Output is O(distinct class sizes) — the
+    audit never materializes row-level data, so it can run on the raw
+    table without itself becoming a disclosure risk."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            (F.count(F.lit(1)) * F.col("class_size")).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("class_size").alias("class_size_bucket"),
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < k).alias("at_risk"),
+        )
+        .orderBy("class_size_bucket")
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the customer table on the (c_nationkey, c_mktsegment)
+    quasi-identifier pair at k=5: the class-size histogram with at-risk
+    flags.  Oracle is the literal double aggregation."""
+    from realparse_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+K_ANONYMITY_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT class_size AS class_size_bucket,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(count(*) * class_size AS BIGINT) AS n_rows,
+  class_size < 5 AS at_risk
+FROM classes
+GROUP BY class_size
+ORDER BY class_size_bucket
+"""
+
+
+QUERIES = {
+    "anonymize_ips": q_anonymize_ips,
+    "redact_pii": q_redact_pii,
+    "k_anonymity": q_k_anonymity,
+}
+ORACLES = {
+    "anonymize_ips": _anonymize_sql(),
+    "redact_pii": REDACT_PII_SQL,
+    "k_anonymity": K_ANONYMITY_SQL,
+}
