@@ -118,6 +118,10 @@ EXTRA = [
     "zorder_key",           # Morton-key arithmetic (data-skipping layout)
     "table_diff",           # keyed snapshot reconciliation (CDC validation)
     "k_anonymity",          # quasi-identifier equivalence-class audit
+    "text_bm25",            # integer-exact Okapi BM25 top-k retrieval
+    # (emb_threshold_sweep is correctness-only, like dedup_embedding:
+    # both are the O(V^2·dim) blocked pair family whose bench
+    # representative is the ANN/kNN path)
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

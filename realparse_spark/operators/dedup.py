@@ -509,6 +509,92 @@ SELECT label, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35
 """
 
 
+def q_emb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity report for embedding near-dup: pair counts
+    per cosine decile band plus the cumulative count at-or-above each
+    band — the table an operator reads to PICK `dedup_embedding`'s
+    threshold instead of guessing.  One pass over the same label-blocked
+    pair join (no threshold filter), a tiny groupBy on the band index,
+    and a running sum over the O(20)-row band table only — the window
+    never touches pair-level data.  Band index is floor(cos*10) on the
+    already-rounded cosine: identical doubles in both engines, so the
+    integer bands hash-match.
+
+    Norms are precomputed PER VECTOR (O(V·dim)) and each vector is
+    normalized once, so the O(V²) pair stage runs a single dot fold —
+    recomputing both norms inside every pair (the naive formulation)
+    triples the dominant cost for no reason.  Division order is fixed
+    (x / norm elementwise, then a sequential left-fold dot), IEEE-
+    deterministic in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        "label",
+        F.when(
+            norm > 0,
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / norm),
+        ).alias("u"),
+    ).filter(F.col("u").isNotNull())
+    a = unit.select(F.col("vec_id").alias("vec_a"), "label", F.col("u").alias("ua"))
+    b = unit.select(F.col("vec_id").alias("vec_b"), "label", F.col("u").alias("ub"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(F.round(dot, 4).alias("cos"))
+    )
+    bands = pairs.select(
+        F.floor(F.col("cos") * 10).cast("int").alias("band")
+    ).groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bands.withColumn("n_pairs_ge", F.sum("n_pairs").over(w).cast("bigint"))
+        .select("band", "n_pairs", "n_pairs_ge")
+        .orderBy("band")
+    )
+
+
+EMB_THRESHOLD_SWEEP_SQL = r"""
+WITH unit AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)
+      / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS u
+  FROM embeddings
+  WHERE sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) > 0
+),
+a AS (SELECT vec_id AS vec_a, label, u AS ua FROM unit),
+b AS (SELECT vec_id AS vec_b, label, u AS ub FROM unit),
+pairs AS (
+  SELECT
+    round(list_aggregate(list_transform(range(1, len(ua) + 1), i -> ua[i] * ub[i]), 'sum'), 4) AS cos
+  FROM a JOIN b ON a.label = b.label AND vec_a < vec_b
+),
+bands AS (
+  SELECT CAST(floor(cos * 10) AS INTEGER) AS band, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT band, n_pairs,
+  CAST(sum(n_pairs) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+FROM bands
+ORDER BY band
+"""
+
+
 # ---------------------------------------------------------------------------
 # dup clusters — connected components over near-dup pairs
 # ---------------------------------------------------------------------------
@@ -845,6 +931,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "emb_threshold_sweep": q_emb_threshold_sweep,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
     "dedup_incremental": q_dedup_incremental,
@@ -858,6 +945,7 @@ ORACLES = {
     # reproducible in DuckDB -> rows-only driver check; quality asserted in
     # tests/test_dedup.py against exact Jaccard / hamming ground truth.
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "emb_threshold_sweep": EMB_THRESHOLD_SWEEP_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,

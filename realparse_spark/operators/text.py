@@ -8,6 +8,8 @@ oracle.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -752,7 +754,131 @@ WHERE round(CAST(num AS DOUBLE)
 """
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """BM25 document ranking for a fixed query, exact integer arithmetic.
+
+    Okapi BM25 with k1=1.2, b=0.75 and the repo's integer idf surrogate
+    (`100000 div (df+1)` — float ln differs across libms, SCALE.md).
+    The standard per-term score
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*len_d/avgdl))
+
+    is cleared of ALL rational factors by multiplying numerator and
+    denominator by 10 * avgdl * N (k1 = 12/10, b = 3/4, avgdl = T/N):
+
+        score_term = idf_s * 22 * tf * T  div  (10*tf*T + 3*T + 9*len_d*N)
+
+    with T = corpus token count, N = doc count — every operand BIGINT,
+    so ranking hash-matches the oracle.  Magnitudes: idf_s<=1e5, tf and
+    len_d are per-doc counts, so the numerator stays ~1e13-1e15 at any
+    SF here — far inside int64.
+
+    100 TB shape: one explode of the corpus filtered to the query's
+    terms BEFORE the shuffle (the term filter prunes ~everything), df
+    and the T/N scalars are O(terms)/O(1) broadcasts, doc lengths are a
+    narrow per-doc aggregate joined on doc_id (bucketed at scale), and
+    the output is a per-partition top-k heap."""
+    terms = [t.lower() for t in query_terms]
+    # superset prefilter BEFORE the explode: a doc with no query term
+    # yields no tf row, so substring containment (cheap, pushed to the
+    # scan) safely prunes the explode input to candidate docs only — at
+    # 100 TB this is the difference between exploding the corpus and
+    # exploding the posting lists
+    candidate = None
+    for t in terms:
+        c = F.lower(F.col("text")).contains(t)
+        candidate = c if candidate is None else (candidate | c)
+    toks = (
+        docs.filter(candidate)
+        .select("doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    lens = docs.select(
+        "doc_id", token_count_ws(F.lower(F.col("text"))).cast("bigint").alias("len_d")
+    )
+    tot = lens.agg(
+        F.sum("len_d").cast("bigint").alias("t_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "(100000 div (df + 1)) * 22 * tf * t_tokens"
+                " div (10 * tf * t_tokens + 3 * t_tokens + 9 * len_d * n_docs)"
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").cast("bigint").alias("bm25_scaled"))
+        .orderBy(F.col("bm25_scaled").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed query {spark, merge, window} under
+    integer-exact BM25; oracle recomputes the identical cleared-fraction
+    formula."""
+    return bm25_topk(
+        fan_out(load_table(spark, sf_dir, "documents")),
+        ["spark", "merge", "window"],
+        k=20,
+    )
+
+
+TEXT_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('spark', 'merge', 'window')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+lens AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+         AS BIGINT) AS len_d
+  FROM documents
+),
+tot AS (
+  SELECT CAST(sum(len_d) AS BIGINT) AS t_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM lens
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_scaled FROM (
+  SELECT tf.doc_id AS doc_id,
+    (100000 // (df + 1)) * 22 * tf * t_tokens
+      // (10 * tf * t_tokens + 3 * t_tokens + 9 * len_d * n_docs) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN tot
+)
+GROUP BY doc_id
+ORDER BY bm25_scaled DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "text_bm25": q_text_bm25,
     "text_tfidf_cosine": q_text_tfidf_cosine,
     "text_repetition": q_text_repetition,
     "text_unigram_logprob": q_text_unigram_logprob,
@@ -767,6 +893,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25": TEXT_BM25_SQL,
     "text_tfidf_cosine": TEXT_TFIDF_COSINE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LOGPROB_SQL,
