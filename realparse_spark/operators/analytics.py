@@ -1112,35 +1112,33 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: pair generation is a basket self-join on the order
     key — quadratic only in basket size (max lines per order), never in
-    corpus size; the pair groupBy is one uniform shuffle; the per-item
-    support table is O(|parts|) and broadcast into the lift join; the
-    basket total is a 1-row broadcast scalar.  Output is bounded by a
+    corpus size — and it is computed ONCE per corpus snapshot: this
+    query reads the weighted co-order edge table materialized by
+    graph._co_order_edges_for (shared with PageRank; `w` on the a<b
+    half IS the pair support), so the warm path is a narrow parquet
+    scan instead of re-running the self-join.  The per-item support
+    table is O(|parts|) and broadcast into the lift join; the basket
+    total is a 1-row broadcast scalar.  Output is bounded by a
     per-partition top-k heap, not a global sort."""
-    from realparse_spark.sources.tables import load_table
+    import os
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders")
-    )
-    item = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
-    )
+    from realparse_spark.operators.graph import _co_order_edges_for
+
+    snap = _co_order_edges_for(spark, sf_dir)
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        spark.read.parquet(os.path.join(snap, "edges"))
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            F.col("w").alias("n_ab"),
+        )
         .filter(F.col("n_ab") >= 2)
     )
-    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
-    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    item = spark.read.parquet(os.path.join(snap, "items"))
+    n_orders = spark.read.parquet(os.path.join(snap, "totals"))
+    ia = item.select(F.col("part").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("part").alias("part_b"), F.col("n_item").alias("n_b"))
     return (
         pairs.join(F.broadcast(ia), "part_a")
         .join(F.broadcast(ib), "part_b")

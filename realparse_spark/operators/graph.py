@@ -134,7 +134,9 @@ def _co_order_edges_for(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size)
+    # v2: edges carry the co-order count `w` (market_basket reads it;
+    # pagerank's column pruning never materializes it)
+    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 2)
     path = _EDGES.get(key)
     if path is None:
         path = os.path.join(
@@ -163,8 +165,8 @@ def _co_order_edges_for(spark: SparkSession, sf_dir: str) -> str:
                     (F.col("ok") == F.col("ok_b"))
                     & (F.col("src") != F.col("dst")),
                 )
-                .select("src", "dst")
-                .distinct()
+                .groupBy("src", "dst")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
             )
             # process-unique temp dir + atomic rename: concurrent
             # processes computing the same key must never clobber a
@@ -177,7 +179,17 @@ def _co_order_edges_for(spark: SparkSession, sf_dir: str) -> str:
             spark.read.parquet(os.path.join(tmp, "edges")).groupBy("src").agg(
                 F.count(F.lit(1)).cast("bigint").alias("deg")
             ).write.mode("overwrite").parquet(os.path.join(tmp, "deg"))
-            # top-level marker only after BOTH sub-tables landed
+            # per-item support and the basket total round out the
+            # snapshot: market_basket's lift needs them, and both are
+            # one cheap narrow aggregate at build time vs a corpus
+            # re-scan per consumer
+            li.groupBy(F.col("l_partkey").alias("part")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_item")
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "items"))
+            li.agg(
+                F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("n_orders")
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "totals"))
+            # top-level marker only after ALL sub-tables landed
             with open(os.path.join(tmp, "_SUCCESS"), "w"):
                 pass
             shutil.rmtree(path, ignore_errors=True)

@@ -31,7 +31,7 @@ def test_join_size_profile_disjoint_keys(spark):
     assert r["out_rows"] is None and r["max_key_out"] is None
 
 
-def test_market_basket_hand_values(spark, monkeypatch):
+def test_market_basket_hand_values(spark, tmp_path):
     import realparse_spark.operators.analytics as A
 
     # orders: o1={10,20,30}, o2={10,20}, o3={10,20}, o4={30}
@@ -42,10 +42,13 @@ def test_market_basket_hand_values(spark, monkeypatch):
         (4, 30),
     ]
     li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
-    monkeypatch.setattr(
-        "realparse_spark.sources.tables.load_table", lambda s, d, t: li
-    )
-    out = {(r["part_a"], r["part_b"]): r for r in A.q_market_basket(spark, "x").collect()}
+    # the query rides the co-order snapshot, which stats+reads
+    # <sf_dir>/lineitem.parquet — hand it a real fixture dir
+    li.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        (r["part_a"], r["part_b"]): r
+        for r in A.q_market_basket(spark, str(tmp_path)).collect()
+    }
     # only pair with support >= 2 is (10,20): n_ab=3
     assert list(out) == [(10, 20)]
     r = out[(10, 20)]
