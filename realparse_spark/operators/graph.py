@@ -118,12 +118,15 @@ def pagerank(
     return ranks.select("node", "deg", F.col("r").alias("rank_micro"))
 
 
-# Materialized edge table, fingerprint-keyed per corpus snapshot (same
-# cache discipline as dedup's cluster table, dedup.py:650): the iterative
-# consumer reads the edge list 1 + k times, so production pipelines
-# derive the graph ONCE per snapshot and every traversal scans the
-# compact 2-column table — re-running the basket self-join per iteration
-# would multiply the most expensive stage by the iteration count.
+# Materialized graph snapshot, fingerprint-keyed per corpus (same cache
+# discipline as dedup's cluster table, dedup.py:650): weighted edges,
+# degree, per-item supports, and the basket total, all derived in one
+# build pass.  The iterative consumer reads the edge list 1 + k times
+# and market_basket reads the same snapshot (analytics.py), so
+# production pipelines derive the graph ONCE per snapshot and every
+# consumer scans the compact tables — re-running the basket self-join
+# per consumer/iteration would multiply the most expensive stage by
+# their count.
 _EDGES: dict[tuple, str] = {}
 
 

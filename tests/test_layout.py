@@ -25,6 +25,28 @@ def test_zorder_key_hand_bits(spark):
     assert zs == [0, 63]
 
 
+def test_zorder_key_matches_python_reference(spark):
+    import random
+
+    def ref(x: int, y: int, bits: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(11)
+    bits = 10
+    rows = [(rng.randrange(1 << bits), rng.randrange(1 << bits)) for _ in range(64)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = [
+        (r["x"], r["y"], r["z"])
+        for r in df.select("x", "y", zorder_key(["x", "y"], bits=bits).alias("z")).collect()
+    ]
+    for x, y, z in got:
+        assert z == ref(x, y, bits), (x, y)
+
+
 def test_zorder_locality_beats_linear_sort(spark, tmp_path):
     # deterministic 64x64 grid
     grid = (
