@@ -121,7 +121,9 @@ EXTRA = [
     "text_bm25",            # integer-exact Okapi BM25 top-k retrieval
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
-    # representative is the ANN/kNN path)
+    # representative is the ANN/kNN path; pagerank_weighted is
+    # correctness-only — same plan family as pagerank_parts, which is
+    # the benched representative)
     # (stream_custom_state_e2e is correctness-only, like the other
     # streaming lifecycles)
 ]

@@ -49,6 +49,7 @@ def pagerank(
     iterations: int = 3,
     broadcast_ranks: bool = False,
     deg: DataFrame | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (src, dst).
 
@@ -67,17 +68,32 @@ def pagerank(
     typically orders of magnitude below E); with billions of vertices
     leave it False and bucket the edge table by `src` so the
     shuffle-join co-locates instead.
+
+    `weighted=True` distributes each node's rank proportionally to edge
+    weight instead of uniformly: contribution = (r_u * w_uv) div
+    strength_u with strength_u = sum of u's outgoing weights.  The
+    edge list must then carry a `w` column with ONE row per (src, dst),
+    and `deg` (if supplied) must hold the strength in its `deg` column.
+    Still all-BIGINT, still bit-exact.
     """
-    edges = edges.select("src", "dst").distinct()
+    if weighted:
+        edges = edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+    else:
+        edges = edges.select("src", "dst").distinct()
     if deg is None:
         # deg's subtree is re-evaluated per iteration (it seeds every
         # rebuild of the rank table) — when the edge list is a derived
         # plan this is a full shuffle of E rows per iteration.  Callers
         # on big graphs should pass a materialized (src, deg) table,
         # turning each re-evaluation into a trivial O(V) scan.
-        deg = edges.groupBy("src").agg(
-            F.count(F.lit(1)).cast("bigint").alias("deg")
-        )
+        if weighted:
+            deg = edges.groupBy("src").agg(
+                F.sum("w").cast("bigint").alias("deg")
+            )
+        else:
+            deg = edges.groupBy("src").agg(
+                F.count(F.lit(1)).cast("bigint").alias("deg")
+            )
     else:
         deg = deg.select("src", F.col("deg").cast("bigint").alias("deg"))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -96,9 +112,10 @@ def pagerank(
     # per iteration — a 2^k lineage blowup Spark will happily execute.
     for _ in range(iterations):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        per_edge = "(r * w) div deg" if weighted else "r div deg"
         contrib = (
             edges.join(rank_side, edges["src"] == rank_side["node"])
-            .select("dst", F.expr("r div deg").alias("c"))
+            .select("dst", F.expr(per_edge).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("bigint").alias("s"))
         )
@@ -137,9 +154,10 @@ def _co_order_edges_for(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    # v2: edges carry the co-order count `w` (market_basket reads it;
-    # pagerank's column pruning never materializes it)
-    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 2)
+    # v3: edges carry the co-order count `w` (market_basket and
+    # weighted PageRank read it; unweighted PageRank's column pruning
+    # never materializes it) and deg carries strength alongside degree
+    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 3)
     path = _EDGES.get(key)
     if path is None:
         path = os.path.join(
@@ -180,7 +198,8 @@ def _co_order_edges_for(spark: SparkSession, sf_dir: str) -> str:
             tmp = f"{path}.tmp-{os.getpid()}"
             edges.write.mode("overwrite").parquet(os.path.join(tmp, "edges"))
             spark.read.parquet(os.path.join(tmp, "edges")).groupBy("src").agg(
-                F.count(F.lit(1)).cast("bigint").alias("deg")
+                F.count(F.lit(1)).cast("bigint").alias("deg"),
+                F.sum("w").cast("bigint").alias("strength"),
             ).write.mode("overwrite").parquet(os.path.join(tmp, "deg"))
             # per-item support and the basket total round out the
             # snapshot: market_basket's lift needs them, and both are
@@ -230,17 +249,52 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql(iterations: int = 3) -> str:
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the same co-purchase snapshot: a node's
+    rank is distributed proportionally to co-order counts (strength),
+    so frequently-paired parts pull more authority than incidental
+    ones.  Same integer exactness, same snapshot tables (edges read
+    WITH the weight column, deg table read for its strength)."""
+    import os
+
+    snap = _co_order_edges_for(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(snap, "edges"))
+    strength = spark.read.parquet(os.path.join(snap, "deg")).select(
+        "src", F.col("strength").alias("deg")
+    )
+    out = pagerank(
+        edges, iterations=3, broadcast_ranks=True, deg=strength, weighted=True
+    )
+    return (
+        out.select(
+            F.col("node").cast("bigint").alias("part"),
+            F.col("deg").alias("strength"),
+            "rank_micro",
+        )
+        .orderBy(F.col("rank_micro").desc(), "part")
+        .limit(100)
+    )
+
+
+def _pagerank_sql(iterations: int = 3, weighted: bool = False) -> str:
+    contrib = "sum((r.r * p.w) // r.s)" if weighted else "sum(r.r // r.deg)"
+    divisor_col = "s" if weighted else "deg"
+    div_def = (
+        "SELECT src, CAST(sum(w) AS BIGINT) AS s FROM pairs GROUP BY src"
+        if weighted
+        else "SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pairs GROUP BY src"
+    )
+    out_div = "s AS strength" if weighted else "deg"
     prev = "r0"
     iters = []
     for k in range(1, iterations + 1):
         iters.append(
             f"""it{k} AS (
-  SELECT d.src AS node, d.deg,
+  SELECT d.src AS node, d.{divisor_col},
     CAST((15 * (1000000000000 // (SELECT n_nodes FROM n))
-          + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
-  FROM deg d LEFT JOIN (
-    SELECT p.dst AS dst, CAST(sum(r.r // r.deg) AS BIGINT) AS s
+          + 85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+  FROM divisor d LEFT JOIN (
+    SELECT p.dst AS dst, CAST({contrib} AS BIGINT) AS c
     FROM pairs p JOIN {prev} r ON p.src = r.node GROUP BY p.dst
   ) c ON d.src = c.dst
 )"""
@@ -250,24 +304,31 @@ def _pagerank_sql(iterations: int = 3) -> str:
     return f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
-  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS BIGINT) AS w
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
 ),
-deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pairs GROUP BY src),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+divisor AS ({div_def}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM divisor),
 r0 AS (
-  SELECT src AS node, deg,
+  SELECT src AS node, {divisor_col},
     CAST(1000000000000 // (SELECT n_nodes FROM n) AS BIGINT) AS r
-  FROM deg
+  FROM divisor
 ),
 {joined_iters}
-SELECT CAST(node AS BIGINT) AS part, deg, r AS rank_micro
+SELECT CAST(node AS BIGINT) AS part, {out_div}, r AS rank_micro
 FROM {prev}
 ORDER BY rank_micro DESC, part
 LIMIT 100
 """
 
 
-QUERIES = {"pagerank_parts": q_pagerank_parts}
-ORACLES = {"pagerank_parts": _pagerank_sql(3)}
+QUERIES = {
+    "pagerank_parts": q_pagerank_parts,
+    "pagerank_weighted": q_pagerank_weighted,
+}
+ORACLES = {
+    "pagerank_parts": _pagerank_sql(3),
+    "pagerank_weighted": _pagerank_sql(3, weighted=True),
+}

@@ -47,6 +47,27 @@ def test_pagerank_duplicate_edges_collapse(spark):
     )
 
 
+def test_weighted_pagerank_hand_computed(spark):
+    # A - B heavy (w=3), B - C light (w=1): strength A=3, B=4, C=1, N=3
+    edges = spark.createDataFrame(
+        [("A", "B", 3), ("B", "A", 3), ("B", "C", 1), ("C", "B", 1)],
+        ["src", "dst", "w"],
+    )
+    out = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, iterations=1, weighted=True).collect()
+    }
+    # r0 = 333333333333 each
+    # A <- B: (r0*3) div 4 = 249999999999 -> rA = (15*r0 + 85*249999999999) div 100
+    base = 333333333333
+    ra = (15 * base + 85 * ((base * 3) // 4)) // 100
+    rc = (15 * base + 85 * ((base * 1) // 4)) // 100
+    rb = (15 * base + 85 * (((base * 3) // 3) + ((base * 1) // 1))) // 100
+    assert out == {"A": ra, "B": rb, "C": rc}
+    # weights matter: A (heavy neighbor) outranks C (light neighbor)
+    assert out["A"] > out["C"]
+
+
 def test_fuzzy_pairs_blocking_and_counts(spark):
     df = spark.createDataFrame(
         [
