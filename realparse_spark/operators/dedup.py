@@ -743,7 +743,7 @@ def _clusters_for(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 3, 0.5)
     path = _CLUSTERS.get(key)
-    if path is None:
+    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
         import shutil
 
         path = os.path.join(
@@ -751,7 +751,9 @@ def _clusters_for(spark: SparkSession, sf_dir: str) -> str:
             "realparse_clusters_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
         )
         # _SUCCESS (not just the directory) gates reuse: a directory left
-        # by a crashed pre-rename writer must be recomputed, not trusted
+        # by a crashed pre-rename writer must be recomputed, not trusted.
+        # Re-checked even on in-memory cache hits, so an externally wiped
+        # /tmp triggers a rebuild instead of a failed read.
         if not os.path.isfile(os.path.join(path, "_SUCCESS")):
             # write to a process-unique temp dir, then atomically rename into
             # place: two concurrent processes computing the same key must

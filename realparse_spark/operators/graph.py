@@ -159,13 +159,16 @@ def _co_order_edges_for(spark: SparkSession, sf_dir: str) -> str:
     # never materializes it) and deg carries strength alongside degree
     key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 3)
     path = _EDGES.get(key)
-    if path is None:
+    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
         path = os.path.join(
             tempfile.gettempdir(),
             "realparse_coedges_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
         )
         # _SUCCESS (not just the directory) gates reuse: a directory left
-        # by a crashed pre-rename writer must be recomputed, not trusted
+        # by a crashed pre-rename writer must be recomputed, not trusted.
+        # Re-checked even on in-memory cache hits, so an externally wiped
+        # /tmp (or a tmp-cleaner) triggers a rebuild instead of a failed
+        # read of a vanished table.
         if not os.path.isfile(os.path.join(path, "_SUCCESS")):
             from realparse_spark.sources.tables import load_table
 

@@ -353,7 +353,9 @@ def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, N_PLANES, N_CHUNKS)
     path = _LSH_INDEX.get(key)
-    if path is None:
+    # re-verified on cache hits: an externally wiped /tmp triggers a
+    # rebuild instead of a failed read of a vanished index
+    if path is None or not os.path.isdir(path):
         path = os.path.join(
             tempfile.gettempdir(),
             "realparse_lsh_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
@@ -576,7 +578,8 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 16, 42)
     path = _IVF_INDEX.get(key)
-    if path is None:
+    # re-verified on cache hits (same self-healing as the LSH cache)
+    if path is None or not os.path.isdir(path):
         path = os.path.join(
             tempfile.gettempdir(),
             "realparse_ivf_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
