@@ -57,8 +57,9 @@ _MODULES = (
 # added after this round's window filled, every one tri-scale
 # (sf0.001/0.01/0.1) parity-green in-repo: dq_profile,
 # doc_stratified_take, text_tfidf_cosine, fuzzy_match_parts,
-# pagerank_parts, skew_profile, join_size_profile, market_basket,
-# zorder_key, table_diff.
+# pagerank_parts, pagerank_weighted, skew_profile, join_size_profile,
+# market_basket, zorder_key, table_diff, k_anonymity, text_bm25,
+# emb_threshold_sweep.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",
