@@ -119,6 +119,8 @@ EXTRA = [
     "table_diff",           # keyed snapshot reconciliation (CDC validation)
     "k_anonymity",          # quasi-identifier equivalence-class audit
     "text_bm25",            # integer-exact Okapi BM25 top-k retrieval
+    "time_weighted_avg",    # irregular-sampling TWA (one window shuffle)
+    "event_ohlc",           # hourly OHLC bars (shared partitioning)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

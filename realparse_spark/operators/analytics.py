@@ -1183,8 +1183,141 @@ LIMIT 50
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per event type — the irregular-
+    sampling aggregate (TimescaleDB's time_weight): each sample is
+    weighted by how long it was current (epoch-microsecond gap to the
+    next sample of the same type), so bursts don't dominate the mean
+    the way a row-average lets them.
+
+    Exactness: all-BIGINT — gaps in epoch micros, values floored to
+    1e-4 units (floor, not cast: double->int casts truncate in Spark
+    but round in DuckDB), products and sums exact 64-bit integers, the
+    final average an integral division.  (A decimal sum CAST to DOUBLE
+    was tried first and differs in the last bit between engines —
+    DuckDB's decimal->double conversion is not correctly rounded for
+    >2^53 scaled values.)  At fixture scales sum(v_i*dt) stays ~1e18,
+    inside int64; the 100 TB deployment swaps the sum to DECIMAL(38,0)
+    and keeps the same recurrence.  Plan: one shuffle on event_type
+    (the lead window), then the groupBy rides the same partitioning.
+    Ordering is pinned by (ts, event_id) so equal timestamps cannot
+    reorder the interval pairing."""
+    from pyspark.sql import Window
+
+    from realparse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = ev.withColumn("dt", F.lead("us").over(w) - F.col("us")).filter(
+        F.col("dt").isNotNull()
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.sum(F.expr("v_e4 * dt")).cast("bigint").alias("sum_vdt_e4"),
+        F.sum("dt").cast("bigint").alias("sum_dt_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
+    return agg.select(
+        "event_type",
+        F.expr("sum_vdt_e4 div sum_dt_us").alias("twa_e4"),
+        "sum_dt_us",
+        "n_intervals",
+    ).orderBy("event_type")
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+    CAST(floor(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+),
+gaps AS (
+  SELECT event_type, v_e4,
+    lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id) - us AS dt
+  FROM ev
+)
+SELECT event_type,
+  CAST(CAST(sum(v_e4 * dt) AS BIGINT) // CAST(sum(dt) AS BIGINT) AS BIGINT) AS twa_e4,
+  CAST(sum(dt) AS BIGINT) AS sum_dt_us,
+  CAST(count(*) AS BIGINT) AS n_intervals
+FROM gaps
+WHERE dt IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    canonical downsampling aggregate for irregular series.  Open/close
+    are the first/last sample under the pinned (ts, event_id) order
+    (row_number windows); high/low/count are plain extremes.  The two
+    windows and the groupBy all share ONE (event_type, bucket) hash
+    partitioning — a single shuffle end-to-end.  Picked and extreme
+    doubles are engine-identical (no float sums anywhere)."""
+    from pyspark.sql import Window
+
+    from realparse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "value",
+    )
+    fwd = Window.partitionBy("event_type", "bucket_hour").orderBy("us", "event_id")
+    bwd = Window.partitionBy("event_type", "bucket_hour").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    marked = ev.withColumn("rn_f", F.row_number().over(fwd)).withColumn(
+        "rn_b", F.row_number().over(bwd)
+    )
+    return (
+        marked.groupBy("event_type", "bucket_hour")
+        .agg(
+            F.max(F.when(F.col("rn_f") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_b") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "bucket_hour")
+    )
+
+
+EVENT_OHLC_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, date_trunc('hour', ts) AS bucket_hour,
+    epoch_us(ts) AS us, value
+  FROM events
+),
+marked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket_hour ORDER BY us, event_id) AS rn_f,
+    row_number() OVER (PARTITION BY event_type, bucket_hour ORDER BY us DESC, event_id DESC) AS rn_b
+  FROM ev
+)
+SELECT event_type, bucket_hour,
+  max(CASE WHEN rn_f = 1 THEN value END) AS open,
+  max(value) AS high,
+  min(value) AS low,
+  max(CASE WHEN rn_b = 1 THEN value END) AS close,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM marked
+GROUP BY event_type, bucket_hour
+ORDER BY event_type, bucket_hour
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
+    "time_weighted_avg": q_time_weighted_avg,
+    "event_ohlc": q_event_ohlc,
     "events_retention": q_events_retention,
     "scd2_build": q_scd2_build,
     "scd2_lookup": q_scd2_lookup,
@@ -1206,6 +1339,8 @@ QUERIES = {
 
 ORACLES = {
     "market_basket": MARKET_BASKET_SQL,
+    "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
+    "event_ohlc": EVENT_OHLC_SQL,
     "rollup_merge": ROLLUP_MERGE_SQL,
     "scd2_build": SCD2_BUILD_SQL,
     "scd2_lookup": SCD2_LOOKUP_SQL,

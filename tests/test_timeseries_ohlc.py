@@ -1,0 +1,102 @@
+"""Hand-computed semantics for time-weighted average and OHLC bars."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realparse_spark.plans import explain as X
+
+
+def _events(spark, rows):
+    # (event_id, ts_seconds_offset, event_type, value)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    data = [
+        (eid, base + dt.timedelta(seconds=off), typ, float(v))
+        for eid, off, typ, v in rows
+    ]
+    return spark.createDataFrame(data, ["event_id", "ts", "event_type", "value"])
+
+
+def test_twa_hand_values(spark, monkeypatch, tmp_path):
+    import realparse_spark.operators.analytics as A
+
+    # type 'a': value 10 held for 30s, then 20 held for 10s, then closes.
+    # TWA = (10*30 + 20*10) / 40 = 12.5 -> twa_e4 = 125000
+    ev = _events(
+        spark,
+        [
+            (1, 0, "a", 10.0),
+            (2, 30, "a", 20.0),
+            (3, 40, "a", 99.0),  # last sample: no interval
+        ],
+    )
+    monkeypatch.setattr(
+        "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
+    )
+    (r,) = A.q_time_weighted_avg(spark, "x").collect()
+    assert r["event_type"] == "a"
+    assert r["twa_e4"] == 125_000
+    assert r["sum_dt_us"] == 40_000_000
+    assert r["n_intervals"] == 2
+
+
+def test_twa_burst_does_not_dominate(spark, monkeypatch):
+    import realparse_spark.operators.analytics as A
+
+    # 100 samples of value 100 in one second, then value 0 held 99 seconds:
+    # row-average ~99; TWA ~1
+    rows = [(i, i * 0.01, "b", 100.0) for i in range(100)]
+    rows.append((1000, 1.0, "b", 0.0))
+    rows.append((1001, 100.0, "b", 0.0))
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, base + dt.timedelta(seconds=off), typ, v) for eid, off, typ, v in rows
+    ]
+    ev = spark.createDataFrame(data, ["event_id", "ts", "event_type", "value"])
+    monkeypatch.setattr(
+        "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
+    )
+    (r,) = A.q_time_weighted_avg(spark, "x").collect()
+    # burst occupies ~1% of the span -> TWA ~1.0, far from the row mean
+    assert r["twa_e4"] < 30_000  # < 3.0
+
+
+def test_ohlc_hand_values(spark, monkeypatch):
+    import realparse_spark.operators.analytics as A
+
+    ev = _events(
+        spark,
+        [
+            (1, 0, "a", 5.0),     # open
+            (2, 60, "a", 9.0),    # high
+            (3, 120, "a", 1.0),   # low
+            (4, 180, "a", 7.0),   # close
+            (5, 3600, "a", 2.0),  # next hour bucket
+        ],
+    )
+    monkeypatch.setattr(
+        "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
+    )
+    rows = A.q_event_ohlc(spark, "x").collect()
+    assert len(rows) == 2
+    first = rows[0]
+    assert (first["open"], first["high"], first["low"], first["close"]) == (
+        5.0,
+        9.0,
+        1.0,
+        7.0,
+    )
+    assert first["n_events"] == 4
+    assert rows[1]["open"] == rows[1]["close"] == 2.0
+
+
+def test_timeseries_queries_jvm_side(spark, sf_dir):
+    from realparse_spark.registry import all_queries
+
+    q = all_queries()
+    for name in ("time_weighted_avg", "event_ohlc"):
+        df = q[name](spark, sf_dir)
+        assert X.python_eval_nodes(df) == 0, name
+        assert "CartesianProduct" not in X.executed_plan(df), name
