@@ -550,3 +550,57 @@ def test_salted_agg_two_phase_shape(spark, queries):
     assert "Exchange SinglePartition" not in plan
     assert X.python_eval_nodes(df) == 0
     assert X.count_shuffles(df) <= 3
+
+
+def test_pagerank_rides_snapshot_with_broadcast_iterations(spark, queries):
+    from realparse_spark.operators.graph import _co_order_edges_for
+
+    _co_order_edges_for(spark, SF)  # warm the snapshot
+    df = queries["pagerank_parts"](spark, SF)
+    plan = X.executed_plan(df)
+    # warm path scans the materialized graph, never the raw fact table
+    assert "coedges" in plan
+    assert "lineitem" not in plan
+    # one broadcast rank join per iteration (3) + scalar broadcasts;
+    # never a sort-merge join of the edge list
+    assert X.broadcast_join_count(df) >= 3
+    assert X.sortmerge_join_count(df) == 0
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_market_basket_rides_snapshot(spark, queries):
+    from realparse_spark.operators.graph import _co_order_edges_for
+
+    _co_order_edges_for(spark, SF)
+    df = queries["market_basket"](spark, SF)
+    plan = X.executed_plan(df)
+    # the pair self-join was paid once at snapshot build: the query scans
+    # the weighted edge table and broadcasts the O(parts) support table
+    assert "coedges" in plan
+    assert "lineitem" not in plan
+    assert X.broadcast_join_count(df) >= 2
+    assert X.count_shuffles(df) <= 3
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_prefilters_and_heaps(spark, queries):
+    df = queries["text_bm25"](spark, SF)
+    plan = X.executed_plan(df)
+    # containment prefilter survives below the explode (scan side), so
+    # only candidate docs are exploded
+    gi = plan.find("Generate")
+    assert gi > 0 and "ontains(" in plan[gi:], plan[:1500]
+    # bounded output via per-partition heaps
+    assert "TakeOrderedAndProject" in plan
+    assert X.python_eval_nodes(df) == 0
+
+
+def test_timeseries_windows_share_one_shuffle(spark, queries):
+    # TWA and OHLC: the window(s) and the groupBy ride ONE hash
+    # partitioning; the only other exchange is the output ordering
+    for name in ("time_weighted_avg", "event_ohlc"):
+        df = queries[name](spark, SF)
+        plan = X.executed_plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert X.sortmerge_join_count(df) == 0, name
+        assert X.python_eval_nodes(df) == 0, name
