@@ -121,6 +121,7 @@ EXTRA = [
     "text_bm25",            # integer-exact Okapi BM25 top-k retrieval
     "time_weighted_avg",    # irregular-sampling TWA (one window shuffle)
     "event_ohlc",           # hourly OHLC bars (shared partitioning)
+    "event_gaps",           # data-downtime detection (relative threshold)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

@@ -1251,6 +1251,66 @@ ORDER BY event_type
 """
 
 
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-downtime detection: per event type, the silent intervals
+    whose duration exceeds 5x that type's OWN mean inter-arrival gap —
+    the monitoring query that pages before a consumer notices missing
+    data.  The relative threshold keeps the result meaningful at every
+    scale (an absolute cutoff is vacuous once density grows 100x).
+
+    All-BIGINT: gaps in epoch micros, the mean as an integral division,
+    the severity ratio in integer percent.  Plan: the lead window and
+    the per-type mean share one event_type shuffle; the O(types) mean
+    table broadcasts back onto the gap rows."""
+    from pyspark.sql import Window
+
+    from realparse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap_us", F.lead("us").over(w) - F.col("us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    mean = gaps.groupBy(F.col("event_type").alias("_t")).agg(
+        F.expr("sum(gap_us) div count(*)").alias("mean_gap_us")
+    )
+    return (
+        gaps.join(F.broadcast(mean), gaps["event_type"] == mean["_t"])
+        .filter(F.col("gap_us") > 5 * F.col("mean_gap_us"))
+        .select(
+            "event_type",
+            F.col("ts").alias("gap_start"),
+            "gap_us",
+            F.expr("gap_us * 100 div mean_gap_us").alias("severity_pct"),
+        )
+        .orderBy("event_type", "gap_start")
+    )
+
+
+EVENT_GAPS_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, ts, epoch_us(ts) AS us FROM events
+),
+gaps AS (
+  SELECT event_type, ts,
+    lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id) - us AS gap_us
+  FROM ev
+),
+g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+mean AS (
+  SELECT event_type AS t, CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
+  FROM g GROUP BY event_type
+)
+SELECT event_type, ts AS gap_start, gap_us,
+  CAST(gap_us * 100 // mean_gap_us AS BIGINT) AS severity_pct
+FROM g JOIN mean ON g.event_type = mean.t
+WHERE gap_us > 5 * mean_gap_us
+ORDER BY event_type, gap_start
+"""
+
+
 def q_event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC (open/high/low/close) bars per event type — the
     canonical downsampling aggregate for irregular series.  Open/close
@@ -1318,6 +1378,7 @@ QUERIES = {
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
     "event_ohlc": q_event_ohlc,
+    "event_gaps": q_event_gaps,
     "events_retention": q_events_retention,
     "scd2_build": q_scd2_build,
     "scd2_lookup": q_scd2_lookup,
@@ -1341,6 +1402,7 @@ ORACLES = {
     "market_basket": MARKET_BASKET_SQL,
     "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
     "event_ohlc": EVENT_OHLC_SQL,
+    "event_gaps": EVENT_GAPS_SQL,
     "rollup_merge": ROLLUP_MERGE_SQL,
     "scd2_build": SCD2_BUILD_SQL,
     "scd2_lookup": SCD2_LOOKUP_SQL,

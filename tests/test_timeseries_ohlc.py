@@ -100,3 +100,32 @@ def test_timeseries_queries_jvm_side(spark, sf_dir):
         df = q[name](spark, sf_dir)
         assert X.python_eval_nodes(df) == 0, name
         assert "CartesianProduct" not in X.executed_plan(df), name
+
+
+def test_event_gaps_hand_values(spark, monkeypatch):
+    import realparse_spark.operators.analytics as A
+
+    # ten 1-second gaps then one 100-second gap: mean = 109s div 10 = 10s,
+    # threshold 5x = 50s -> only the 100s gap is flagged
+    offs = list(range(10)) + [109]
+    ev = _events(spark, [(i, off, "a", 1.0) for i, off in enumerate(offs)])
+    monkeypatch.setattr(
+        "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
+    )
+    rows = A.q_event_gaps(spark, "x").collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["gap_us"] == 100_000_000
+    assert r["gap_start"] == dt.datetime(2024, 1, 1, 0, 0, 9)
+    # severity = gap*100 div mean(10.9s -> 10_900_000us) = 917 percent
+    assert r["severity_pct"] == 917
+
+
+def test_event_gaps_uniform_series_is_quiet(spark, monkeypatch):
+    import realparse_spark.operators.analytics as A
+
+    ev = _events(spark, [(i, i * 10, "a", 1.0) for i in range(50)])
+    monkeypatch.setattr(
+        "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
+    )
+    assert A.q_event_gaps(spark, "x").collect() == []
