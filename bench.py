@@ -122,6 +122,7 @@ EXTRA = [
     "time_weighted_avg",    # irregular-sampling TWA (one window shuffle)
     "event_ohlc",           # hourly OHLC bars (shared partitioning)
     "event_gaps",           # data-downtime detection (relative threshold)
+    "event_cusum",          # CUSUM change-point (shared-shuffle windows)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

@@ -1311,6 +1311,90 @@ ORDER BY event_type, gap_start
 """
 
 
+def q_event_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the running sum of
+    deviations from the series' own mean peaks (in absolute value) at
+    the most likely level-shift point — the classic Page (1954) CUSUM
+    statistic, reported as one row per series.
+
+    All-BIGINT: values floored to 1e-4 units, the mean an integral
+    division, the cumulative sum exact.  The argmax is pinned by
+    (|cusum| desc, ts, event_id) so ties cannot flap between engines.
+    Plan: mean (map-combined groupBy) broadcast back, then the cumsum
+    and ranking windows ride ONE event_type shuffle."""
+    from pyspark.sql import Window
+
+    from realparse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    mean = ev.groupBy(F.col("event_type").alias("_t")).agg(
+        F.expr("sum(v_e4) div count(*)").alias("mean_e4"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    dev = ev.join(F.broadcast(mean), ev["event_type"] == mean["_t"]).select(
+        "event_type",
+        "event_id",
+        "ts",
+        "us",
+        (F.col("v_e4") - F.col("mean_e4")).alias("dev_e4"),
+        "n_events",
+    )
+    cum = Window.partitionBy("event_type").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = dev.withColumn("cusum_e4", F.sum("dev_e4").over(cum))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_e4")).desc(), "us", "event_id"
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("change_ts"),
+            "cusum_e4",
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_CUSUM_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, ts, epoch_us(ts) AS us,
+    CAST(floor(value * 10000) AS BIGINT) AS v_e4
+  FROM events
+),
+mean AS (
+  SELECT event_type AS t,
+    CAST(sum(v_e4) // count(*) AS BIGINT) AS mean_e4,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY event_type
+),
+scored AS (
+  SELECT event_type, event_id, ts, us, n_events,
+    CAST(sum(v_e4 - mean_e4) OVER (
+      PARTITION BY event_type ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_e4
+  FROM ev JOIN mean ON ev.event_type = mean.t
+),
+picked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY abs(cusum_e4) DESC, us, event_id) AS rn
+  FROM scored
+)
+SELECT event_type, ts AS change_ts, cusum_e4, n_events
+FROM picked WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 def q_event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC (open/high/low/close) bars per event type — the
     canonical downsampling aggregate for irregular series.  Open/close
@@ -1379,6 +1463,7 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "event_ohlc": q_event_ohlc,
     "event_gaps": q_event_gaps,
+    "event_cusum": q_event_cusum,
     "events_retention": q_events_retention,
     "scd2_build": q_scd2_build,
     "scd2_lookup": q_scd2_lookup,
@@ -1403,6 +1488,7 @@ ORACLES = {
     "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
     "event_ohlc": EVENT_OHLC_SQL,
     "event_gaps": EVENT_GAPS_SQL,
+    "event_cusum": EVENT_CUSUM_SQL,
     "rollup_merge": ROLLUP_MERGE_SQL,
     "scd2_build": SCD2_BUILD_SQL,
     "scd2_lookup": SCD2_LOOKUP_SQL,

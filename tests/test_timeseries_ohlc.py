@@ -129,3 +129,36 @@ def test_event_gaps_uniform_series_is_quiet(spark, monkeypatch):
         "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
     )
     assert A.q_event_gaps(spark, "x").collect() == []
+
+
+def test_event_cusum_finds_level_shift(spark, monkeypatch):
+    import realparse_spark.operators.analytics as A
+
+    # level shift: 20 samples at 10.0 then 20 samples at 20.0 ->
+    # mean 15, CUSUM descends to its extreme exactly at the shift point
+    rows = [(i, i, "a", 10.0) for i in range(20)]
+    rows += [(i, i, "a", 20.0) for i in range(20, 40)]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(
+        "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
+    )
+    (r,) = A.q_event_cusum(spark, "x").collect()
+    # cusum after i samples of (10-15)= -5 units: minimum at i=20 (the
+    # last pre-shift sample), value -5.0000e4 * 20 = -1_000_000
+    assert r["cusum_e4"] == -1_000_000
+    assert r["change_ts"] == dt.datetime(2024, 1, 1, 0, 0, 19)
+    assert r["n_events"] == 40
+
+
+def test_event_cusum_constant_series_zero(spark, monkeypatch):
+    import realparse_spark.operators.analytics as A
+
+    ev = _events(spark, [(i, i, "a", 7.0) for i in range(30)])
+    monkeypatch.setattr(
+        "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
+    )
+    (r,) = A.q_event_cusum(spark, "x").collect()
+    # constant series: every deviation 0 -> extreme is 0, pinned to the
+    # FIRST row by the (|cusum| desc, ts, event_id) tie-break
+    assert r["cusum_e4"] == 0
+    assert r["change_ts"] == dt.datetime(2024, 1, 1, 0, 0, 0)
