@@ -123,6 +123,8 @@ EXTRA = [
     "event_ohlc",           # hourly OHLC bars (shared partitioning)
     "event_gaps",           # data-downtime detection (relative threshold)
     "event_cusum",          # CUSUM change-point (shared-shuffle windows)
+    "dedup_prefix_jaccard", # lossless prefix-filtered set-similarity join
+    "cms_user_counts",      # count-min sketch build + probe (portable hashes)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

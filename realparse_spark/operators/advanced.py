@@ -366,6 +366,139 @@ def q_approx_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# count-min sketch (mergeable frequency sketch, engine-portable hashes)
+# ---------------------------------------------------------------------------
+
+# CMS geometry: depth d independent hash rows x width w counters.  The
+# sketch is O(d*w) REGARDLESS of input size — the property that makes it
+# the 100 TB frequency structure (HLL answers "how many distinct", CMS
+# answers "how often does key k occur", both from bounded state).
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_P = (1 << 31) - 1  # Mersenne prime; a*key+b stays far inside int64
+
+
+def _cms_params(depth: int) -> list[tuple[int, int]]:
+    # fixed LCG stream (distinct seed from the MinHash one) so the hash
+    # family is stable across runs AND reproducible in plain SQL — unlike
+    # Spark's count_min_sketch()/DataFrame.stat sketches, whose binary
+    # blobs are engine-specific and force a rows-only check
+    params, state = [], 1181783497276652981
+    for _ in range(depth):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (CMS_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % CMS_P
+        params.append((a, b))
+    return params
+
+
+_CMS = _cms_params(CMS_DEPTH)
+
+
+def _cms_hash_array(key, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                (((F.lit(a) * key + F.lit(b)) % F.lit(CMS_P)) % F.lit(width))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i, (a, b) in enumerate(_cms_params(depth))
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame, key: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Build a count-min sketch over ``df[key]`` as a (depth, bucket,
+    cnt) table.  One narrow explode (x depth) then ONE groupBy whose key
+    space is d*w regardless of input: map-side combine reduces shuffle
+    traffic to O(tasks * d * w) — at 100 TB the sketch build moves
+    kilobytes per task, never rows.  Two sketches with the same geometry
+    merge by summing counters (a groupBy over their union) — the daily ->
+    monthly rollup path, same as the HLL blob rollup but with counters
+    that stay plain BIGINTs any engine can read."""
+    return (
+        df.select(F.explode(_cms_hash_array(F.col(key), depth, width)).alias("h"))
+        .select("h.depth", "h.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a CMS table:
+    est(k) = min over rows of counter[i, h_i(k)] — never an
+    underestimate (every occurrence of k incremented all its d
+    counters), overestimates bounded by colliding mass ~N/w per row.
+    The sketch is <= d*w rows, so the probe join is a broadcast —
+    estimating ANY number of keys costs one scan of the key list."""
+    probes = keys.select(
+        key, F.explode(_cms_hash_array(F.col(key), depth, width)).alias("h")
+    ).select(key, "h.depth", "h.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy(key)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters answered FROM the sketch: build the CMS over the
+    event stream, probe every distinct user, rank by estimated count.
+    Deterministic LCG hashes -> the whole pipeline (build + probe) is
+    reproduced exactly by the DuckDB oracle; the CMS one-sided guarantee
+    (est >= true, bounded overshoot) is gated in tests/test_advanced.py."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_sketch(ev, "user_id")
+    est = cms_estimate(sketch, ev.distinct(), "user_id")
+    return est.orderBy(F.col("est_count").desc(), "user_id").limit(20)
+
+
+def _cms_sql() -> str:
+    build = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS depth, (({a} * user_id + {b}) % {CMS_P}) % {CMS_WIDTH} AS bucket FROM ev"
+        for i, (a, b) in enumerate(_CMS)
+    )
+    probe = "\n    UNION ALL\n".join(
+        f"    SELECT user_id, {i} AS depth, (({a} * user_id + {b}) % {CMS_P}) % {CMS_WIDTH} AS bucket FROM users"
+        for i, (a, b) in enumerate(_CMS)
+    )
+    return f"""
+WITH ev AS (SELECT user_id FROM events),
+sketch AS (
+  SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+{build}
+  ) GROUP BY depth, bucket
+),
+users AS (SELECT DISTINCT user_id FROM ev),
+probes AS (
+{probe}
+),
+est AS (
+  SELECT user_id, min(cnt) AS est_count
+  FROM probes JOIN sketch USING (depth, bucket)
+  GROUP BY user_id
+)
+SELECT user_id, est_count FROM est
+ORDER BY est_count DESC, user_id
+LIMIT 20
+"""
+
+
+CMS_USER_COUNTS_SQL = _cms_sql()
+
+
+# ---------------------------------------------------------------------------
 # cube aggregation (all grouping-set combinations)
 # ---------------------------------------------------------------------------
 
@@ -936,6 +1069,7 @@ QUERIES = {
     "approx_topk_users": q_approx_topk_users,
     "approx_audience_overlap": q_approx_audience_overlap,
     "approx_quantiles": q_approx_quantiles,
+    "cms_user_counts": q_cms_user_counts,
 }
 
 ORACLES = {
@@ -961,4 +1095,7 @@ ORACLES = {
     "window_distribution": WINDOW_DISTRIBUTION_SQL,
     # approx_distinct: HLL sketch values are engine-specific -> rows-only;
     # accuracy bound asserted in tests/test_advanced.py.
+    # cms_user_counts by contrast IS exactly oracled: its LCG hash family
+    # is plain int64 arithmetic either engine reproduces bit-for-bit.
+    "cms_user_counts": CMS_USER_COUNTS_SQL,
 }

@@ -201,6 +201,129 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5)
 
 
+# ---------------------------------------------------------------------------
+# prefix-filtered exact set-similarity join (PPJoin-family, lossless)
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame, n: int = 2, threshold: float = 0.6
+) -> DataFrame:
+    """Exact shingle-set Jaccard join via PREFIX FILTERING (the SSJoin /
+    PPJoin principle, Chaudhuri et al. 2006 / Xiao et al. 2008): order
+    every document's distinct word n-grams by ascending global document
+    frequency (rarest first) and index only the first
+    ``s - ceil(t*s) + 1`` of a document's s shingles — two documents
+    with Jaccard >= t MUST share a prefix shingle under any global total
+    order, so the candidate join is lossless while touching a (1-t)
+    fraction of the postings.
+
+    This is the complement of `ngram_jaccard_pairs`'s df-cap: the cap is
+    LOSSY (drops hot shingles from the score) and still indexes every
+    surviving posting; the prefix filter is EXACT and shrinks the index
+    itself.  Because the prefix keeps each document's *rarest* tokens,
+    the join keys are anti-skewed by construction — the Zipf head that
+    forces AQE skew-splits in the naive inverted index never enters the
+    candidate join.  That, plus the length filter
+    ``t*max(|A|,|B|) <= min(|A|,|B|)`` applied inside the join, is what
+    survives 100 TB.
+
+    Candidates are then verified with the exact intersection count
+    (candidate pairs join back to the full posting lists), so the output
+    equals the brute-force all-pairs Jaccard — oracle-checked against
+    DuckDB's full self-join."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("tok")
+    )
+    # materialized once: feeds the df ranking, the prefix index, and both
+    # sides of the verification join — without the checkpoint the shingle
+    # explode (the widest narrow stage) would re-run 4x
+    toks = toks.localCheckpoint()
+    doc_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    order_w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    size_w = Window.partitionBy("doc_id")
+    pref = (
+        toks.join(doc_freq, "tok")
+        .withColumn("pos", F.row_number().over(order_w))
+        .withColumn("n_tok", F.count(F.lit(1)).over(size_w))
+        .filter(
+            F.col("pos")
+            <= F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
+        )
+        .select("doc_id", "tok", "n_tok")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+            & (F.col("a.n_tok") >= F.lit(threshold) * F.col("b.n_tok"))
+            & (F.col("b.n_tok") >= F.lit(threshold) * F.col("a.n_tok")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_tok").alias("na"),
+            F.col("b.n_tok").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_jaccard_pairs(
+        fan_out(load_table(spark, sf_dir, "documents")), n=2, threshold=0.6
+    )
+
+
+# oracle: brute-force exact bigram-shingle Jaccard — the prefix filter is
+# lossless, so the candidate-pruned plan must reproduce this exactly
+DEDUP_PREFIX_JACCARD_SQL = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+gsets AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 2),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS garr
+  FROM w
+),
+toks AS (SELECT doc_id, unnest(garr) AS tok FROM gsets),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+    round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.6
+"""
+
+
 _NGRAM_CTES_TEMPLATE = r"""toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
   FROM documents
@@ -929,6 +1052,7 @@ FROM labeled
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -942,6 +1066,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_prefix_jaccard": DEDUP_PREFIX_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based signatures are not
     # reproducible in DuckDB -> rows-only driver check; quality asserted in

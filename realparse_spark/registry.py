@@ -59,7 +59,8 @@ _MODULES = (
 # doc_stratified_take, text_tfidf_cosine, fuzzy_match_parts,
 # pagerank_parts, pagerank_weighted, skew_profile, join_size_profile,
 # market_basket, zorder_key, table_diff, k_anonymity, text_bm25,
-# emb_threshold_sweep.
+# emb_threshold_sweep, time_weighted_avg, event_ohlc, event_gaps,
+# event_cusum, dedup_prefix_jaccard, cms_user_counts.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",

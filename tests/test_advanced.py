@@ -284,3 +284,49 @@ def test_theta_overlap_matches_exact_set_algebra(spark):
             got.est_either, got.est_viewer_only) == (
         len(v), len(b), len(v & b), len(v | b), len(v - b)
     )
+
+
+def test_cms_never_underestimates_and_bounds_overshoot(spark):
+    """The count-min hard guarantee: est(k) >= true(k) for EVERY key
+    (all d counters saw every occurrence of k); overshoot is colliding
+    mass, bounded here at the classic e*N/w with depth-4 min."""
+    import math
+
+    from realparse_spark.operators.advanced import (
+        CMS_WIDTH,
+        cms_estimate,
+        cms_sketch,
+    )
+    from realparse_spark.sources.tables import load_table
+
+    ev = load_table(spark, ORACLE_SF, "events").select("user_id")
+    n_total = ev.count()
+    sk = cms_sketch(ev, "user_id")
+    est = cms_estimate(sk, ev.distinct(), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    rows = est.join(exact, "user_id").collect()
+    assert rows, "no users probed"
+    assert all(r.est_count >= r.true_count for r in rows)
+    bound = math.e * n_total / CMS_WIDTH
+    assert all(r.est_count - r.true_count <= bound for r in rows)
+
+
+def test_cms_sketches_merge_by_counter_sum(spark):
+    """Mergeability — the rollup property: CMS(day1 U day2) equals the
+    counter-wise sum of CMS(day1) and CMS(day2), so daily sketches roll
+    up without revisiting raw rows."""
+    from realparse_spark.operators.advanced import cms_sketch
+    from realparse_spark.sources.tables import load_table
+
+    ev = load_table(spark, ORACLE_SF, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    half_b = ev.filter(F.col("event_id") % 2 == 1).select("user_id")
+    merged = (
+        cms_sketch(half_a, "user_id")
+        .unionByName(cms_sketch(half_b, "user_id"))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(ev.select("user_id"), "user_id")
+    sym_diff = merged.exceptAll(whole).unionAll(whole.exceptAll(merged))
+    assert sym_diff.count() == 0

@@ -190,3 +190,62 @@ def test_clusters_cache_invalidated_on_source_change(spark, tmp_path):
     q_dedup_clusters(spark, d).count()
     keys2 = {k for k in _CLUSTERS if k[0] == os.path.abspath(d)}
     assert len(keys2) == 2, "stale cluster table reused after source change"
+
+
+def test_prefix_filter_matches_brute_force(spark):
+    """The prefix-filtered join is LOSSLESS: its output must equal the
+    brute-force all-pairs shingle Jaccard on an engineered corpus whose
+    near-dup pair sits exactly at the pruning boundary."""
+    from realparse_spark.operators.dedup import prefix_jaccard_pairs, word_ngrams
+
+    docs = _docs(spark)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_jaccard_pairs(docs, n=2, threshold=0.3).collect()
+    }
+    # brute force: cross all pairs, exact distinct-bigram Jaccard
+    rows = docs.select(
+        "doc_id", word_ngrams(F.col("text"), 2).alias("g")
+    ).collect()
+    sets = {r.doc_id: set(r.g) for r in rows}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = round(inter / len(sets[a] | sets[b]), 6)
+                if j >= 0.3:
+                    want[(a, b)] = j
+    assert got == want, (got, want)
+
+
+def test_prefix_index_is_smaller_than_full_index(spark):
+    """The point of prefix filtering: the candidate join must index only
+    ~(1-t) of each document's postings.  Assert the pruning actually
+    happens (each doc keeps s - ceil(t*s) + 1 of its s shingles)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from realparse_spark.operators.dedup import word_ngrams
+
+    t = 0.6
+    docs = _docs(spark)
+    toks = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("tok")
+    )
+    full = toks.count()
+    doc_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    order_w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    size_w = Window.partitionBy("doc_id")
+    pref = (
+        toks.join(doc_freq, "tok")
+        .withColumn("pos", F.row_number().over(order_w))
+        .withColumn("n_tok", F.count(F.lit(1)).over(size_w))
+        .filter(F.col("pos") <= F.col("n_tok") - F.ceil(F.lit(t) * F.col("n_tok")) + 1)
+    )
+    sizes = {r.doc_id: r.n for r in toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    expected = sum(s - math.ceil(t * s) + 1 for s in sizes.values())
+    assert pref.count() == expected
+    assert pref.count() < 0.5 * full
