@@ -125,13 +125,15 @@ EXTRA = [
     "event_cusum",          # CUSUM change-point (shared-shuffle windows)
     "dedup_prefix_jaccard", # lossless prefix-filtered set-similarity join
     "cms_user_counts",      # count-min sketch build + probe (portable hashes)
+    "text_oov_rate",        # vocab build + per-source OOV coverage (ppm)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is
     # correctness-only — same plan family as pagerank_parts, which is
     # the benched representative)
     # (stream_custom_state_e2e is correctness-only, like the other
-    # streaming lifecycles)
+    # streaming lifecycles; vocab_build is correctness-only — it is the
+    # first stage of the benched text_oov_rate)
 ]
 
 

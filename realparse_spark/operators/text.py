@@ -877,6 +877,108 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# vocabulary build + out-of-vocabulary rate (tokenizer-training surface)
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 16
+
+
+def build_vocab(docs: DataFrame, size: int = VOCAB_SIZE) -> DataFrame:
+    """Frequency-ranked vocabulary: the ``size`` most frequent whitespace
+    tokens, ids assigned 1..size by (count desc, token asc) — the
+    deterministic tie-break every tokenizer trainer needs for stable ids
+    across rebuilds.
+
+    Scale shape: the corpus-wide count is ONE map-combined groupBy; the
+    global ranking then runs orderBy+limit — Spark plans TakeOrdered
+    (per-partition top-``size`` heaps merged on the driver), never a full
+    sort — and only the surviving ``size`` rows pass through the
+    single-partition row_number window (bounded, O(vocab) not O(corpus))."""
+    from pyspark.sql import Window
+
+    agg = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topn = agg.orderBy(F.col("n").desc(), "token").limit(size)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return topn.select(
+        F.row_number().over(w).cast("int").alias("token_id"), "token", "n"
+    )
+
+
+def oov_rate(docs: DataFrame, vocab: DataFrame, by: str = "source") -> DataFrame:
+    """Per-``by`` out-of-vocabulary rate: the fraction of token
+    OCCURRENCES not covered by the vocabulary, in integer ppm.  The
+    health metric a pipeline tracks per source before tokenizing a new
+    crawl — a spiking OOV rate means the vocab no longer fits the data.
+    The vocab is O(size) rows -> broadcast left join; counts stay
+    integers end to end (ppm by integral division, no float drift)."""
+    toks = docs.select(by, F.explode(ws_tokens(F.col("text"))).alias("token"))
+    hit = toks.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("_inv"))),
+        "token",
+        "left",
+    )
+    return (
+        hit.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_inv").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            by,
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"),
+        )
+        .orderBy(by)
+    )
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_vocab(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return oov_rate(docs, build_vocab(docs))
+
+
+_VOCAB_CTES = rf"""toks AS (
+  SELECT doc_id, source,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+agg AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+vocab AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS token_id,
+         token, n
+  FROM agg
+  ORDER BY n DESC, token
+  LIMIT {VOCAB_SIZE}
+)"""
+
+VOCAB_BUILD_SQL = "WITH " + _VOCAB_CTES + "\nSELECT token_id, token, n FROM vocab\n"
+
+TEXT_OOV_RATE_SQL = (
+    "WITH "
+    + _VOCAB_CTES
+    + """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+  CAST(count(*) FILTER (WHERE v.token IS NULL) * 1000000
+       // count(*) AS BIGINT) AS oov_ppm
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY source
+ORDER BY source
+"""
+)
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_tfidf_cosine": q_text_tfidf_cosine,
@@ -890,6 +992,8 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_winnow": q_text_winnow,
     "text_contamination": q_text_contamination,
+    "vocab_build": q_vocab_build,
+    "text_oov_rate": q_text_oov_rate,
 }
 
 ORACLES = {
@@ -905,4 +1009,6 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_winnow": TEXT_WINNOW_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
+    "vocab_build": VOCAB_BUILD_SQL,
+    "text_oov_rate": TEXT_OOV_RATE_SQL,
 }

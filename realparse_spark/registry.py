@@ -60,7 +60,8 @@ _MODULES = (
 # pagerank_parts, pagerank_weighted, skew_profile, join_size_profile,
 # market_basket, zorder_key, table_diff, k_anonymity, text_bm25,
 # emb_threshold_sweep, time_weighted_avg, event_ohlc, event_gaps,
-# event_cusum, dedup_prefix_jaccard, cms_user_counts.
+# event_cusum, dedup_prefix_jaccard, cms_user_counts, vocab_build,
+# text_oov_rate.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",

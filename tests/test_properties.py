@@ -313,3 +313,29 @@ def test_y4m_roundtrip_property(doc_id, width, height, n_frames):
         assert y_sum == sum(
             (doc_id * 37 + f * 11 + i * 5) % 256 for i in range(width * height)
         )
+
+
+def test_vocab_build_ranking_and_oov_arithmetic(spark):
+    """Vocabulary ids are assigned by (count desc, token asc) — the
+    deterministic tie-break — and the OOV rate is exact integer ppm of
+    token OCCURRENCES (not types) outside the vocab."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.text import build_vocab, oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b zz", "s1"),
+            (2, "b c c zz yy", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    vocab = build_vocab(docs, size=3)
+    rows = [(r.token_id, r.token, r.n) for r in vocab.orderBy("token_id").collect()]
+    # counts: a=3 b=3 c=2 zz=2 yy=1; ties broken alphabetically
+    assert rows == [(1, "a", 3), (2, "b", 3), (3, "c", 2)]
+
+    oov = {r.source: (r.n_tokens, r.n_oov, r.oov_ppm)
+           for r in oov_rate(docs, vocab).collect()}
+    # s1: tokens a a a b b zz -> 1 OOV of 6; s2: b c c zz yy -> 2 OOV of 5
+    assert oov == {"s1": (6, 1, 166666), "s2": (5, 2, 400000)}
