@@ -126,6 +126,8 @@ EXTRA = [
     "dedup_prefix_jaccard", # lossless prefix-filtered set-similarity join
     "cms_user_counts",      # count-min sketch build + probe (portable hashes)
     "text_oov_rate",        # vocab build + per-source OOV coverage (ppm)
+    "interval_coverage",    # merge overlapping intervals (one window shuffle)
+    "event_mad_outliers",   # robust median/MAD outliers (two agg passes)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

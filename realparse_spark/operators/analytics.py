@@ -1458,12 +1458,179 @@ ORDER BY event_type, bucket_hour
 """
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping time intervals per event type — the coverage
+    question behind SLA accounting, sensor uptime, and ad-viewability:
+    merge each type's [start, start+duration) intervals and report how
+    many disjoint spans remain and how much time they cover.
+
+    Classic single-window algorithm: sort by start within the key, a new
+    merged span begins whenever a start exceeds the running max of all
+    PRIOR ends (half-open semantics: touching intervals coalesce), span
+    id = cumulative sum of those break flags.  Both windows and the
+    final groupBy ride ONE event_type shuffle; everything is epoch-micro
+    BIGINT arithmetic."""
+    from pyspark.sql import Window
+
+    from realparse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us_start"),
+        (F.unix_micros(F.col("ts")) + F.floor(F.col("value") * 1000000).cast("bigint")).alias(
+            "us_end"
+        ),
+    )
+    order = Window.partitionBy("event_type").orderBy("us_start", "event_id")
+    prior = order.rowsBetween(Window.unboundedPreceding, -1)
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_end = F.max("us_end").over(prior)
+    brk = F.when(
+        prev_end.isNull() | (F.col("us_start") > prev_end), 1
+    ).otherwise(0)
+    spans = (
+        ev.withColumn("grp", F.sum(brk).over(cum))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("us_start").alias("s"),
+            F.max("us_end").alias("e"),
+        )
+    )
+    return (
+        spans.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("covered_us"),
+            (F.max("e") - F.min("s")).alias("extent_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTERVAL_COVERAGE_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us_start,
+    epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS us_end
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN max(us_end) OVER (
+        PARTITION BY event_type ORDER BY us_start, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR us_start > max(us_end) OVER (
+        PARTITION BY event_type ORDER BY us_start, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+grouped AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY event_type ORDER BY us_start, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+),
+spans AS (
+  SELECT event_type, grp, min(us_start) AS s, max(us_end) AS e
+  FROM grouped GROUP BY event_type, grp
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(e - s) AS BIGINT) AS covered_us,
+  CAST(max(e) - min(s) AS BIGINT) AS extent_us
+FROM spans
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_event_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: flag values more than
+    3 MADs from the median.  Unlike the z-score (`event_zscore`), the
+    median/MAD pair doesn't move when the outliers themselves get more
+    extreme — the standard robust detector for skewed telemetry.
+
+    Exactness across engines: medians of integers can end in .5, so the
+    pipeline carries DOUBLED fixed-point units — med2 = 2*median(v_e4)
+    and mad4 = 2*median(|2v - med2|) are always exact BIGINTs, and the
+    cutoff |v - med| > 3*MAD becomes the integer test
+    2*dev2 > 3*mad4.  Two aggregate passes (MAD is inherently two-pass),
+    each a map-combined groupBy broadcast back onto the rows."""
+    from realparse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+    )
+    med = ev.groupBy(F.col("event_type").alias("_t")).agg(
+        (F.percentile("v_e4", F.lit(0.5)) * 2).cast("bigint").alias("med2")
+    )
+    dev = ev.join(F.broadcast(med), ev["event_type"] == med["_t"]).select(
+        "event_type",
+        "v_e4",
+        "med2",
+        F.abs(2 * F.col("v_e4") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy(F.col("event_type").alias("_t")).agg(
+        (F.percentile("dev2", F.lit(0.5)) * 2).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), dev["event_type"] == mad["_t"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med2").alias("med2_e4"),
+            F.first("mad4").alias("mad4_e4"),
+            F.count(F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1)).alias(
+                "n_outliers"
+            ),
+            F.max(F.when(2 * F.col("dev2") > 3 * F.col("mad4"), F.col("v_e4"))).alias(
+                "max_outlier_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_MAD_OUTLIERS_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS v_e4 FROM events
+),
+med AS (
+  SELECT event_type AS t,
+    CAST(quantile_cont(v_e4, 0.5) * 2 AS BIGINT) AS med2
+  FROM ev GROUP BY event_type
+),
+dev AS (
+  SELECT event_type, v_e4, med2, abs(2 * v_e4 - med2) AS dev2
+  FROM ev JOIN med ON ev.event_type = med.t
+),
+mad AS (
+  SELECT event_type AS t,
+    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(med2) AS BIGINT) AS med2_e4,
+  CAST(min(mad4) AS BIGINT) AS mad4_e4,
+  CAST(count(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 END) AS BIGINT) AS n_outliers,
+  max(CASE WHEN 2 * dev2 > 3 * mad4 THEN v_e4 END) AS max_outlier_e4
+FROM dev JOIN mad ON dev.event_type = mad.t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
     "event_ohlc": q_event_ohlc,
     "event_gaps": q_event_gaps,
     "event_cusum": q_event_cusum,
+    "interval_coverage": q_interval_coverage,
+    "event_mad_outliers": q_event_mad_outliers,
     "events_retention": q_events_retention,
     "scd2_build": q_scd2_build,
     "scd2_lookup": q_scd2_lookup,
@@ -1489,6 +1656,8 @@ ORACLES = {
     "event_ohlc": EVENT_OHLC_SQL,
     "event_gaps": EVENT_GAPS_SQL,
     "event_cusum": EVENT_CUSUM_SQL,
+    "interval_coverage": INTERVAL_COVERAGE_SQL,
+    "event_mad_outliers": EVENT_MAD_OUTLIERS_SQL,
     "rollup_merge": ROLLUP_MERGE_SQL,
     "scd2_build": SCD2_BUILD_SQL,
     "scd2_lookup": SCD2_LOOKUP_SQL,

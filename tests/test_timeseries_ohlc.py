@@ -162,3 +162,35 @@ def test_event_cusum_constant_series_zero(spark, monkeypatch):
     # FIRST row by the (|cusum| desc, ts, event_id) tie-break
     assert r["cusum_e4"] == 0
     assert r["change_ts"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_interval_coverage_merges_overlap_and_touching(spark, monkeypatch):
+    import realparse_spark.operators.analytics as A
+
+    # [0,10) overlaps [5,15); [15,20) touches (half-open: coalesces);
+    # [100,101) stands alone -> 2 spans, 21s covered, 101s extent
+    ev = _events(
+        spark,
+        [(0, 0, "a", 10.0), (1, 5, "a", 10.0), (2, 15, "a", 5.0), (3, 100, "a", 1.0)],
+    )
+    monkeypatch.setattr(
+        "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
+    )
+    (r,) = A.q_interval_coverage(spark, "x").collect()
+    assert (r.n_spans, r.covered_us, r.extent_us) == (2, 21_000_000, 101_000_000)
+
+
+def test_event_mad_outliers_hand_values(spark, monkeypatch):
+    import realparse_spark.operators.analytics as A
+
+    # values 1,2,3,4,100: median 3 -> med2=60000 (e4, doubled);
+    # dev2 = |2v-med2| = 40000,20000,0,20000,1940000, median 20000 ->
+    # mad4=40000; outlier test 2*dev2 > 3*mad4 flags only the 100
+    ev = _events(spark, [(i, i, "a", v) for i, v in enumerate([1, 2, 3, 4, 100])])
+    monkeypatch.setattr(
+        "realparse_spark.sources.tables.load_table", lambda s, d, t: ev
+    )
+    (r,) = A.q_event_mad_outliers(spark, "x").collect()
+    assert (r.n, r.med2_e4, r.mad4_e4, r.n_outliers, r.max_outlier_e4) == (
+        5, 60000, 40000, 1, 1000000
+    )
