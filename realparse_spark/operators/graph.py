@@ -327,11 +327,188 @@ LIMIT 100
 """
 
 
+def triangle_counts(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over a SYMMETRIC edge list via
+    degree-ordered orientation (Cohen / Suri-Vassilvitskii MapReduce
+    triangle counting): direct every undirected edge from its
+    (deg, node)-smaller endpoint to the larger, so each triangle
+    survives as exactly ONE oriented wedge + closing edge, and — the
+    scale property — every vertex's out-degree is O(sqrt(E)) no matter
+    how big a hub it is.  The wedge self-join's intermediate is
+    sum(outdeg^2) <= E^1.5 instead of the sum(deg^2) blowup a naive
+    wedge join suffers on power-law graphs.
+
+    Returns (node, n_triangles), every vertex of each triangle
+    credited.  Exact, integer, engine-portable."""
+    d = F.broadcast(deg.select("node", "deg"))
+    da = d.select(F.col("node").alias("src"), F.col("deg").alias("dsrc"))
+    db = d.select(F.col("node").alias("dst"), F.col("deg").alias("ddst"))
+    oriented = (
+        edges.select("src", "dst")
+        .join(da, "src")
+        .join(db, "dst")
+        .filter(
+            (F.col("dsrc") < F.col("ddst"))
+            | ((F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return member.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase graph —
+    the local-clustering signal (is this part bought in tight bundles or
+    incidental pairs?).  Reads the shared co-order snapshot; the deg
+    table is O(V) and broadcasts."""
+    import os
+
+    snap = _co_order_edges_for(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(snap, "edges"))
+    deg = spark.read.parquet(
+        os.path.join(snap, "deg")
+    ).select(F.col("src").alias("node"), "deg")
+    return (
+        triangle_counts(edges, deg)
+        .select(F.col("node").cast("bigint").alias("part"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(20)
+    )
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+  GROUP BY 1, 2
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+oriented AS (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN deg da ON da.node = e.src
+  JOIN deg db ON db.node = e.dst
+  WHERE da.deg < db.deg OR (da.deg = db.deg AND e.src < e.dst)
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e1.dst = e2.src
+  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+member AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT CAST(node AS BIGINT) AS part,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM member
+GROUP BY node
+ORDER BY n_triangles DESC, part
+LIMIT 20
+"""
+
+
+def khop_rings(edges: DataFrame, seed: DataFrame, hops: int = 2) -> DataFrame:
+    """BFS ring sizes from a seed set: how many vertices sit at
+    distance 0, 1, .., ``hops``, plus one row (dist = -1) for vertices
+    beyond the horizon — the reachability profile a crawl scheduler or
+    blast-radius query needs.
+
+    Unrolled frontier BFS: per hop, frontier ⋈ edges -> distinct ->
+    anti-join visited.  The frontier and visited sets are O(V) (node
+    ids only, never paths); each hop is one equi-join on the edge list
+    plus one distinct — the Pregel lowering, with hop count fixed at
+    plan time so lineage stays bounded.  Exact and engine-portable."""
+    verts = edges.select(F.col("src").alias("node")).distinct()
+    rings = [seed.select("node").distinct()]
+    visited = rings[0]
+    for _ in range(hops):
+        frontier = rings[-1]
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        rings.append(nxt)
+        visited = visited.unionAll(nxt)
+    out = None
+    for d, ring in enumerate(rings):
+        row = ring.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).select(
+            F.lit(d).cast("int").alias("dist"), "n_nodes"
+        )
+        out = row if out is None else out.unionAll(row)
+    beyond = (
+        verts.join(visited, "node", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.lit(-1).cast("int").alias("dist"), "n_nodes")
+    )
+    return out.unionAll(beyond).orderBy("dist")
+
+
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reach profile of the co-purchase graph from its smallest
+    part id (deterministic seed)."""
+    import os
+
+    snap = _co_order_edges_for(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(snap, "edges")).select("src", "dst")
+    seed = edges.agg(F.min("src").alias("node"))
+    return khop_rings(edges, seed, hops=2)
+
+
+GRAPH_KHOP_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+  GROUP BY 1, 2
+),
+verts AS (SELECT DISTINCT src AS node FROM edges),
+d0 AS (SELECT min(src) AS node FROM edges),
+d1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN d0 ON e.src = d0.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN d1 ON e.src = d1.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+    AND e.dst NOT IN (SELECT node FROM d1)
+)
+SELECT CAST(0 AS INTEGER) AS dist, CAST(count(*) AS BIGINT) AS n_nodes FROM d0
+UNION ALL SELECT 1, count(*) FROM d1
+UNION ALL SELECT 2, count(*) FROM d2
+UNION ALL SELECT -1, count(*) FROM verts
+  WHERE node NOT IN (SELECT node FROM d0)
+    AND node NOT IN (SELECT node FROM d1)
+    AND node NOT IN (SELECT node FROM d2)
+ORDER BY dist
+"""
+
+
 QUERIES = {
     "pagerank_parts": q_pagerank_parts,
     "pagerank_weighted": q_pagerank_weighted,
+    "graph_triangles": q_graph_triangles,
+    "graph_khop": q_graph_khop,
 }
 ORACLES = {
     "pagerank_parts": _pagerank_sql(3),
     "pagerank_weighted": _pagerank_sql(3, weighted=True),
+    "graph_triangles": GRAPH_TRIANGLES_SQL,
+    "graph_khop": GRAPH_KHOP_SQL,
 }

@@ -110,3 +110,47 @@ def test_new_ops_stay_jvm_side(spark, sf_dir):
         df = q[name](spark, sf_dir)
         assert X.python_eval_nodes(df) == 0, name
         assert "CartesianProduct" not in X.executed_plan(df), name
+
+
+def _sym_edges(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 plus a pendant vertex: each K4 vertex sits in C(3,2)=3
+    triangles, the pendant in none (absent from output)."""
+    from realparse_spark.operators.graph import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = _sym_edges(spark, k4)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges, deg).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_orientation_bounds_outdegree(spark):
+    """A star graph (hub h joined to n spokes) has zero triangles, and
+    orientation must point every edge AT the hub — the hub's out-degree
+    is 0, so no wedge ever forms through it (the scale property)."""
+    from realparse_spark.operators.graph import triangle_counts
+
+    star = [(100, i) for i in range(1, 21)]
+    edges = _sym_edges(spark, star)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    assert triangle_counts(edges, deg).count() == 0
+
+
+def test_khop_rings_hand_graph(spark):
+    """Path graph 1-2-3-4-5 seeded at 1: rings 0/1/2 are {1},{2},{3};
+    4 and 5 sit beyond the 2-hop horizon (dist -1)."""
+    from realparse_spark.operators.graph import khop_rings
+
+    edges = _sym_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seed = spark.createDataFrame([(1,)], "node long")
+    got = {r.dist: r.n_nodes for r in khop_rings(edges, seed, hops=2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, -1: 2}
