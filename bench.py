@@ -130,6 +130,7 @@ EXTRA = [
     "event_mad_outliers",   # robust median/MAD outliers (two agg passes)
     "graph_triangles",      # degree-oriented triangle counting (shared snapshot)
     "graph_khop",           # unrolled BFS reach rings (frontier anti-joins)
+    "hist_quantiles",       # bounded-state histogram quantiles (oracled)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

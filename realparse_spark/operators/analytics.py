@@ -1623,6 +1623,109 @@ ORDER BY event_type
 """
 
 
+HIST_BUCKETS = 256
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a BOUNDED-STATE equi-width histogram — the scale
+    path for percentiles: exact `percentile()` sorts every group, but a
+    256-bucket histogram is O(buckets) state per key, mergeable by
+    counter addition (the same rollup algebra as the CMS), and its
+    estimate is off by at most one bucket width (gated in pytest
+    against the exact percentile).
+
+    Everything is integer: per-type min/max (one map-combined agg,
+    broadcast back), width = (range div B) + 1 so bucket ids stay in
+    [0, B); rank targets ceil(n*q/100) by integral arithmetic; the
+    estimate is the selected bucket's midpoint.  Deterministic ->
+    exactly oracled, unlike `approx_quantiles`' engine-private KLL
+    sketch.  Plan: ONE shuffle on event_type serves the extent agg,
+    then a (type, bucket) groupBy whose key space is |types| x 256."""
+    from realparse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 10000).cast("bigint").alias("v_e4")
+    )
+    ext = ev.groupBy(F.col("event_type").alias("_t")).agg(
+        F.min("v_e4").alias("mn"),
+        F.max("v_e4").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bucketed = ev.join(F.broadcast(ext), ev["event_type"] == ext["_t"]).select(
+        "event_type",
+        "mn",
+        "n",
+        F.expr(f"(mx - mn) div {HIST_BUCKETS} + 1").alias("width"),
+        F.col("v_e4"),
+    )
+    hist = (
+        bucketed.withColumn("bucket", F.expr("(v_e4 - mn) div width"))
+        .groupBy("event_type", "mn", "n", "width", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = F.sum("cnt").over(
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = hist.withColumn("cum", cum)
+
+    def est(q: int):
+        target = F.expr(f"(n * {q} + 99) div 100")
+        pick = F.min(F.when(F.col("cum") >= target, F.col("bucket")))
+        return (
+            F.first("mn") + pick * F.first("width") + F.expr("first(width) div 2")
+        ).alias(f"p{q}_e4")
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(F.first("n").alias("n"), est(50), est(95), est(99))
+        .orderBy("event_type")
+    )
+
+
+HIST_QUANTILES_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS v_e4 FROM events
+),
+ext AS (
+  SELECT event_type AS t, min(v_e4) AS mn, max(v_e4) AS mx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type
+),
+bucketed AS (
+  SELECT event_type, mn, n,
+    CAST((mx - mn) // {HIST_BUCKETS} + 1 AS BIGINT) AS width,
+    v_e4
+  FROM ev JOIN ext ON ev.event_type = ext.t
+),
+hist AS (
+  SELECT event_type, mn, n, width,
+    CAST((v_e4 - mn) // width AS BIGINT) AS bucket,
+    count(*) AS cnt
+  FROM bucketed GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+  SELECT *, sum(cnt) OVER (
+    PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+)
+SELECT event_type, min(n) AS n,
+  CAST(min(mn) + min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END) * min(width)
+       + min(width) // 2 AS BIGINT) AS p50_e4,
+  CAST(min(mn) + min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bucket END) * min(width)
+       + min(width) // 2 AS BIGINT) AS p95_e4,
+  CAST(min(mn) + min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END) * min(width)
+       + min(width) // 2 AS BIGINT) AS p99_e4
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
@@ -1631,6 +1734,7 @@ QUERIES = {
     "event_cusum": q_event_cusum,
     "interval_coverage": q_interval_coverage,
     "event_mad_outliers": q_event_mad_outliers,
+    "hist_quantiles": q_hist_quantiles,
     "events_retention": q_events_retention,
     "scd2_build": q_scd2_build,
     "scd2_lookup": q_scd2_lookup,
@@ -1658,6 +1762,7 @@ ORACLES = {
     "event_cusum": EVENT_CUSUM_SQL,
     "interval_coverage": INTERVAL_COVERAGE_SQL,
     "event_mad_outliers": EVENT_MAD_OUTLIERS_SQL,
+    "hist_quantiles": HIST_QUANTILES_SQL,
     "rollup_merge": ROLLUP_MERGE_SQL,
     "scd2_build": SCD2_BUILD_SQL,
     "scd2_lookup": SCD2_LOOKUP_SQL,

@@ -194,3 +194,29 @@ def test_event_mad_outliers_hand_values(spark, monkeypatch):
     assert (r.n, r.med2_e4, r.mad4_e4, r.n_outliers, r.max_outlier_e4) == (
         5, 60000, 40000, 1, 1000000
     )
+
+
+def test_hist_quantiles_within_one_bucket_of_exact(spark):
+    """The histogram estimate's hard error bound: the selected bucket
+    CONTAINS the rank-ceil(n*q/100) order statistic, so each estimate
+    lands within one bucket width of that exact order statistic."""
+    import realparse_spark.operators.analytics as A
+    from realparse_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    est = {r.event_type: r for r in A.q_hist_quantiles(spark, sf).collect()}
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 10000).cast("bigint").alias("v")
+    )
+    by_type = {}
+    for r in ev.collect():
+        by_type.setdefault(r.event_type, []).append(r.v)
+    assert est and est.keys() == by_type.keys()
+    for t, e in est.items():
+        vs = sorted(by_type[t])
+        n = len(vs)
+        width = (vs[-1] - vs[0]) // A.HIST_BUCKETS + 1
+        for q in (50, 95, 99):
+            got = getattr(e, f"p{q}_e4")
+            want = vs[(n * q + 99) // 100 - 1]  # rank-r order statistic
+            assert abs(got - want) <= width, (t, q, got, want, width)
