@@ -519,6 +519,47 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous GROUPING SETS — the multi-grain report a cube cannot
+    express without wasted grains: (flag × status), (ship year), and the
+    grand total, in ONE pass.  The planner runs a single Expand + one
+    hash aggregate, so the fact shuffles once for all three grains — at
+    100 TB this replaces three separate scan+agg jobs (the naive UNION
+    ALL) with one; Expand multiplies rows only by the number of sets
+    (3×) BEFORE the map-side partial agg collapses them.  `gid` is built
+    from single-column grouping() bits on both sides because engines
+    disagree on multi-arg grouping_id bit order."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    gid = (
+        F.grouping("l_returnflag") * 4
+        + F.grouping("l_linestatus") * 2
+        + F.grouping("ship_year")
+    ).cast("int")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+        "l_returnflag",
+        "l_linestatus",
+        "ship_year",
+    ).agg(
+        F.count("l_orderkey").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        gid.alias("gid"),
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, ship_year,
+       count(l_orderkey) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+            + GROUPING(ship_year) AS INTEGER) AS gid
+FROM (SELECT *, CAST(year(l_shipdate) AS INTEGER) AS ship_year FROM lineitem)
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+"""
+
+
 # ---------------------------------------------------------------------------
 # pivot (wide conditional aggregation)
 # ---------------------------------------------------------------------------
@@ -1055,6 +1096,7 @@ QUERIES = {
     "emb_centroids": q_emb_centroids,
     "above_avg_parts": q_above_avg_parts,
     "cube_agg": q_cube_agg,
+    "grouping_sets_agg": q_grouping_sets,
     "pivot_events": q_pivot_events,
     "set_ops": q_set_ops,
     "top_terms": q_top_terms,
@@ -1084,6 +1126,7 @@ ORACLES = {
     "emb_centroids": EMB_CENTROIDS_SQL,
     "above_avg_parts": ABOVE_AVG_PARTS_SQL,
     "cube_agg": CUBE_AGG_SQL,
+    "grouping_sets_agg": GROUPING_SETS_SQL,
     "pivot_events": PIVOT_EVENTS_SQL,
     "set_ops": SET_OPS_SQL,
     "top_terms": TOP_TERMS_SQL,

@@ -62,7 +62,8 @@ _MODULES = (
 # emb_threshold_sweep, time_weighted_avg, event_ohlc, event_gaps,
 # event_cusum, dedup_prefix_jaccard, cms_user_counts, vocab_build,
 # text_oov_rate, interval_coverage, event_mad_outliers, graph_triangles,
-# graph_khop, hist_quantiles.
+# graph_khop, hist_quantiles, corr_matrix, grouping_sets_agg,
+# bloom_prune_join.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",

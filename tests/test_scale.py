@@ -216,3 +216,56 @@ def test_salted_join_rejects_dim_preserving_modes(spark, sf_dir):
     for how in ("right", "full", "outer", "cross"):
         with pytest.raises(ValueError, match="fact-preserving"):
             salted_join(facts, dim, "l_partkey", "p_partkey", how=how)
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Every build-side key must pass the probe filter — the Bloom
+    guarantee the exact-parity oracle relies on."""
+    from realparse_spark.operators.scale import bloom_build, bloom_prune
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    dense, m_bits = bloom_build(dim, "o_orderkey")
+    # probe the build side against its own bitmap: zero rows may drop
+    kept = bloom_prune(dim, "o_orderkey", dense, m_bits).count()
+    assert kept == dim.count()
+
+
+def test_bloom_prune_join_parity_and_effectiveness(spark, sf_dir):
+    """The pruned join equals the plain join row-for-row, and the bloom
+    actually prunes (kept well under the full fact, at most matched rows
+    plus a small false-positive tail)."""
+    from realparse_spark.operators.scale import bloom_build, bloom_prune, bloom_prune_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    got = (
+        bloom_prune_join(li, orders.select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    dense, m_bits = bloom_build(orders.select("o_orderkey"), "o_orderkey")
+    kept = bloom_prune(li, "l_orderkey", dense, m_bits).count()
+    matched = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi").count()
+    total = li.count()
+    assert matched <= kept <= matched + max(50, total // 100), (kept, matched, total)
+
+
+def test_bloom_prune_join_plan_is_scan_local_filter(spark, sf_dir):
+    """The bitmap rides a 1-row broadcast (BroadcastNestedLoopJoin, never
+    CartesianProduct) and the real join stays an equi-join."""
+    from realparse_spark.operators.scale import q_bloom_prune_join
+
+    plan = X.executed_plan(q_bloom_prune_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
