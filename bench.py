@@ -131,6 +131,9 @@ EXTRA = [
     "graph_triangles",      # degree-oriented triangle counting (shared snapshot)
     "graph_khop",           # unrolled BFS reach rings (frontier anti-joins)
     "hist_quantiles",       # bounded-state histogram quantiles (oracled)
+    "corr_matrix",          # one-pass exact-moment Pearson matrix
+    "grouping_sets_agg",    # heterogeneous grains, one Expand + one shuffle
+    "bloom_prune_join",     # runtime Bloom prune before the join shuffle
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

@@ -166,6 +166,143 @@ GROUP BY band
 
 
 # ---------------------------------------------------------------------------
+# big-big interval overlap join (bucket-blocked)
+# ---------------------------------------------------------------------------
+
+def interval_overlap_join(
+    a: DataFrame, b: DataFrame, bucket_us: int = 3_600_000_000
+) -> DataFrame:
+    """Overlap-join two interval tables when BOTH sides are too big to
+    broadcast — the case `range_band_join`'s broadcast pattern cannot
+    serve.  A naive `a JOIN b ON a.start <= b.end AND b.start <= a.end`
+    plans a BroadcastNestedLoopJoin (or worse, a cartesian): O(|a|·|b|)
+    comparisons.  The scale pattern is bucket blocking: explode each
+    interval to the fixed time buckets it covers (integer DIV — exact,
+    no float boundary drift), equi-join on the bucket (a plain shuffled
+    hash join), re-check the true overlap predicate, and `distinct` away
+    the one-duplicate-per-shared-bucket.  Cost: O(spanned buckets) rows
+    per interval and only same-bucket pairs compared — with bucket_us
+    chosen near the median interval length, fan-out is a small constant.
+
+    `a` must carry a_start_us/a_end_us (epoch micros, bigint), `b`
+    b_start_us/b_end_us; all other columns ride along and define pair
+    identity for the distinct."""
+    abkt = a.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"a_start_us DIV {bucket_us}"),
+                F.expr(f"a_end_us DIV {bucket_us}"),
+            )
+        ),
+    )
+    bbkt = b.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"b_start_us DIV {bucket_us}"),
+                F.expr(f"b_end_us DIV {bucket_us}"),
+            )
+        ),
+    )
+    return (
+        abkt.join(bbkt, "_bkt")
+        .filter(
+            (F.col("a_start_us") <= F.col("b_end_us"))
+            & (F.col("b_start_us") <= F.col("a_end_us"))
+        )
+        .drop("_bkt")
+        .distinct()
+    )
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user-day activity spans overlap an error burst, and for how
+    long: activity intervals (per user per day, min..max event time) ×
+    error-burst intervals (runs of 'error' events within 10 minutes,
+    ≥3 errors, sessionized per day so burst detection parallelizes) via
+    the bucket-blocked overlap join.  Overlap math stays in exact epoch
+    micros; the oracle is the literal inequality join."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_type", F.to_date("ts").alias("day"), F.unix_micros("ts").alias("us")
+    )
+    activity = ev.groupBy("user_id", "day").agg(
+        F.min("us").alias("a_start_us"), F.max("us").alias("a_end_us")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("day").alias("eday"), "us"
+    )
+    w = Window.partitionBy("eday").orderBy("us")
+    flagged = err.withColumn(
+        "new_burst",
+        F.when(F.col("us") - F.lag("us").over(w) > 600_000_000, 1).otherwise(0),
+    )
+    bursts = (
+        flagged.withColumn(
+            "burst",
+            F.sum("new_burst").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("eday", "burst")
+        .agg(
+            F.min("us").alias("b_start_us"),
+            F.max("us").alias("b_end_us"),
+            F.count(F.lit(1)).alias("n_err"),
+        )
+        .filter(F.col("n_err") >= 3)
+        .select("eday", "burst", "b_start_us", "b_end_us")
+    )
+    j = interval_overlap_join(activity, bursts)
+    return (
+        j.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_bursts"),
+            F.sum(
+                F.least("a_end_us", "b_end_us") - F.greatest("a_start_us", "b_start_us")
+            ).alias("overlap_us"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+INTERVAL_OVERLAP_JOIN_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS us FROM events
+),
+activity AS (
+  SELECT user_id, day, min(us) AS a_start_us, max(us) AS a_end_us
+  FROM ev GROUP BY 1, 2
+),
+err AS (SELECT day AS eday, us FROM ev WHERE event_type = 'error'),
+flagged AS (
+  SELECT eday, us,
+    CASE WHEN us - lag(us) OVER (PARTITION BY eday ORDER BY us) > 600000000
+         THEN 1 ELSE 0 END AS new_burst
+  FROM err
+),
+runs AS (
+  SELECT eday, us, sum(new_burst) OVER (
+    PARTITION BY eday ORDER BY us
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+  FROM flagged
+),
+bursts AS (
+  SELECT eday, burst, min(us) AS b_start_us, max(us) AS b_end_us
+  FROM runs GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT a.user_id, a.day,
+  CAST(count(*) AS BIGINT) AS n_bursts,
+  CAST(sum(least(a_end_us, b_end_us) - greatest(a_start_us, b_start_us)) AS BIGINT) AS overlap_us
+FROM activity a
+JOIN bursts b ON a.a_start_us <= b.b_end_us AND b.b_start_us <= a.a_end_us
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # ranking window functions
 # ---------------------------------------------------------------------------
 
@@ -1097,6 +1234,7 @@ QUERIES = {
     "above_avg_parts": q_above_avg_parts,
     "cube_agg": q_cube_agg,
     "grouping_sets_agg": q_grouping_sets,
+    "interval_overlap_join": q_interval_overlap_join,
     "pivot_events": q_pivot_events,
     "set_ops": q_set_ops,
     "top_terms": q_top_terms,
@@ -1127,6 +1265,7 @@ ORACLES = {
     "above_avg_parts": ABOVE_AVG_PARTS_SQL,
     "cube_agg": CUBE_AGG_SQL,
     "grouping_sets_agg": GROUPING_SETS_SQL,
+    "interval_overlap_join": INTERVAL_OVERLAP_JOIN_SQL,
     "pivot_events": PIVOT_EVENTS_SQL,
     "set_ops": SET_OPS_SQL,
     "top_terms": TOP_TERMS_SQL,

@@ -1831,6 +1831,67 @@ def _corr_matrix_sql() -> str:
 CORR_MATRIX_SQL = _corr_matrix_sql()
 
 
+# ---------------------------------------------------------------------------
+# chi-square contingency cells (exact-integer moments)
+# ---------------------------------------------------------------------------
+
+def q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square contributions for the event_type × hour-of-day
+    contingency table — the independence diagnostic behind "is traffic
+    shape uniform across event types".  One fact shuffle builds the cell
+    counts; marginals and the grand total re-aggregate the |types|×24
+    cell table (tiny, broadcast back).  Each cell's statistic is computed
+    from EXACT integers — (O·N − r·c)² / (N·r·c) as decimal(38,0)
+    products — with exactly ONE double division at the end, so there is
+    no float summation order to disagree on and round(6) hash-matches.
+    expected_e6 (E×10⁶, integer DIV) stays fully exact.  The per-cell
+    form is deliberate: a global Σ would sum doubles in engine-specific
+    order; downstream sums the 120 cells however it likes."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    rows = cells.groupBy("event_type").agg(F.sum("n_obs").alias("r_tot"))
+    colsm = cells.groupBy("hr").agg(F.sum("n_obs").alias("c_tot"))
+    tot = cells.agg(F.sum("n_obs").alias("n_tot"))
+    j = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(colsm), "hr")
+        .crossJoin(F.broadcast(tot))
+    )
+    d = (
+        F.col("n_obs") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")
+    ).cast("decimal(38,0)")
+    den = (
+        F.col("n_tot").cast("decimal(38,0)") * F.col("r_tot") * F.col("c_tot")
+    )
+    return j.select(
+        "event_type",
+        "hr",
+        "n_obs",
+        F.expr("r_tot * c_tot * 1000000 DIV n_tot").alias("expected_e6"),
+        F.round((d * d).cast("double") / den.cast("double"), 6).alias("chi2_cell"),
+    ).orderBy("event_type", "hr")
+
+
+CROSSTAB_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS r_tot FROM cells GROUP BY 1),
+c AS (SELECT hr, CAST(sum(n_obs) AS BIGINT) AS c_tot FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM cells)
+SELECT event_type, hr, n_obs,
+  (r_tot * c_tot * 1000000) // n_tot AS expected_e6,
+  round(CAST(CAST(n_obs * n_tot - r_tot * c_tot AS HUGEINT)
+             * CAST(n_obs * n_tot - r_tot * c_tot AS HUGEINT) AS DOUBLE)
+        / CAST(CAST(n_tot AS HUGEINT) * r_tot * c_tot AS DOUBLE), 6) AS chi2_cell
+FROM cells JOIN r USING (event_type) JOIN c USING (hr) CROSS JOIN t
+ORDER BY event_type, hr
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
@@ -1858,6 +1919,7 @@ QUERIES = {
     "value_deciles": q_value_deciles,
     "yearly_growth": q_yearly_growth,
     "corr_matrix": q_corr_matrix,
+    "crosstab_chi2": q_crosstab_chi2,
 }
 
 ORACLES = {
@@ -1887,4 +1949,5 @@ ORACLES = {
     "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,
     "big_spender_orders": BIG_SPENDER_ORDERS_SQL,
     "corr_matrix": CORR_MATRIX_SQL,
+    "crosstab_chi2": CROSSTAB_CHI2_SQL,
 }

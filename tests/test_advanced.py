@@ -330,3 +330,59 @@ def test_cms_sketches_merge_by_counter_sum(spark):
     whole = cms_sketch(ev.select("user_id"), "user_id")
     sym_diff = merged.exceptAll(whole).unionAll(whole.exceptAll(merged))
     assert sym_diff.count() == 0
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Property: the bucket-blocked overlap join equals the naive
+    inequality join on intervals engineered to span 0, 1, and many
+    buckets (so the explode + distinct path is exercised)."""
+    from realparse_spark.operators.advanced import interval_overlap_join
+
+    hour_us = 3_600_000_000
+    a_rows = [
+        (1, 0, hour_us // 2),                    # within one bucket
+        (2, hour_us - 10, hour_us + 10),         # straddles a boundary
+        (3, 0, 5 * hour_us),                     # spans six buckets
+        (4, 10 * hour_us, 10 * hour_us),         # zero-length
+    ]
+    b_rows = [
+        (100, hour_us // 4, hour_us // 3),
+        (200, 2 * hour_us, 7 * hour_us),
+        (300, 10 * hour_us - 5, 10 * hour_us + 5),
+        (400, 20 * hour_us, 21 * hour_us),       # overlaps nothing
+    ]
+    a = spark.createDataFrame(a_rows, "a_id int, a_start_us long, a_end_us long")
+    b = spark.createDataFrame(b_rows, "b_id int, b_start_us long, b_end_us long")
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(a, b, bucket_us=hour_us).collect()
+    )
+    naive = sorted(
+        (ra[0], rb[0])
+        for ra in a_rows
+        for rb in b_rows
+        if ra[1] <= rb[2] and rb[1] <= ra[2]
+    )
+    assert got == naive
+    assert (1, 100) in got and (3, 200) in got and (4, 300) in got
+
+
+def test_crosstab_chi2_matches_numpy(spark):
+    """The 120 cell contributions must agree with a float reference
+    computed straight from the observed counts (tolerance covers the
+    round(6))."""
+    from realparse_spark.operators.analytics import q_crosstab_chi2
+
+    rows = q_crosstab_chi2(spark, ORACLE_SF).collect()
+    obs = {(r["event_type"], r["hr"]): r["n_obs"] for r in rows}
+    n = sum(obs.values())
+    r_tot = {}
+    c_tot = {}
+    for (et, hr), o in obs.items():
+        r_tot[et] = r_tot.get(et, 0) + o
+        c_tot[hr] = c_tot.get(hr, 0) + o
+    for r in rows:
+        e = r_tot[r["event_type"]] * c_tot[r["hr"]] / n
+        want = (r["n_obs"] - e) ** 2 / e
+        assert abs(r["chi2_cell"] - want) < 1e-5, (r, want)
+        assert abs(r["expected_e6"] / 1e6 - e) < 1e-5
