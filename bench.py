@@ -134,6 +134,8 @@ EXTRA = [
     "corr_matrix",          # one-pass exact-moment Pearson matrix
     "grouping_sets_agg",    # heterogeneous grains, one Expand + one shuffle
     "bloom_prune_join",     # runtime Bloom prune before the join shuffle
+    "interval_overlap_join",# bucket-blocked big-big interval overlap join
+    "crosstab_chi2",        # chi-square contingency cells (exact moments)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is
