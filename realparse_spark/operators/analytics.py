@@ -1892,6 +1892,115 @@ ORDER BY event_type, hr
 """
 
 
+# ---------------------------------------------------------------------------
+# closed-form multiple linear regression (exact normal equations)
+# ---------------------------------------------------------------------------
+
+def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor OLS fit of l_extendedprice on (l_quantity,
+    l_discount) by the closed-form normal equations — distributed
+    regression as ONE decomposable aggregation: the 9 raw moments
+    (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) are plain
+    sums with map-side combine, so the fit costs a single reduce to one
+    row at any corpus size; no gradient iterations, no driver-side data.
+
+    Exactness discipline (same as corr_matrix): moments accumulate as
+    DECIMAL (lossless for the fixture's ≤4-decimal-digit measures); the
+    solve — Cramer's rule on the n-scaled centered system — drops to
+    double ONCE with an identical expression tree on both sides, so
+    round(6) hash-matches.  A singular design (det = 0) or constant y
+    yields NULL coefficients rather than NaN."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = {
+        "x1": F.col("l_quantity").cast("decimal(18,4)"),
+        "x2": F.col("l_discount").cast("decimal(18,4)"),
+        "y": F.col("l_extendedprice").cast("decimal(18,4)"),
+    }
+    row = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d["x1"]).alias("s1"),
+        F.sum(d["x2"]).alias("s2"),
+        F.sum(d["y"]).alias("sy"),
+        F.sum(d["x1"] * d["x1"]).alias("s11"),
+        F.sum(d["x2"] * d["x2"]).alias("s22"),
+        F.sum(d["x1"] * d["x2"]).alias("s12"),
+        F.sum(d["x1"] * d["y"]).alias("s1y"),
+        F.sum(d["x2"] * d["y"]).alias("s2y"),
+        F.sum(d["y"] * d["y"]).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = [F.col(c).cast("double") for c in ("s1", "s2", "sy")]
+    s11, s22, s12 = [F.col(c).cast("double") for c in ("s11", "s22", "s12")]
+    s1y, s2y, syy = [F.col(c).cast("double") for c in ("s1y", "s2y", "syy")]
+    a11 = n * s11 - s1 * s1
+    a12 = n * s12 - s1 * s2
+    a22 = n * s22 - s2 * s2
+    b1v = n * s1y - s1 * sy
+    b2v = n * s2y - s2 * sy
+    syy_c = n * syy - sy * sy
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1v * a22 - b2v * a12) / det
+    beta2 = (a11 * b2v - a12 * b1v) / det
+    beta0 = (sy - beta1 * s1 - beta2 * s2) / n
+    r2 = (beta1 * b1v + beta2 * b2v) / syy_c
+    ok = det != F.lit(0.0)
+    return row.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when(ok, F.round(beta0, 6)).alias("intercept"),
+        F.when(ok, F.round(beta1, 6)).alias("beta_qty"),
+        F.when(ok, F.round(beta2, 6)).alias("beta_disc"),
+        F.when(ok & (syy_c != F.lit(0.0)), F.round(r2, 6)).alias("r2"),
+    )
+
+
+OLS_PRICE_MODEL_SQL = """
+WITH d AS (
+  SELECT CAST(l_quantity AS DECIMAL(19,4)) AS x1,
+         CAST(l_discount AS DECIMAL(19,4)) AS x2,
+         CAST(l_extendedprice AS DECIMAL(19,4)) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT count(*) AS n,
+    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+    sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y, sum(y * y) AS syy
+  FROM d
+),
+c AS (
+  SELECT CAST(n AS BIGINT) AS n_rows,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+    CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+    CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy
+  FROM m
+),
+e AS (
+  SELECT n_rows, nd, s1, s2, sy,
+    nd * s11 - s1 * s1 AS a11,
+    nd * s12 - s1 * s2 AS a12,
+    nd * s22 - s2 * s2 AS a22,
+    nd * s1y - s1 * sy AS b1v,
+    nd * s2y - s2 * sy AS b2v,
+    nd * syy - sy * sy AS syy_c
+  FROM c
+),
+f AS (
+  SELECT *, a11 * a22 - a12 * a12 AS det,
+    (b1v * a22 - b2v * a12) / (a11 * a22 - a12 * a12) AS beta1,
+    (a11 * b2v - a12 * b1v) / (a11 * a22 - a12 * a12) AS beta2
+  FROM e
+)
+SELECT n_rows,
+  CASE WHEN det <> 0.0 THEN round((sy - beta1 * s1 - beta2 * s2) / nd, 6) END AS intercept,
+  CASE WHEN det <> 0.0 THEN round(beta1, 6) END AS beta_qty,
+  CASE WHEN det <> 0.0 THEN round(beta2, 6) END AS beta_disc,
+  CASE WHEN det <> 0.0 AND syy_c <> 0.0
+       THEN round((beta1 * b1v + beta2 * b2v) / syy_c, 6) END AS r2
+FROM f
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
@@ -1920,6 +2029,7 @@ QUERIES = {
     "yearly_growth": q_yearly_growth,
     "corr_matrix": q_corr_matrix,
     "crosstab_chi2": q_crosstab_chi2,
+    "ols_price_model": q_ols_price_model,
 }
 
 ORACLES = {
@@ -1950,4 +2060,5 @@ ORACLES = {
     "big_spender_orders": BIG_SPENDER_ORDERS_SQL,
     "corr_matrix": CORR_MATRIX_SQL,
     "crosstab_chi2": CROSSTAB_CHI2_SQL,
+    "ols_price_model": OLS_PRICE_MODEL_SQL,
 }

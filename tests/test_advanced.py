@@ -386,3 +386,30 @@ def test_crosstab_chi2_matches_numpy(spark):
         want = (r["n_obs"] - e) ** 2 / e
         assert abs(r["chi2_cell"] - want) < 1e-5, (r, want)
         assert abs(r["expected_e6"] / 1e6 - e) < 1e-5
+
+
+def test_ols_price_model_matches_numpy(spark):
+    """Closed-form coefficients must agree with a numpy least-squares fit
+    on the same rows (tolerance covers the round(6))."""
+    import numpy as np
+
+    from realparse_spark.operators.analytics import q_ols_price_model
+
+    row = q_ols_price_model(spark, ORACLE_SF).collect()[0]
+    li = (
+        load_table(spark, ORACLE_SF, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    x = np.array([[float(r[0]), float(r[1])] for r in li])
+    y = np.array([float(r[2]) for r in li])
+    design = np.column_stack([np.ones(len(y)), x])
+    beta, *_ = np.linalg.lstsq(design, y, rcond=None)
+    assert row["n_rows"] == len(y)
+    assert abs(row["intercept"] - beta[0]) < 1e-3
+    assert abs(row["beta_qty"] - beta[1]) < 1e-5
+    assert abs(row["beta_disc"] - beta[2]) < 1e-3
+    pred = design @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(row["r2"] - (1 - ss_res / ss_tot)) < 1e-5
