@@ -136,6 +136,9 @@ EXTRA = [
     "bloom_prune_join",     # runtime Bloom prune before the join shuffle
     "interval_overlap_join",# bucket-blocked big-big interval overlap join
     "crosstab_chi2",        # chi-square contingency cells (exact moments)
+    "ols_price_model",      # closed-form OLS (one decomposable agg)
+    "weighted_median",      # exact weighted median (one window shuffle)
+    "daily_autocorr",       # calendar-lag ACF (one join, 7 lags)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

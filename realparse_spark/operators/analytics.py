@@ -2001,6 +2001,134 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# group-wise weighted median (cumulative-weight window)
+# ---------------------------------------------------------------------------
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    smallest value whose cumulative weight reaches half the group total.
+    ONE window shuffle computes both the running and the total weight
+    (same partitioning, two frames); the argmin collapse is a plain
+    groupBy min over the qualifying rows.  All comparisons are exact
+    decimal (2·cum >= tot — no division), so engines can't disagree at
+    the boundary; at 100 TB this is the sort-based exact-median shape —
+    if the full sort is unaffordable, hist_quantiles is the bounded-state
+    alternative."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("l_returnflag")
+    scored = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wo).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        scored.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, min(v) AS weighted_median
+FROM s WHERE cum * 2 >= tot
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# calendar-lag autocorrelation (exact-moment ACF)
+# ---------------------------------------------------------------------------
+
+def q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at calendar lags
+    1..7 — the seasonality diagnostic (a weekly cycle shows as a lag-7
+    peak).  The daily series is one fact shuffle; the lag pairing is a
+    calendar JOIN (day+lag = day), not a row-offset window, so date gaps
+    pair honestly; all 7 lags ride ONE join via an exploded lag column.
+    Pearson per lag uses the corr_matrix discipline: decimal-exact
+    moments, one double formula at the end, round(6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    daily = daily.localCheckpoint()
+    lagged = daily.select(
+        "day", F.col("rev").alias("x"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag"),
+    ).withColumn("match_day", F.date_add("day", F.col("lag")))
+    d2 = daily.select(F.col("day").alias("match_day"), F.col("rev").alias("y"))
+    pairs = lagged.join(d2, "match_day")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = [F.col(c).cast("double") for c in ("sxx", "syy", "sxy")]
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when(den != F.lit(0.0), F.round((n * sxy - sx * sy) / den, 6)).alias("acf"),
+    ).orderBy("lag")
+
+
+DAILY_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(CAST(o_totalprice AS DECIMAL(19,2))) AS rev
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag, a.rev AS x, b.rev AS y
+  FROM daily a
+  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+),
+m AS (
+  SELECT lag, count(*) AS n,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+  CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) <> 0.0
+       THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  END AS acf
+FROM m
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
@@ -2030,6 +2158,8 @@ QUERIES = {
     "corr_matrix": q_corr_matrix,
     "crosstab_chi2": q_crosstab_chi2,
     "ols_price_model": q_ols_price_model,
+    "weighted_median": q_weighted_median,
+    "daily_autocorr": q_daily_autocorr,
 }
 
 ORACLES = {
@@ -2061,4 +2191,6 @@ ORACLES = {
     "corr_matrix": CORR_MATRIX_SQL,
     "crosstab_chi2": CROSSTAB_CHI2_SQL,
     "ols_price_model": OLS_PRICE_MODEL_SQL,
+    "weighted_median": WEIGHTED_MEDIAN_SQL,
+    "daily_autocorr": DAILY_AUTOCORR_SQL,
 }
