@@ -139,6 +139,7 @@ EXTRA = [
     "ols_price_model",      # closed-form OLS (one decomposable agg)
     "weighted_median",      # exact weighted median (one window shuffle)
     "daily_autocorr",       # calendar-lag ACF (one join, 7 lags)
+    "ks_statistic",         # binned two-sample KS drift test (bounded state)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

@@ -2129,6 +2129,112 @@ ORDER BY lag
 """
 
 
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov on a fixed grid (bounded state)
+# ---------------------------------------------------------------------------
+
+_KS_BINS = 1024
+
+
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between the value distributions of 'click'
+    and 'purchase' events, on a fixed 1024-point grid — the drift test a
+    pipeline runs between two cohorts or two snapshot days.  An exact KS
+    needs the global ECDF (a full sort); the scale shape here is the
+    hist_quantiles one: ONE fact shuffle builds per-bin counts for both
+    groups, the cumulative walk runs over <= 1024 rows (bounded state at
+    any corpus size), and D = max|c1*n2 - c2*n1| / (n1*n2) is computed
+    in exact integers off the binned ECDFs (the grid coarsens the
+    statistic by at most one bin's mass; both engines bin identically so
+    parity is exact).  min/max are 1-row broadcast scalars."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("value").cast("double").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        )
+    )
+    mm = ev.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * F.lit(float(_KS_BINS))
+                ),
+                F.lit(_KS_BINS - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        "g1",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("g1").alias("d1"), F.sum(1 - F.col("g1")).alias("d2")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cells.select(
+        F.sum("d1").over(w).alias("c1"), F.sum("d2").over(w).alias("c2")
+    )
+    tot = cells.agg(
+        F.sum("d1").alias("n1"), F.sum("d2").alias("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias(
+                "d_num"
+            ),
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks_d"),
+        )
+    )
+
+
+KS_STATISTIC_SQL = """
+WITH ev AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+mm AS (SELECT min(v) AS vmin, max(v) AS vmax FROM ev),
+b AS (
+  SELECT CASE WHEN vmax = vmin THEN 0
+              ELSE CAST(least(floor((v - vmin) / (vmax - vmin) * 1024.0), 1023) AS INTEGER)
+         END AS bin, g1
+  FROM ev CROSS JOIN mm
+),
+cells AS (
+  SELECT bin, sum(g1) AS d1, sum(1 - g1) AS d2 FROM b GROUP BY bin
+),
+cum AS (
+  SELECT
+    sum(d1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+    sum(d2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+  FROM cells
+),
+tot AS (SELECT sum(d1) AS n1, sum(d2) AS n2 FROM cells)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  round(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d
+FROM cum CROSS JOIN tot
+GROUP BY n1, n2
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
@@ -2160,6 +2266,7 @@ QUERIES = {
     "ols_price_model": q_ols_price_model,
     "weighted_median": q_weighted_median,
     "daily_autocorr": q_daily_autocorr,
+    "ks_statistic": q_ks_statistic,
 }
 
 ORACLES = {
@@ -2193,4 +2300,5 @@ ORACLES = {
     "ols_price_model": OLS_PRICE_MODEL_SQL,
     "weighted_median": WEIGHTED_MEDIAN_SQL,
     "daily_autocorr": DAILY_AUTOCORR_SQL,
+    "ks_statistic": KS_STATISTIC_SQL,
 }
