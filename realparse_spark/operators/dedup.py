@@ -137,26 +137,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def _rare_postings(docs: DataFrame, n: int, df_cap: int) -> DataFrame:
+    """The df-capped inverted-index posting table (doc_id, g) — the
+    derived corpus structure every exact shingle-overlap score reads."""
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("g")
+    )
+    return grams.join(
+        grams.groupBy("g").agg(F.count("doc_id").alias("df")).filter(F.col("df") <= df_cap),
+        "g",
+    ).select("doc_id", "g")
+
+
 def _gram_pair_counts(docs: DataFrame, n: int, df_cap: int) -> DataFrame:
     """Shared candidate machinery for the exact shingle-overlap scores
     (Jaccard, containment): inverted-index self-join counting shared
     distinct n-grams per pair.  Returns (doc_a, doc_b, c, na, nb)."""
-    grams = docs.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("g")
-    )
     # localCheckpoint (eager): `rare` feeds three consumers (sizes + both
     # join sides); without materialization each would re-run the shingle
     # build — the most expensive narrow stage — up to 6x.  A persist scoped
     # to this function can't work (the result is lazy; the unpersist would
     # run before the caller's action), so the lineage is cut once here.
-    rare = (
-        grams.join(
-            grams.groupBy("g").agg(F.count("doc_id").alias("df")).filter(F.col("df") <= df_cap),
-            "g",
-        )
-        .select("doc_id", "g")
-        .localCheckpoint()
-    )
+    rare = _rare_postings(docs, n, df_cap).localCheckpoint()
+    return _gram_pair_counts_from(rare)
+
+
+def _gram_pair_counts_from(rare: DataFrame) -> DataFrame:
+    """Pair counting over an already-materialized posting table (a
+    localCheckpoint or the fingerprint-keyed parquet cache)."""
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     a = rare.alias("a")
     b = rare.alias("b")
@@ -187,8 +195,13 @@ def ngram_containment_pairs(
 
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_containment_pairs(
-        fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
+    # reads the shared per-snapshot posting table (see _postings_for)
+    rare = spark.read.parquet(_postings_for(spark, sf_dir, n=3, df_cap=1000))
+    cont = F.round(F.col("c").cast("double") / F.least(F.col("na"), F.col("nb")), 6)
+    return (
+        _gram_pair_counts_from(rare)
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.8)
     )
 
 
@@ -196,9 +209,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: the fixture parquet is a single row group -> one scan task;
-    # the shingle build must run on all cores
-    return ngram_jaccard_pairs(fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5)
+    # reads the shared per-snapshot posting table (see _postings_for)
+    rare = spark.read.parquet(_postings_for(spark, sf_dir, n=3, df_cap=1000))
+    jac = F.round(F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6)
+    return (
+        _gram_pair_counts_from(rare)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -913,6 +931,44 @@ def dup_clusters(
 # stage by the number of consumers.
 _CLUSTERS: dict[tuple, str] = {}
 
+# Materialized df-capped posting table, same discipline: the inverted
+# index is a derived corpus structure with FOUR consumers (Jaccard,
+# containment, the cluster build's pair stage, and both sides of each
+# self-join) — build once per corpus snapshot, read everywhere.
+_POSTINGS: dict[tuple, str] = {}
+
+
+def _postings_for(
+    spark: SparkSession, sf_dir: str, n: int = 3, df_cap: int = 1000
+) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, n, df_cap)
+    path = _POSTINGS.get(key)
+    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "realparse_postings_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        # same crash/concurrency discipline as _clusters_for: _SUCCESS
+        # gates reuse; write to a process-unique dir, atomic-rename in
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            _rare_postings(
+                fan_out(load_table(spark, sf_dir, "documents")), n, df_cap
+            ).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        _POSTINGS[key] = path
+    return path
+
 
 def _clusters_for(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
@@ -938,9 +994,8 @@ def _clusters_for(spark: SparkSession, sf_dir: str) -> str:
             # place: two concurrent processes computing the same key must
             # never overwrite a directory the other is lazily reading
             tmp = f"{path}.tmp-{os.getpid()}"
-            pairs = ngram_jaccard_pairs(
-                fan_out(load_table(spark, sf_dir, "documents")), n=3, threshold=0.5
-            )
+            # pair stage reads the shared posting table too
+            pairs = q_dedup_ngram(spark, sf_dir)
             dup_clusters(pairs).write.mode("overwrite").parquet(tmp)
             # clear a crashed writer's partial directory (no _SUCCESS)
             # so the atomic rename can land
