@@ -271,6 +271,16 @@ def prefix_jaccard_pairs(
     sf0.1 (5k docs, 3.5M surviving candidate pairs, 256 true pairs):
     51 s -> 3 s warm.  The output equals the brute-force all-pairs
     Jaccard — oracle-checked against DuckDB's full self-join."""
+    # materialized once: the self-join would otherwise recompute the whole
+    # explode -> df -> rank -> collect pipeline for EACH side (measured
+    # ~5x the downstream join+verify cost)
+    pref = _build_prefix_index(docs, n, threshold).localCheckpoint()
+    return _prefix_self_join(pref, threshold)
+
+
+def _build_prefix_index(docs: DataFrame, n: int, threshold: float) -> DataFrame:
+    """The df-ranked prefix posting index (doc_id, garr, n_tok, pos, tok)
+    — the derived corpus structure the PPJoin self-join reads."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -295,15 +305,7 @@ def prefix_jaccard_pairs(
         .agg(F.array_sort(F.collect_list("tok_id")).alias("garr"))
         .withColumn("n_tok", F.size("garr"))
     )
-    # index only the first s - ceil(t*s) + 1 shingles; pos is 0-based.
-    # The EXPLICIT repartition on the join key is load-bearing: the
-    # posting table is small (O(corpus) rows) so AQE would coalesce the
-    # self-join to a handful of partitions, but the join OUTPUT is the
-    # multi-million-pair candidate stream with a per-row array_intersect
-    # — parallelism must be sized to the output, not the input.  An
-    # explicit partition count is honored by AQE (only size-derived
-    # plans get coalesced), so every core keeps a slice of the
-    # verification work.
+    # index only the first s - ceil(t*s) + 1 shingles; pos is 0-based
     pref = doc_arr.select(
         "doc_id",
         "garr",
@@ -313,11 +315,22 @@ def prefix_jaccard_pairs(
                 f"slice(garr, 1, n_tok - ceil({threshold} * n_tok) + 1)"
             )
         ).alias("pos", "tok"),
-    ).repartition(64, "tok")
-    # materialized once: the self-join would otherwise recompute the whole
-    # explode -> df -> rank -> collect pipeline for EACH side (measured
-    # ~5x the downstream join+verify cost)
-    pref = pref.localCheckpoint()
+    )
+    return pref
+
+
+def _prefix_self_join(pref: DataFrame, threshold: float) -> DataFrame:
+    """The verify-inline self-join over a materialized prefix index (a
+    localCheckpoint or the per-snapshot parquet cache).
+
+    The EXPLICIT repartition on the join key is load-bearing: the posting
+    table is small (O(corpus) rows) so AQE would coalesce the self-join
+    to a handful of partitions, but the join OUTPUT is the multi-million-
+    pair candidate stream with a per-row array_intersect — parallelism
+    must be sized to the output, not the input.  An explicit partition
+    count is honored by AQE (only size-derived plans get coalesced), so
+    every core keeps a slice of the verification work."""
+    pref = pref.repartition(64, "tok")
     a, b = pref.alias("a"), pref.alias("b")
     # minimum overlap for J >= t at sizes (na, nb): c >= t/(1+t)·(na+nb)
     min_overlap = (
@@ -361,10 +374,39 @@ def prefix_jaccard_pairs(
     )
 
 
+# Materialized prefix index (doc_id, garr, n_tok, pos, tok), fingerprint-
+# keyed per corpus — same cache discipline as _POSTINGS/_CLUSTERS.
+_PREFIX_IDX: dict[tuple, str] = {}
+
+
 def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return prefix_jaccard_pairs(
-        fan_out(load_table(spark, sf_dir, "documents")), n=2, threshold=0.6
-    )
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    n, threshold = 2, 0.6
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, n, threshold)
+    path = _PREFIX_IDX.get(key)
+    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "realparse_prefidx_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+        )
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            docs = fan_out(load_table(spark, sf_dir, "documents"))
+            # reuse the builder inside prefix_jaccard_pairs by rebuilding
+            # the index here (one-time per corpus snapshot)
+            _build_prefix_index(docs, n, threshold).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        _PREFIX_IDX[key] = path
+    return _prefix_self_join(spark.read.parquet(path), threshold)
 
 
 # oracle: brute-force exact bigram-shingle Jaccard — the prefix filter is
