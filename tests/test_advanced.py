@@ -413,3 +413,97 @@ def test_ols_price_model_matches_numpy(spark):
     ss_res = float(((y - pred) ** 2).sum())
     ss_tot = float(((y - y.mean()) ** 2).sum())
     assert abs(row["r2"] - (1 - ss_res / ss_tot)) < 1e-5
+
+
+def test_weighted_median_matches_reference(spark):
+    """Smallest value whose cumulative weight reaches half the total,
+    recomputed directly from the rows."""
+    from realparse_spark.operators.analytics import q_weighted_median
+
+    got = {
+        r["l_returnflag"]: float(r["weighted_median"])
+        for r in q_weighted_median(spark, ORACLE_SF).collect()
+    }
+    rows = (
+        load_table(spark, ORACLE_SF, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups = {}
+    for r in rows:
+        groups.setdefault(r[0], []).append((float(r[1]), float(r[2])))
+    for flag, vw in groups.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0.0
+        for v, w in vw:
+            cum += w
+            if cum * 2 >= tot:
+                assert abs(got[flag] - v) < 1e-9, (flag, got[flag], v)
+                break
+
+
+def test_ks_statistic_bounds_and_reference(spark):
+    """Binned KS must equal a direct recomputation on the same grid and
+    lie in [0, 1]."""
+    from realparse_spark.operators.analytics import _KS_BINS, q_ks_statistic
+
+    row = q_ks_statistic(spark, ORACLE_SF).collect()[0]
+    ev = (
+        load_table(spark, ORACLE_SF, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    xs = [(float(r[1]), r[0] == "click") for r in ev]
+    vmin = min(v for v, _ in xs)
+    vmax = max(v for v, _ in xs)
+    import math
+
+    c1 = [0] * _KS_BINS
+    c2 = [0] * _KS_BINS
+    for v, g1 in xs:
+        b = 0 if vmax == vmin else min(
+            int(math.floor((v - vmin) / (vmax - vmin) * float(_KS_BINS))), _KS_BINS - 1
+        )
+        (c1 if g1 else c2)[b] += 1
+    n1, n2 = sum(c1), sum(c2)
+    a1 = a2 = 0
+    dnum = 0
+    for i in range(_KS_BINS):
+        a1 += c1[i]
+        a2 += c2[i]
+        dnum = max(dnum, abs(a1 * n2 - a2 * n1))
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert abs(row["ks_d"] - dnum / (n1 * n2)) < 1e-6
+
+
+def test_daily_autocorr_matches_numpy(spark):
+    """Lag-1 ACF must agree with a numpy Pearson on the calendar-paired
+    daily revenue series."""
+    import datetime as dt
+
+    import numpy as np
+
+    from realparse_spark.operators.analytics import q_daily_autocorr
+
+    got = {r["lag"]: (r["n_pairs"], r["acf"]) for r in q_daily_autocorr(spark, ORACLE_SF).collect()}
+    daily_rows = (
+        load_table(spark, ORACLE_SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    daily = {r["day"]: float(r["rev"]) for r in daily_rows}
+    for lag in (1, 7):
+        xs, ys = [], []
+        for day, rev in daily.items():
+            nxt = day + dt.timedelta(days=lag)
+            if nxt in daily:
+                xs.append(rev)
+                ys.append(daily[nxt])
+        n_pairs, acf = got[lag]
+        assert n_pairs == len(xs)
+        want = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(acf - want) < 1e-5, (lag, acf, want)
