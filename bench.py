@@ -118,6 +118,7 @@ EXTRA = [
     "zorder_key",           # Morton-key arithmetic (data-skipping layout)
     "table_diff",           # keyed snapshot reconciliation (CDC validation)
     "k_anonymity",          # quasi-identifier equivalence-class audit
+    "l_diversity",          # sensitive-attribute diversity audit
     "text_bm25",            # integer-exact Okapi BM25 top-k retrieval
     "time_weighted_avg",    # irregular-sampling TWA (one window shuffle)
     "event_ohlc",           # hourly OHLC bars (shared partitioning)

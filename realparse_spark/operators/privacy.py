@@ -200,13 +200,86 @@ ORDER BY class_size_bucket
 """
 
 
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's complement: an equivalence
+    class where everyone shares the SAME sensitive value leaks that
+    value even when the class is large, so each class must contain at
+    least `l` distinct sensitive values.  Returns one row per diversity
+    level: (n_sensitive, n_classes, n_rows, at_risk).
+
+    100 TB shape mirrors k_anonymity: the distinct count per class is a
+    first groupBy on (quasi, sensitive) then a count per quasi tuple —
+    two map-side-combined shuffles, output O(distinct diversity levels);
+    the audit never materializes row-level data."""
+    pairs = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    classes = pairs.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+        F.sum("n").cast("bigint").alias("class_rows"),
+    )
+    return (
+        classes.groupBy("n_sensitive")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_rows").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "n_sensitive",
+            "n_classes",
+            "n_rows",
+            (F.col("n_sensitive") < l).alias("at_risk"),
+        )
+        .orderBy("n_sensitive")
+    )
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the customer table: within each (nationkey, mktsegment)
+    class, how many distinct account-balance signs/buckets appear — the
+    sensitive attribute is the balance bucketed to thousands, l=3."""
+    from realparse_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("int")
+    )
+    return l_diversity(cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=3)
+
+
+L_DIVERSITY_SQL = """
+WITH pairs AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket,
+    CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(count(*) AS BIGINT) AS n_sensitive,
+    CAST(sum(n) AS BIGINT) AS class_rows
+  FROM pairs GROUP BY 1, 2
+)
+SELECT n_sensitive,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(sum(class_rows) AS BIGINT) AS n_rows,
+  n_sensitive < 3 AS at_risk
+FROM classes
+GROUP BY n_sensitive
+ORDER BY n_sensitive
+"""
+
+
 QUERIES = {
     "anonymize_ips": q_anonymize_ips,
     "redact_pii": q_redact_pii,
     "k_anonymity": q_k_anonymity,
+    "l_diversity": q_l_diversity,
 }
 ORACLES = {
     "anonymize_ips": _anonymize_sql(),
     "redact_pii": REDACT_PII_SQL,
     "k_anonymity": K_ANONYMITY_SQL,
+    "l_diversity": L_DIVERSITY_SQL,
 }

@@ -64,7 +64,8 @@ _MODULES = (
 # text_oov_rate, interval_coverage, event_mad_outliers, graph_triangles,
 # graph_khop, hist_quantiles, corr_matrix, grouping_sets_agg,
 # bloom_prune_join, interval_overlap_join, crosstab_chi2,
-# ols_price_model, weighted_median, daily_autocorr, ks_statistic.
+# ols_price_model, weighted_median, daily_autocorr, ks_statistic,
+# l_diversity.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",
