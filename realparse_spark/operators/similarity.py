@@ -421,11 +421,15 @@ def lsh_probe_batch(
         .select("query_id", "qe", "qsk", F.posexplode(chunks).alias("chunk_id", "chunk_val"))
     )
     idx = spark.read.parquet(index_path)
+    # hamming filter BEFORE the dedup shuffle: bit_count is a per-row
+    # scalar (same verdict for every duplicate of a (query, vec) pair),
+    # so filtering first is semantics-preserving and the dropDuplicates
+    # exchange only carries survivors
     cand = (
         idx.join(probes, ["chunk_id", "chunk_val"])
         .select("query_id", "qe", "qsk", "vec_id", "label", "embedding", "sketch")
-        .dropDuplicates(["query_id", "vec_id"])
         .filter(F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsk"))) <= radius)
+        .dropDuplicates(["query_id", "vec_id"])
     )
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("query_id"))
