@@ -2235,6 +2235,113 @@ GROUP BY n1, n2
 """
 
 
+# ---------------------------------------------------------------------------
+# clamped running balance (nonlinear recurrence via window identity)
+# ---------------------------------------------------------------------------
+
+def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inventory-style balance where purchases credit value,
+    clicks debit it, and the balance CLAMPS at zero (you can't spend
+    credit you don't have).  The recurrence b_t = max(0, b_{t-1} + d_t)
+    is nonlinear — not a plain cumulative sum — but has the exact closed
+    form b_t = c_t - min(0, min_{s<=t} c_s) over the raw cumsum c, so it
+    runs as TWO frames over ONE window shuffle (partition by user, order
+    by time) instead of a stateful per-row loop; deltas stay decimal so
+    both engines agree exactly.  Output collapses to one row per user:
+    final balance, peak balance, and how many debits hit the floor."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,4)"),
+            )
+            .otherwise(-F.col("value").cast("decimal(18,4)"))
+            .alias("delta"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    csum = ev.select(
+        "user_id", "ts", "event_id", "delta", F.sum("delta").over(w).alias("c")
+    )
+    # second frame over the SAME partitioning/order — one shuffle total
+    run = csum.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "delta",
+        (
+            F.col("c")
+            - F.least(F.lit(0).cast("decimal(18,4)"), F.min("c").over(w))
+        ).alias("bal"),
+    )
+    return (
+        run.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.max("bal").cast("decimal(18,4)").alias("peak_balance"),
+            F.max_by("bal", F.struct("ts", "event_id"))
+            .cast("decimal(18,4)")
+            .alias("final_balance"),
+            F.sum(
+                F.when((F.col("bal") == 0) & (F.col("delta") < 0), 1).otherwise(0)
+            ).alias("n_floored"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CLAMPED_BALANCE_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
+         ELSE -CAST(value AS DECIMAL(18,4)) END AS delta
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+csum AS (
+  SELECT user_id, ts, event_id, delta,
+    sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM ev
+),
+runmin AS (
+  SELECT user_id, ts, event_id, delta, c,
+    min(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  FROM csum
+),
+bal AS (
+  -- CASE, not least(): DuckDB's least() degrades DECIMAL args to DOUBLE
+  SELECT user_id, ts, event_id, delta,
+    c - CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(18,4)) END AS bal
+  FROM runmin
+),
+lastv AS (
+  SELECT user_id, bal AS final_balance,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM bal
+)
+SELECT b.user_id,
+  CAST(count(*) AS BIGINT) AS n_moves,
+  CAST(max(b.bal) AS DECIMAL(18,4)) AS peak_balance,
+  CAST(max(l.final_balance) AS DECIMAL(18,4)) AS final_balance,
+  CAST(sum(CASE WHEN b.bal = 0 AND b.delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_floored
+FROM bal b
+JOIN lastv l ON l.user_id = b.user_id AND l.rn = 1
+GROUP BY b.user_id
+ORDER BY b.user_id
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
@@ -2267,6 +2374,7 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "daily_autocorr": q_daily_autocorr,
     "ks_statistic": q_ks_statistic,
+    "clamped_balance": q_clamped_balance,
 }
 
 ORACLES = {
@@ -2301,4 +2409,5 @@ ORACLES = {
     "weighted_median": WEIGHTED_MEDIAN_SQL,
     "daily_autocorr": DAILY_AUTOCORR_SQL,
     "ks_statistic": KS_STATISTIC_SQL,
+    "clamped_balance": CLAMPED_BALANCE_SQL,
 }
