@@ -142,6 +142,8 @@ EXTRA = [
     "daily_autocorr",       # calendar-lag ACF (one join, 7 lags)
     "ks_statistic",         # binned two-sample KS drift test (bounded state)
     "clamped_balance",      # clamp-at-zero balance via cumsum-minus-runmin
+    "benford_digits",       # first-digit Benford audit (9-row output)
+    "gini_revenue",         # per-nation Gini concentration (rank formula)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

@@ -2342,6 +2342,152 @@ ORDER BY b.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud / synthetic-data smell test)
+# ---------------------------------------------------------------------------
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic forged/synthetic-number smell test.  One map-side-
+    combined groupBy on the digit (9 output rows at any corpus size); the
+    expected share is the exact closed form log10(1+1/d), and the
+    per-digit deviation is computed with ONE double division off exact
+    integer counts (corr_matrix discipline).  The first digit comes from
+    string math (first char of the integral part), not float log-
+    arithmetic, so engines can't disagree on digit assignment."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.abs(F.col("o_totalprice")).cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    cells = (
+        orders.filter(F.abs(F.col("o_totalprice")) >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = cells.agg(F.sum("n_obs").alias("n_tot"))
+    import math
+
+    expected = F.element_at(
+        F.array(*[F.lit(round(math.log10(1 + 1 / d), 6)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            expected.alias("benford_share"),
+            F.round(
+                F.col("n_obs").cast("double") / F.col("n_tot").cast("double"), 6
+            ).alias("observed_share"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    import math
+
+    shares = ", ".join(
+        f"({d}, {round(math.log10(1 + 1 / d), 6)})" for d in range(1, 10)
+    )
+    return f"""
+WITH cells AS (
+  SELECT CAST(substring(CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n_obs
+  FROM orders WHERE abs(o_totalprice) >= 1
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM cells),
+exp_share(digit, benford_share) AS (VALUES {shares})
+SELECT c.digit, c.n_obs, CAST(e.benford_share AS DOUBLE) AS benford_share,
+  round(CAST(c.n_obs AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6) AS observed_share
+FROM cells c JOIN exp_share e ON e.digit = c.digit CROSS JOIN t
+ORDER BY c.digit
+"""
+
+
+BENFORD_DIGITS_SQL = _benford_sql()
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration index per group (exact sorted-rank formula)
+# ---------------------------------------------------------------------------
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini per nation: how unevenly customer
+    lifetime revenue is distributed — the data-profiling question behind
+    "is this segment driven by a few whales".  Per-customer revenue is
+    one fact shuffle; the Gini uses the exact rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over values sorted ascending
+    within each nation — ONE window shuffle (rank + the two sums share
+    the partitioning), exact decimal/integer moments, one double
+    division at the end (corr_matrix discipline).  Ties are handled by
+    (value, customer) total order, identical on both engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .join(cust, "o_custkey")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev", "o_custkey")
+    ranked = rev.select(
+        "c_nationkey",
+        "rev",
+        F.row_number().over(w).cast("decimal(18,0)").alias("i"),
+    )
+    m = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("i") * F.col("rev")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx, six = F.col("sx").cast("double"), F.col("six").cast("double")
+    return m.select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.when(
+            sx != F.lit(0.0),
+            F.round((F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx), 6),
+        ).alias("gini"),
+    ).orderBy("nationkey")
+
+
+GINI_REVENUE_SQL = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.c_nationkey, r.rev, r.o_custkey FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+),
+ranked AS (
+  SELECT c_nationkey, rev,
+    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY rev, o_custkey)
+         AS DECIMAL(18,0)) AS i
+  FROM j
+),
+m AS (
+  SELECT c_nationkey, count(*) AS n, sum(rev) AS sx, sum(i * rev) AS six
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+  CAST(n AS BIGINT) AS n_customers,
+  CASE WHEN CAST(sx AS DOUBLE) <> 0.0
+       THEN round((2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+  END AS gini
+FROM m
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
@@ -2375,6 +2521,8 @@ QUERIES = {
     "daily_autocorr": q_daily_autocorr,
     "ks_statistic": q_ks_statistic,
     "clamped_balance": q_clamped_balance,
+    "benford_digits": q_benford_digits,
+    "gini_revenue": q_gini_revenue,
 }
 
 ORACLES = {
@@ -2410,4 +2558,6 @@ ORACLES = {
     "daily_autocorr": DAILY_AUTOCORR_SQL,
     "ks_statistic": KS_STATISTIC_SQL,
     "clamped_balance": CLAMPED_BALANCE_SQL,
+    "benford_digits": BENFORD_DIGITS_SQL,
+    "gini_revenue": GINI_REVENUE_SQL,
 }
