@@ -249,3 +249,57 @@ def test_prefix_index_is_smaller_than_full_index(spark):
     expected = sum(s - math.ceil(t * s) + 1 for s in sizes.values())
     assert pref.count() == expected
     assert pref.count() < 0.5 * full
+
+
+def test_postings_and_prefix_caches_invalidated_on_source_change(spark, tmp_path):
+    """The posting table and the prefix index follow the same
+    fingerprint-keyed discipline as the cluster cache: a regenerated
+    documents fixture must rebuild both, and a repeat call with an
+    unchanged fixture must reuse the same materialized path."""
+    import os
+    import shutil
+
+    from realparse_spark.operators.dedup import (
+        _POSTINGS,
+        _PREFIX_IDX,
+        q_dedup_ngram,
+        q_dedup_prefix_jaccard,
+    )
+
+    d = str(tmp_path / "sfcopy_post")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", p)
+
+    q_dedup_ngram(spark, d).count()
+    q_dedup_prefix_jaccard(spark, d).count()
+    post1 = {k: v for k, v in _POSTINGS.items() if k[0] == os.path.abspath(d)}
+    pref1 = {k: v for k, v in _PREFIX_IDX.items() if k[0] == os.path.abspath(d)}
+    assert len(post1) == 1 and len(pref1) == 1
+    for path in list(post1.values()) + list(pref1.values()):
+        assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+    # unchanged source: same key, same path (reuse, no rebuild)
+    q_dedup_ngram(spark, d).count()
+    assert {k: v for k, v in _POSTINGS.items() if k[0] == os.path.abspath(d)} == post1
+
+    # regenerated source: new key — stale index must not serve
+    os.utime(p, ns=(1, 1))
+    q_dedup_ngram(spark, d).count()
+    q_dedup_prefix_jaccard(spark, d).count()
+    post2 = {k for k in _POSTINGS if k[0] == os.path.abspath(d)}
+    pref2 = {k for k in _PREFIX_IDX if k[0] == os.path.abspath(d)}
+    assert len(post2) == 2, "stale posting table reused after source change"
+    assert len(pref2) == 2, "stale prefix index reused after source change"
+
+
+def test_prefix_self_join_keeps_explicit_parallelism(spark):
+    """Regression for the AQE-coalesce trap: the verify-inline self-join's
+    output is the multi-million-pair candidate stream, so the plan must
+    keep the explicit repartition on the join key (user-specified
+    partition counts are exempt from AQE coalescing)."""
+    from realparse_spark.operators.dedup import q_dedup_prefix_jaccard
+
+    df = q_dedup_prefix_jaccard(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan or "repartitionbyexpression" in plan.lower(), plan[:1500]
