@@ -111,6 +111,7 @@ EXTRA = [
     "doc_stratified_take",  # exact-n-per-stratum deterministic quota sample
     "text_tfidf_cosine",    # weighted sparse-vector similarity (integer idf)
     "fuzzy_match_parts",    # blocked edit-distance record linkage
+    "snm_linkage",          # sorted-neighborhood pass (two-phase global rank)
     "pagerank_parts",       # 3-iteration integer PageRank (co-order graph)
     "skew_profile",         # shuffle-key pre-flight (heavy-key shares)
     "join_size_profile",    # exact join-cardinality pre-flight (O(keys))

@@ -111,5 +111,122 @@ ORDER BY p_type, name_a, name_b
 """
 
 
-QUERIES = {"fuzzy_match_parts": q_fuzzy_match_parts}
-ORACLES = {"fuzzy_match_parts": FUZZY_MATCH_PARTS_SQL}
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    window: int = 5,
+    max_dist: int = 2,
+    n_ranges: int = 8,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez-Stolfo): sort the
+    distinct keys by a SORT KEY (here the reversed string, so suffix-
+    sharing variants land adjacent even when the typo hits the first
+    character — the case equality blocking misses), then compare each key
+    only to its `window` successors in the global order.
+
+    The global rank uses the two-phase distributed pattern, not a
+    single-partition window: `repartitionByRange` on the sort key, a
+    per-partition row_number, and a broadcast prefix-offset join — each
+    executor ranks its own range, O(rows/partitions) state anywhere.
+    Range boundaries come from sampling and can differ run to run, but
+    the final rank is the position in a total order over UNIQUE keys, so
+    the output is deterministic regardless of where the cuts fall.
+    Candidates come from ONE equi-join on the rank bucket (each row
+    probes its own and the previous width-`window` bucket), so the
+    neighborhood comparison is O(keys x window), never quadratic."""
+    from pyspark.sql import Window
+
+    names = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    keyed = names.select(
+        F.col(key_col).alias("name"), "n", F.reverse(key_col).alias("sk")
+    )
+    ranged = keyed.repartitionByRange(n_ranges, "sk", "name").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_pid").orderBy("sk", "name")
+    local = ranged.withColumn("_lrn", F.row_number().over(local_w))
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select("_pid", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"))
+    )
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
+        "name", "n", "sk", (F.col("_lrn") + F.col("_off")).alias("rn")
+    )
+    bkt = F.floor((F.col("rn") - 1) / window).cast("bigint")
+    a = ranked.select(
+        F.col("name").alias("name_a"),
+        F.col("n").alias("n_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(bkt, bkt + 1)).alias("_bkt"),
+    )
+    b = ranked.select(
+        F.col("name").alias("name_b"),
+        F.col("n").alias("n_b"),
+        F.col("rn").alias("rn_b"),
+        bkt.alias("_bkt"),
+    )
+    return (
+        a.join(b, ["_bkt"])
+        .filter(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= window)
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+            & (F.levenshtein("name_a", "name_b") <= max_dist)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            (F.col("rn_b") - F.col("rn_a")).cast("int").alias("rank_gap"),
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
+def q_snm_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood pass over part names, sort key = reversed name
+    (window 5, edit distance <= 2) — the complement of the p_type-blocked
+    pass: it catches variant spellings whose first characters differ.
+    Oracle is the literal single-sequence row_number formulation."""
+    from realparse_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(part, "p_name", window=5, max_dist=2).orderBy(
+        "name_a", "name_b"
+    )
+
+
+SNM_LINKAGE_SQL = """
+WITH names AS (
+  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY p_name
+),
+ranked AS (
+  SELECT name, n,
+    row_number() OVER (ORDER BY reverse(name), name) AS rn
+  FROM names
+)
+SELECT a.name AS name_a, b.name AS name_b,
+  CAST(b.rn - a.rn AS INTEGER) AS rank_gap,
+  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+  a.n AS n_a, b.n AS n_b
+FROM ranked a JOIN ranked b
+  ON b.rn - a.rn BETWEEN 1 AND 5
+WHERE abs(length(a.name) - length(b.name)) <= 2
+  AND levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+QUERIES = {
+    "fuzzy_match_parts": q_fuzzy_match_parts,
+    "snm_linkage": q_snm_linkage,
+}
+ORACLES = {
+    "fuzzy_match_parts": FUZZY_MATCH_PARTS_SQL,
+    "snm_linkage": SNM_LINKAGE_SQL,
+}

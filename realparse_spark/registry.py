@@ -65,7 +65,8 @@ _MODULES = (
 # graph_khop, hist_quantiles, corr_matrix, grouping_sets_agg,
 # bloom_prune_join, interval_overlap_join, crosstab_chi2,
 # ols_price_model, weighted_median, daily_autocorr, ks_statistic,
-# l_diversity, clamped_balance, benford_digits, gini_revenue.
+# l_diversity, clamped_balance, benford_digits, gini_revenue,
+# snm_linkage.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",
