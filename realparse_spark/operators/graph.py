@@ -386,6 +386,10 @@ def triangle_counts(edges: DataFrame, deg: DataFrame) -> DataFrame:
             F.explode(F.array_intersect("nb_a", "nb_b")).alias("c"),
         )
     )
+    # materialized once: the 3-way member union references `tri` three
+    # times, and without the lineage cut the attach-joins + intersection
+    # (the dominant stage) would run once per branch
+    tri = tri.localCheckpoint()
     member = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
