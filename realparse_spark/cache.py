@@ -1,0 +1,91 @@
+"""Build-once parquet snapshot cache shared by the dedup/graph/similarity
+index builders.
+
+A *snapshot* is a derived on-disk table (inverted posting index, cluster
+table, co-order edge list, ANN index) keyed by a content fingerprint of its
+source parquet plus build parameters.  All builders share ONE install
+protocol, safe under concurrent builder processes sharing a tmpdir AND
+under concurrent lazy readers:
+
+1. ``_SUCCESS`` (not just the directory) gates reuse — a directory left by
+   a crashed pre-rename writer is recomputed, not trusted.  The marker is
+   re-checked even on in-memory cache hits, so an externally wiped /tmp
+   triggers a rebuild instead of a failed read of a vanished table.
+2. Builders write into a process-unique ``.tmp-<pid>`` directory, then
+   RE-CHECK the destination: if another writer completed install while we
+   were building, our tmp is discarded and the winner's table is used (the
+   key fingerprints inputs + parameters, so both tables are equivalent).
+   A completed snapshot is NEVER deleted — a concurrent reader may hold a
+   lazy Spark plan over its part-files.
+3. Only a PARTIAL destination (directory lacking ``_SUCCESS``) is cleared
+   before the atomic rename; losing the rename race discards tmp and
+   falls back to the winner's table.
+
+At 100 TB the same protocol maps onto an object store: the fingerprint key
+becomes the source table's snapshot id, tmp becomes a staging prefix, and
+the atomic rename becomes a metastore pointer swap — the invariant to
+preserve is identical (never delete an installed snapshot a reader may
+hold; writers race by re-checking, not by clobbering).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+
+def fingerprint_key(sf_dir: str, table: str, *extras) -> tuple:
+    """Content fingerprint of ``<sf_dir>/<table>.parquet`` plus build
+    params — a regenerated-in-place fixture changes mtime/size and
+    invalidates every dependent snapshot (no stale-index reuse)."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, *extras)
+
+
+def snapshot_path(
+    cache: dict[tuple, str],
+    key: tuple,
+    prefix: str,
+    build: Callable[[str], None],
+) -> str:
+    """Return the directory of the installed snapshot for ``key``,
+    building it via ``build(tmp_dir)`` if absent.
+
+    ``build`` must write the snapshot's table(s) under ``tmp_dir``; a
+    top-level ``_SUCCESS`` marker is ensured afterwards (Spark's parquet
+    writer creates one for single-table snapshots; multi-table builders
+    get one added only after every sub-table landed).
+    """
+    path = cache.get(key)
+    if path is not None and os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path
+    path = os.path.join(
+        tempfile.gettempdir(),
+        prefix + hashlib.md5(repr(key).encode()).hexdigest()[:12],
+    )
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build(tmp)
+        if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+            with open(os.path.join(tmp, "_SUCCESS"), "w"):
+                pass
+        if os.path.isfile(os.path.join(path, "_SUCCESS")):
+            # another writer installed a complete snapshot while we built —
+            # use theirs, never delete it out from under its readers
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # only a PARTIAL directory (crashed pre-rename writer) is
+            # cleared; then the rename lands atomically
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # lost the rename race — the winner's table is equivalent
+                shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            raise RuntimeError(f"snapshot install failed for {path}")
+    cache[key] = path
+    return path

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realparse_spark.cache import fingerprint_key, snapshot_path
 from realparse_spark.operators.text import ws_tokens
 from realparse_spark.sources.tables import fan_out, load_table
 
@@ -380,32 +381,20 @@ _PREFIX_IDX: dict[tuple, str] = {}
 
 
 def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     n, threshold = 2, 0.6
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, n, threshold)
-    path = _PREFIX_IDX.get(key)
-    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "realparse_prefidx_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
-        )
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            tmp = f"{path}.tmp-{os.getpid()}"
-            docs = fan_out(load_table(spark, sf_dir, "documents"))
-            # reuse the builder inside prefix_jaccard_pairs by rebuilding
-            # the index here (one-time per corpus snapshot)
-            _build_prefix_index(docs, n, threshold).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-        _PREFIX_IDX[key] = path
+
+    def _build(tmp: str) -> None:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        # reuse the builder inside prefix_jaccard_pairs by rebuilding
+        # the index here (one-time per corpus snapshot)
+        _build_prefix_index(docs, n, threshold).write.mode("overwrite").parquet(tmp)
+
+    path = snapshot_path(
+        _PREFIX_IDX,
+        fingerprint_key(sf_dir, "documents", n, threshold),
+        "realparse_prefidx_",
+        _build,
+    )
     return _prefix_self_join(spark.read.parquet(path), threshold)
 
 
@@ -983,72 +972,31 @@ _POSTINGS: dict[tuple, str] = {}
 def _postings_for(
     spark: SparkSession, sf_dir: str, n: int = 3, df_cap: int = 1000
 ) -> str:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    def _build(tmp: str) -> None:
+        _rare_postings(
+            fan_out(load_table(spark, sf_dir, "documents")), n, df_cap
+        ).write.mode("overwrite").parquet(tmp)
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, n, df_cap)
-    path = _POSTINGS.get(key)
-    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "realparse_postings_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
-        )
-        # same crash/concurrency discipline as _clusters_for: _SUCCESS
-        # gates reuse; write to a process-unique dir, atomic-rename in
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            tmp = f"{path}.tmp-{os.getpid()}"
-            _rare_postings(
-                fan_out(load_table(spark, sf_dir, "documents")), n, df_cap
-            ).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-        _POSTINGS[key] = path
-    return path
+    return snapshot_path(
+        _POSTINGS,
+        fingerprint_key(sf_dir, "documents", n, df_cap),
+        "realparse_postings_",
+        _build,
+    )
 
 
 def _clusters_for(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
+    def _build(tmp: str) -> None:
+        # pair stage reads the shared posting table too
+        pairs = q_dedup_ngram(spark, sf_dir)
+        dup_clusters(pairs).write.mode("overwrite").parquet(tmp)
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 3, 0.5)
-    path = _CLUSTERS.get(key)
-    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        import shutil
-
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "realparse_clusters_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
-        )
-        # _SUCCESS (not just the directory) gates reuse: a directory left
-        # by a crashed pre-rename writer must be recomputed, not trusted.
-        # Re-checked even on in-memory cache hits, so an externally wiped
-        # /tmp triggers a rebuild instead of a failed read.
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            # write to a process-unique temp dir, then atomically rename into
-            # place: two concurrent processes computing the same key must
-            # never overwrite a directory the other is lazily reading
-            tmp = f"{path}.tmp-{os.getpid()}"
-            # pair stage reads the shared posting table too
-            pairs = q_dedup_ngram(spark, sf_dir)
-            dup_clusters(pairs).write.mode("overwrite").parquet(tmp)
-            # clear a crashed writer's partial directory (no _SUCCESS)
-            # so the atomic rename can land
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                # lost the race — the winner's table is byte-equivalent
-                shutil.rmtree(tmp, ignore_errors=True)
-        _CLUSTERS[key] = path
-    return path
+    return snapshot_path(
+        _CLUSTERS,
+        fingerprint_key(sf_dir, "documents", 3, 0.5),
+        "realparse_clusters_",
+        _build,
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,82 +148,56 @@ _EDGES: dict[tuple, str] = {}
 
 
 def _co_order_edges_for(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
-    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    from realparse_spark.cache import fingerprint_key, snapshot_path
+
+    def _build(tmp: str) -> None:
+        from realparse_spark.sources.tables import load_table
+
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+        b = li.select(
+            F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("dst")
+        )
+        edges = (
+            a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("src") != F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        )
+        # Both the edge list and the degree table are part of the
+        # snapshot — the iterative consumer reads deg once per iteration,
+        # so it must be an O(V) scan, not a recomputed O(E) shuffle.
+        edges.write.mode("overwrite").parquet(os.path.join(tmp, "edges"))
+        spark.read.parquet(os.path.join(tmp, "edges")).groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg"),
+            F.sum("w").cast("bigint").alias("strength"),
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "deg"))
+        # per-item support and the basket total round out the snapshot:
+        # market_basket's lift needs them, and both are one cheap narrow
+        # aggregate at build time vs a corpus re-scan per consumer
+        li.groupBy(F.col("l_partkey").alias("part")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_item")
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "items"))
+        li.agg(
+            F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("n_orders")
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "totals"))
+        # snapshot_path adds the top-level _SUCCESS marker only after
+        # ALL sub-tables landed
+
     # v3: edges carry the co-order count `w` (market_basket and
     # weighted PageRank read it; unweighted PageRank's column pruning
     # never materializes it) and deg carries strength alongside degree
-    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 3)
-    path = _EDGES.get(key)
-    if path is None or not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "realparse_coedges_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
-        )
-        # _SUCCESS (not just the directory) gates reuse: a directory left
-        # by a crashed pre-rename writer must be recomputed, not trusted.
-        # Re-checked even on in-memory cache hits, so an externally wiped
-        # /tmp (or a tmp-cleaner) triggers a rebuild instead of a failed
-        # read of a vanished table.
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            from realparse_spark.sources.tables import load_table
-
-            li = (
-                load_table(spark, sf_dir, "lineitem")
-                .select("l_orderkey", "l_partkey")
-                .distinct()
-            )
-            a = li.select(
-                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-            )
-            b = li.select(
-                F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("dst")
-            )
-            edges = (
-                a.join(
-                    b,
-                    (F.col("ok") == F.col("ok_b"))
-                    & (F.col("src") != F.col("dst")),
-                )
-                .groupBy("src", "dst")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-            )
-            # process-unique temp dir + atomic rename: concurrent
-            # processes computing the same key must never clobber a
-            # directory the other is lazily reading.  Both the edge list
-            # and the degree table are part of the snapshot — the
-            # iterative consumer reads deg once per iteration, so it
-            # must be an O(V) scan, not a recomputed O(E) shuffle.
-            tmp = f"{path}.tmp-{os.getpid()}"
-            edges.write.mode("overwrite").parquet(os.path.join(tmp, "edges"))
-            spark.read.parquet(os.path.join(tmp, "edges")).groupBy("src").agg(
-                F.count(F.lit(1)).cast("bigint").alias("deg"),
-                F.sum("w").cast("bigint").alias("strength"),
-            ).write.mode("overwrite").parquet(os.path.join(tmp, "deg"))
-            # per-item support and the basket total round out the
-            # snapshot: market_basket's lift needs them, and both are
-            # one cheap narrow aggregate at build time vs a corpus
-            # re-scan per consumer
-            li.groupBy(F.col("l_partkey").alias("part")).agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_item")
-            ).write.mode("overwrite").parquet(os.path.join(tmp, "items"))
-            li.agg(
-                F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("n_orders")
-            ).write.mode("overwrite").parquet(os.path.join(tmp, "totals"))
-            # top-level marker only after ALL sub-tables landed
-            with open(os.path.join(tmp, "_SUCCESS"), "w"):
-                pass
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-        _EDGES[key] = path
-    return path
+    return snapshot_path(
+        _EDGES,
+        fingerprint_key(sf_dir, "lineitem", 3),
+        "realparse_coedges_",
+        _build,
+    )
 
 
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -346,23 +346,14 @@ _LSH_INDEX: dict[tuple, str] = {}
 
 
 def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
+    from realparse_spark.cache import fingerprint_key, snapshot_path
 
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, N_PLANES, N_CHUNKS)
-    path = _LSH_INDEX.get(key)
-    # re-verified on cache hits: an externally wiped /tmp triggers a
-    # rebuild instead of a failed read of a vanished index
-    if path is None or not os.path.isdir(path):
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "realparse_lsh_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
-        )
-        build_lsh_index(load_table(spark, sf_dir, "embeddings"), path)
-        _LSH_INDEX[key] = path
-    return path
+    return snapshot_path(
+        _LSH_INDEX,
+        fingerprint_key(sf_dir, "embeddings", N_PLANES, N_CHUNKS),
+        "realparse_lsh_",
+        lambda tmp: build_lsh_index(load_table(spark, sf_dir, "embeddings"), tmp),
+    )
 
 
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,22 +566,16 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     regenerated in place, a stale on-disk index from a previous process
     must NOT be reused (the IVF queries have no oracle, so outdated
     neighbors would go unnoticed)."""
-    import hashlib
-    import os
-    import tempfile
+    from realparse_spark.cache import fingerprint_key, snapshot_path
 
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, 16, 42)
-    path = _IVF_INDEX.get(key)
-    # re-verified on cache hits (same self-healing as the LSH cache)
-    if path is None or not os.path.isdir(path):
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "realparse_ivf_" + hashlib.md5(repr(key).encode()).hexdigest()[:12],
-        )
-        build_ivf_index(load_table(spark, sf_dir, "embeddings"), path, n_centroids=16, seed=42)
-        _IVF_INDEX[key] = path
-    return path
+    return snapshot_path(
+        _IVF_INDEX,
+        fingerprint_key(sf_dir, "embeddings", 16, 42),
+        "realparse_ivf_",
+        lambda tmp: build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), tmp, n_centroids=16, seed=42
+        ),
+    )
 
 
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
