@@ -145,6 +145,12 @@ EXTRA = [
     "clamped_balance",      # clamp-at-zero balance via cumsum-minus-runmin
     "benford_digits",       # first-digit Benford audit (9-row output)
     "gini_revenue",         # per-nation Gini concentration (rank formula)
+    "poisson_bootstrap_ci",  # R-fold Poisson-weight replicate means (one shuffle)
+    "event_attribution",    # last-touch credit (one per-user window)
+    "seasonal_dow",         # additive decomposition over the daily rollup
+    "dp_group_counts",      # discrete-Laplace noisy release (O(groups) noise)
+    "doc_decontaminate",    # winnow -> contamination pairs -> keep/drop rollup
+    "linkage_clusters",     # fuzzy pairs -> connected components -> entities
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

@@ -1,0 +1,385 @@
+"""Statistical inference over event streams: resampled uncertainty,
+marketing attribution, and seasonal decomposition.
+
+The reference reports point aggregates only (`pull_report.pl:88-104` emits
+COUNT/MAX/AVG with no error bars); a pipeline feeding decisions (or
+training-data mix choices) from those aggregates needs the uncertainty and
+structure around them.  Three operators, all exact-parity oracled:
+
+- **Poisson bootstrap CI** — the distributed bootstrap: instead of
+  resampling n rows with replacement (which needs global coordination),
+  each row independently receives a Poisson(1) replicate weight (Chamandy
+  et al., "Estimating Uncertainty for Massive Data Streams", Google 2012).
+  One pass, map-side, embarrassingly parallel — THE bootstrap shape that
+  survives 100 TB.  Replicate weights come from an inverse-CDF ladder over
+  an md5-derived uniform, so the oracle reproduces them bit-for-bit.
+- **Last-touch attribution** — credit each conversion's value to the most
+  recent preceding touch event within a lookback window.  One partitioned
+  window over (user, time), never a global sort; the per-user event
+  sequence is the partition, which is exactly how the data shards.
+- **Day-of-week seasonal decomposition** — classic additive decomposition:
+  trend = 7-day centered moving average of the daily rollup, seasonal =
+  per-weekday mean deviation from trend.  The moving average is computed
+  as an explode(+/-3)+re-aggregate on the O(days) daily table (a
+  distributed shape with no global window); deviations stay in exact
+  DECIMAL (scaled by 7 to avoid division) until one final double division.
+
+All randomness is hash-derived (md5), so results are deterministic and
+engine-portable — a production release would swap the salt per run.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realparse_spark.sources.tables import load_table
+
+_U32 = 1 << 32
+
+
+def hash_u32(salt: str, *cols: Column) -> Column:
+    """Uniform integer in [0, 2^32) from md5 over salt:col:col... — the
+    portable seeded-uniform primitive (same construction as doc_split's
+    md5 bucketing; DuckDB: CAST('0x' || substring(md5(...), 1, 8) AS
+    BIGINT))."""
+    parts: list[Column] = [F.lit(salt)]
+    for c in cols:
+        parts.append(c.cast("string"))
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _hash_u32_sql(salt: str, *exprs: str) -> str:
+    concat = " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in exprs)
+    return (
+        f"CAST('0x' || substring(md5('{salt}:' || {concat}), 1, 8) AS BIGINT)"
+    )
+
+
+def cdf_thresholds(probs: list[float]) -> list[int]:
+    """Integer inverse-CDF thresholds over the u32 domain for a discrete
+    distribution: value k is chosen when u32 < thresholds[k] (first
+    match); the last outcome is the ELSE branch.  Thresholds are plain
+    integers embedded as literals in BOTH engines' expressions, so the
+    sampled value is identical by construction."""
+    total = sum(probs)
+    acc, out = 0.0, []
+    for p in probs[:-1]:
+        acc += p
+        out.append(min(_U32 - 1, int(acc / total * _U32)))
+    return out
+
+
+def _case_ladder(u: Column, thresholds: list[int], values: list) -> Column:
+    expr = None
+    for t, v in zip(thresholds, values[:-1]):
+        expr = F.when(u < t, F.lit(v)) if expr is None else expr.when(u < t, F.lit(v))
+    return expr.otherwise(F.lit(values[-1]))
+
+
+def _case_ladder_sql(u_expr: str, thresholds: list[int], values: list) -> str:
+    whens = " ".join(
+        f"WHEN {u_expr} < {t} THEN {v}" for t, v in zip(thresholds, values[:-1])
+    )
+    return f"CASE {whens} ELSE {values[-1]} END"
+
+
+# Poisson(1) replicate weights, inverse CDF truncated at 6 (tail mass
+# ~1e-4 folded into the last bucket — bias far below bootstrap noise)
+_POISSON_VALUES = list(range(7))
+_POISSON_THRESHOLDS = cdf_thresholds(
+    [math.exp(-1.0) / math.factorial(k) for k in range(6)] + [1.0 - sum(math.exp(-1.0) / math.factorial(k) for k in range(6))]
+)
+
+N_REPLICATES = 20
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_replicates: int = N_REPLICATES,
+) -> DataFrame:
+    """Per-group mean with a bootstrap interval: `n_replicates` Poisson-
+    weighted replicate means per group; the CI is the 2nd smallest / 2nd
+    largest replicate mean (a ~90% percentile interval at R=20, chosen by
+    exact rank so both engines select the same replicate).
+
+    100 TB shape: the explode multiplies rows R-fold BEFORE the shuffle,
+    but the (group, replicate) aggregation is map-side combined, so the
+    wire carries O(groups x R x partitions) partial rows — the R-fold
+    cost is compute, not shuffle, and is inherent to the bootstrap.  No
+    global state: every weight is a pure function of (key, replicate)."""
+    v = F.col(value_col).cast("decimal(18,4)")
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("k"), v.alias("v")
+    )
+    rep = base.withColumn(
+        "r", F.explode(F.sequence(F.lit(1), F.lit(n_replicates)))
+    )
+    u = hash_u32("boot", F.col("k"), F.col("r"))
+    w = _case_ladder(u, _POISSON_THRESHOLDS, _POISSON_VALUES).cast("long")
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("grp", "r")
+        .agg(
+            F.sum(F.col("v") * F.col("w")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "grp",
+            "r",
+            (
+                F.col("swx").cast("double")
+                / F.nullif(F.col("sw"), F.lit(0)).cast("double")
+            ).alias("mean_r"),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("grp").orderBy("mean_r", "r"))
+    ranked = means.withColumn("rn", rn)
+    ci = ranked.groupBy("grp").agg(
+        F.round(F.max(F.when(F.col("rn") == 2, F.col("mean_r"))), 6).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("rn") == n_replicates - 1, F.col("mean_r"))), 6
+        ).alias("ci_hi"),
+    )
+    point = base.groupBy("grp").agg(
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return (
+        point.join(ci, "grp")
+        .select(
+            F.col("grp").alias(group_col), "n_rows", "mean_value", "ci_lo", "ci_hi"
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap CI for the mean event value per event_type."""
+    return poisson_bootstrap_ci(
+        load_table(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+def _poisson_bootstrap_sql() -> str:
+    u = _hash_u32_sql("boot", "event_id", "r")
+    ladder = _case_ladder_sql(u, _POISSON_THRESHOLDS, _POISSON_VALUES)
+    return f"""
+WITH base AS (
+  SELECT event_type AS grp, event_id, CAST(value AS DECIMAL(18,4)) AS v
+  FROM events
+),
+rep AS (
+  SELECT grp, event_id, v, r, CAST({ladder} AS BIGINT) AS w
+  FROM base, (SELECT unnest(generate_series(1, {N_REPLICATES})) AS r)
+),
+means AS (
+  SELECT grp, r,
+    CAST(sum(v * w) AS DOUBLE) / CAST(nullif(sum(w), 0) AS DOUBLE) AS mean_r
+  FROM rep GROUP BY grp, r
+),
+ranked AS (
+  SELECT grp, r, mean_r,
+    row_number() OVER (PARTITION BY grp ORDER BY mean_r, r) AS rn
+  FROM means
+),
+ci AS (
+  SELECT grp,
+    round(max(CASE WHEN rn = 2 THEN mean_r END), 6) AS ci_lo,
+    round(max(CASE WHEN rn = {N_REPLICATES - 1} THEN mean_r END), 6) AS ci_hi
+  FROM ranked GROUP BY grp
+),
+point AS (
+  SELECT grp,
+    round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_value,
+    CAST(count(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY grp
+)
+SELECT p.grp AS event_type, p.n_rows, p.mean_value, c.ci_lo, c.ci_hi
+FROM point p JOIN ci c ON p.grp = c.grp
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+
+_TOUCH_TYPES = ("click", "view")
+_CONVERSION = "purchase"
+_LOOKBACK_DAYS = 7
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = _TOUCH_TYPES,
+    conversion: str = _CONVERSION,
+    lookback_days: int = _LOOKBACK_DAYS,
+) -> DataFrame:
+    """Attribute each conversion's value to the user's most recent
+    preceding touch event within the lookback window ('none' if no touch
+    qualifies).  ONE window partitioned by user — the shuffle key is the
+    natural shard key, per-partition state is the user's own history, and
+    `last(..., ignorenulls)` over an UNBOUNDED PRECEDING..1 PRECEDING
+    frame finds the latest touch without a self-join."""
+    evs = events.filter(
+        F.col("event_type").isin(*touch_types, conversion)
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") != conversion
+    lt = F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    ltts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    conv = evs.select(
+        "event_type",
+        "v",
+        F.when(
+            lt.isNotNull()
+            & (ltts >= F.col("ts") - F.expr(f"INTERVAL {lookback_days} DAYS")),
+            lt,
+        )
+        .otherwise(F.lit("none"))
+        .alias("channel"),
+    ).filter(F.col("event_type") == conversion)
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.round(F.sum("v").cast("double"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+EVENT_ATTRIBUTION_SQL = f"""
+WITH evs AS (
+  SELECT user_id, ts, event_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+),
+win AS (
+  SELECT event_type, v, ts,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER w AS lt,
+    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      OVER w AS ltts
+  FROM evs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (
+  SELECT v,
+    CASE WHEN lt IS NOT NULL AND ltts >= ts - INTERVAL '{_LOOKBACK_DAYS} days'
+         THEN lt ELSE 'none' END AS channel
+  FROM win WHERE event_type = 'purchase'
+)
+SELECT channel,
+  CAST(count(*) AS BIGINT) AS n_conversions,
+  round(CAST(sum(v) AS DOUBLE), 4) AS attributed_value
+FROM conv GROUP BY channel ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# day-of-week seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def seasonal_dow(events: DataFrame) -> DataFrame:
+    """Additive seasonal decomposition of the daily value total: per
+    weekday, the mean deviation from a 7-day centered moving-average
+    trend.  The centered window is computed by exploding each daily row
+    to the +/-3 target days and re-aggregating — an equi-join shape on
+    the O(days) rollup with no global window, so it distributes no
+    matter how long the calendar grows.  Deviations stay exact: scaled
+    by 7 (dev7 = 7*total - window_sum, DECIMAL) so the only float op is
+    the final per-weekday mean."""
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("tot")
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("k"), "d", "tot"
+    ).select(F.expr("date_add(d, k)").alias("d_t"), "tot")
+    win = contrib.groupBy("d_t").agg(
+        F.sum("tot").alias("s7"), F.count(F.lit(1)).alias("c7")
+    )
+    dev = (
+        daily.join(win, daily.d == win.d_t)
+        .filter(F.col("c7") == 7)
+        .select(
+            F.date_format("d", "EEEE").alias("dow"),
+            (F.col("tot") * 7 - F.col("s7")).alias("dev7"),
+        )
+    )
+    return (
+        dev.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum("dev7").cast("double") / (7 * F.count(F.lit(1))), 6
+            ).alias("seasonal"),
+        )
+        .orderBy("dow")
+    )
+
+
+def q_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_dow(load_table(spark, sf_dir, "events"))
+
+
+SEASONAL_DOW_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, sum(CAST(value AS DECIMAL(18,4))) AS tot
+  FROM events GROUP BY 1
+),
+contrib AS (
+  SELECT d + CAST(k AS INTEGER) AS d_t, tot
+  FROM daily, (SELECT unnest(generate_series(-3, 3)) AS k)
+),
+win AS (
+  SELECT d_t, sum(tot) AS s7, count(*) AS c7 FROM contrib GROUP BY d_t
+),
+dev AS (
+  SELECT dayname(d) AS dow, daily.tot * 7 - win.s7 AS dev7
+  FROM daily JOIN win ON daily.d = win.d_t
+  WHERE win.c7 = 7
+)
+SELECT dow,
+  CAST(count(*) AS BIGINT) AS n_days,
+  round(CAST(sum(dev7) AS DOUBLE) / (7 * count(*)), 6) AS seasonal
+FROM dev GROUP BY dow ORDER BY dow
+"""
+
+
+QUERIES = {
+    "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
+    "event_attribution": q_event_attribution,
+    "seasonal_dow": q_seasonal_dow,
+}
+ORACLES = {
+    "poisson_bootstrap_ci": _poisson_bootstrap_sql(),
+    "event_attribution": EVENT_ATTRIBUTION_SQL,
+    "seasonal_dow": SEASONAL_DOW_SQL,
+}

@@ -222,11 +222,98 @@ ORDER BY name_a, name_b
 """
 
 
+def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: blocked fuzzy pairs -> connected
+    components -> one row per resolved entity (cluster) with its member
+    and source-row mass.  This is the step that turns a pair list into
+    the merge an MDM/dedup pipeline actually applies; components reuse
+    `dup_clusters` (size-adaptive union-find / min-label propagation),
+    so the same CC engine serves text near-dup AND record linkage.
+
+    Names are mapped to stable long ids (min p_partkey per name) before
+    clustering — CC propagates longs, and the id doubles as the
+    deterministic cluster representative.  Oracle = recursive CTE over
+    the identical pair list."""
+    from realparse_spark.operators.dedup import dup_clusters
+    from realparse_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = (
+        blocked_fuzzy_pairs(part, "p_type", "p_name", max_dist=2)
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    ids = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    edges = (
+        pairs.join(
+            ids.select(F.col("p_name").alias("name_a"), F.col("id").alias("doc_a")),
+            "name_a",
+        )
+        .join(
+            ids.select(F.col("p_name").alias("name_b"), F.col("id").alias("doc_b")),
+            "name_b",
+        )
+        .select("doc_a", "doc_b")
+    )
+    clusters = dup_clusters(edges)
+    stats = clusters.join(
+        ids.select(F.col("id").alias("doc_id"), "n_rows"), "doc_id"
+    )
+    return (
+        stats.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+LINKAGE_CLUSTERS_SQL = """
+WITH RECURSIVE names AS (
+  SELECT p_type, p_name FROM part GROUP BY p_type, p_name
+),
+ids AS (
+  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS id,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM part GROUP BY p_name
+),
+npairs AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b ON a.p_type = b.p_type AND a.p_name < b.p_name
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+    AND levenshtein(a.p_name, b.p_name) <= 2
+),
+ip AS (
+  SELECT ia.id AS a, ib.id AS b
+  FROM npairs JOIN ids ia ON ia.p_name = npairs.name_a
+              JOIN ids ib ON ib.p_name = npairs.name_b
+),
+edges AS (SELECT a, b FROM ip UNION SELECT b, a FROM ip),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clus AS (SELECT least(a, min(b)) AS cluster_id, a AS doc_id FROM reach GROUP BY a)
+SELECT c.cluster_id,
+  CAST(count(*) AS BIGINT) AS n_members,
+  CAST(sum(i.n_rows) AS BIGINT) AS n_rows
+FROM clus c JOIN ids i ON i.id = c.doc_id
+GROUP BY c.cluster_id ORDER BY c.cluster_id
+"""
+
+
 QUERIES = {
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "snm_linkage": q_snm_linkage,
+    "linkage_clusters": q_linkage_clusters,
 }
 ORACLES = {
     "fuzzy_match_parts": FUZZY_MATCH_PARTS_SQL,
     "snm_linkage": SNM_LINKAGE_SQL,
+    "linkage_clusters": LINKAGE_CLUSTERS_SQL,
 }

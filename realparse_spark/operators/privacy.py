@@ -271,15 +271,99 @@ ORDER BY n_sensitive
 """
 
 
+# ---------------------------------------------------------------------------
+# differentially-private group counts (discrete Laplace / two-sided geometric)
+# ---------------------------------------------------------------------------
+
+# eps = 1, sensitivity 1 -> alpha = e^-eps; noise k in [-8, 8] with
+# P(k) ∝ alpha^|k| (Ghosh-Roughgarden-Sundararajan's geometric mechanism,
+# the integer-valued analogue of Laplace).  Truncation at ±8 carries
+# ~2.5e-4 tail mass for eps=1 — documented utility, not silent.
+_DP_EPS = 1.0
+_DP_MAX_NOISE = 8
+
+
+def _dp_probs() -> list[float]:
+    import math
+
+    alpha = math.exp(-_DP_EPS)
+    return [alpha ** abs(k) for k in range(-_DP_MAX_NOISE, _DP_MAX_NOISE + 1)]
+
+
+def dp_group_counts(
+    df: DataFrame, group_col: str, salt: str = "dp"
+) -> DataFrame:
+    """Noisy group counts under the truncated geometric (discrete
+    Laplace) mechanism at eps=1: the standard DP release for count
+    queries, with noise drawn by inverse CDF over an md5-derived uniform
+    keyed on the group value — deterministic here so the oracle (and a
+    re-run audit) reproduces the release bit-for-bit; a production
+    release salts per publication instead.
+
+    Output keeps the true count alongside the released one because this
+    is a correctness fixture for the MECHANISM (|released - true| <= 8
+    by construction); an actual release drops n_true.
+
+    100 TB shape: one map-side-combined groupBy; the noise is a scalar
+    expression over the O(groups) aggregate — nothing row-level."""
+    from realparse_spark.operators.inference import (
+        _case_ladder,
+        cdf_thresholds,
+        hash_u32,
+    )
+
+    values = list(range(-_DP_MAX_NOISE, _DP_MAX_NOISE + 1))
+    thresholds = cdf_thresholds(_dp_probs())
+    grouped = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    u = hash_u32(salt, F.col(group_col))
+    noise = _case_ladder(u, thresholds, values).cast("bigint")
+    return grouped.select(
+        group_col,
+        "n_true",
+        (F.col("n_true") + noise).alias("n_released"),
+    ).orderBy(group_col)
+
+
+def q_dp_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realparse_spark.sources.tables import load_table
+
+    return dp_group_counts(load_table(spark, sf_dir, "events"), "event_type")
+
+
+def _dp_group_counts_sql() -> str:
+    from realparse_spark.operators.inference import (
+        _case_ladder_sql,
+        _hash_u32_sql,
+        cdf_thresholds,
+    )
+
+    values = list(range(-_DP_MAX_NOISE, _DP_MAX_NOISE + 1))
+    u = _hash_u32_sql("dp", "event_type")
+    ladder = _case_ladder_sql(u, cdf_thresholds(_dp_probs()), values)
+    return f"""
+WITH grouped AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_true,
+  n_true + CAST({ladder} AS BIGINT) AS n_released
+FROM grouped ORDER BY event_type
+"""
+
+
 QUERIES = {
     "anonymize_ips": q_anonymize_ips,
     "redact_pii": q_redact_pii,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
+    "dp_group_counts": q_dp_group_counts,
 }
 ORACLES = {
     "anonymize_ips": _anonymize_sql(),
     "redact_pii": REDACT_PII_SQL,
     "k_anonymity": K_ANONYMITY_SQL,
     "l_diversity": L_DIVERSITY_SQL,
+    "dp_group_counts": _dp_group_counts_sql(),
 }

@@ -979,6 +979,77 @@ ORDER BY source
 )
 
 
+# ---------------------------------------------------------------------------
+# decontamination report: the REMOVE step on top of contamination detection
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_report(
+    train_docs: DataFrame, contaminated_ids: DataFrame, by: str = "source"
+) -> DataFrame:
+    """Per-source keep/drop accounting for a benchmark-decontamination
+    pass: how many training docs each source loses when every doc that
+    shares >= min_shared winnowing fingerprints with the benchmark set is
+    dropped.  The flag join is a LEFT join against the (small relative to
+    the corpus) contaminated-id set — at 100 TB that side is still tiny
+    (benchmark overlaps are rare by construction), so AQE broadcasts it;
+    the aggregate is map-side combined."""
+    flagged = train_docs.join(
+        contaminated_ids.withColumn("_contaminated", F.lit(True)),
+        "doc_id",
+        "left",
+    )
+    return (
+        flagged.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.sum(
+                F.when(F.col("_contaminated"), 1).otherwise(0)
+            ).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            by,
+            "n_train",
+            "n_dropped",
+            (F.col("n_train") - F.col("n_dropped")).alias("n_kept"),
+        )
+        .orderBy(by)
+    )
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decontamination over the fixture's every-20th-doc
+    benchmark split: detection (winnow -> shared-fp pairs, same operator
+    the `text_contamination` query verifies) feeding the remove/report
+    step."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(docs)
+    pairs = contamination_pairs(fps, F.col("doc_id") % 20 == 0)
+    contaminated = pairs.select(F.col("train_doc").alias("doc_id")).distinct()
+    train = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "source")
+    return decontaminate_report(train, contaminated)
+
+
+# extends the contamination chain: pair list -> distinct contaminated ids
+# -> per-source keep/drop rollup over the train split
+DOC_DECONTAMINATE_SQL = (
+    TEXT_CONTAMINATION_SQL.replace(
+        "SELECT b.doc_id AS bench_doc",
+        ", pairs AS (\nSELECT b.doc_id AS bench_doc",
+    )
+    + """),
+contaminated AS (SELECT DISTINCT train_doc AS doc_id FROM pairs)
+SELECT d.source,
+  CAST(count(*) AS BIGINT) AS n_train,
+  CAST(count(c.doc_id) AS BIGINT) AS n_dropped,
+  CAST(count(*) - count(c.doc_id) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % 20 <> 0
+GROUP BY d.source ORDER BY d.source
+"""
+)
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_tfidf_cosine": q_text_tfidf_cosine,
@@ -992,6 +1063,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_winnow": q_text_winnow,
     "text_contamination": q_text_contamination,
+    "doc_decontaminate": q_doc_decontaminate,
     "vocab_build": q_vocab_build,
     "text_oov_rate": q_text_oov_rate,
 }
@@ -1009,6 +1081,7 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_winnow": TEXT_WINNOW_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "vocab_build": VOCAB_BUILD_SQL,
     "text_oov_rate": TEXT_OOV_RATE_SQL,
 }

@@ -26,6 +26,7 @@ _MODULES = (
     "realparse_spark.operators.advanced",
     "realparse_spark.operators.privacy",
     "realparse_spark.operators.analytics",
+    "realparse_spark.operators.inference",
     "realparse_spark.operators.tpch_extra",
     "realparse_spark.operators.tpch_partsupp",
     "realparse_spark.operators.dq",
@@ -66,7 +67,9 @@ _MODULES = (
 # bloom_prune_join, interval_overlap_join, crosstab_chi2,
 # ols_price_model, weighted_median, daily_autocorr, ks_statistic,
 # l_diversity, clamped_balance, benford_digits, gini_revenue,
-# snm_linkage.
+# snm_linkage, and the round-6 in-session additions (all sf0.001+sf0.01
+# parity-green at add time): poisson_bootstrap_ci, event_attribution,
+# seasonal_dow, dp_group_counts, doc_decontaminate, linkage_clusters.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",
