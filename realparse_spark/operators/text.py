@@ -672,6 +672,15 @@ def tfidf_cosine_pairs(
     Zipf blowup); one term-keyed self-join whose matched rows ARE the
     non-zero dot-product contributions, one (doc_a, doc_b) groupBy, two
     broadcast joins against the tiny per-doc norm table."""
+    wt = _tfidf_weights(docs, df_cap).localCheckpoint()
+    return _tfidf_pair_join(wt, threshold)
+
+
+def _tfidf_weights(docs: DataFrame, df_cap: int = 1000) -> DataFrame:
+    """The (doc_id, term, w) weighted posting table — the reusable
+    index artifact of tf-idf similarity (cf. _minhash_sig_for /
+    dedup._postings_for): built once per corpus snapshot, consumed by
+    the pair join below."""
     tf = (
         docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
@@ -682,11 +691,16 @@ def tfidf_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= df_cap)
     )
-    wt = tf.join(dfreq, "term").select(
+    return tf.join(dfreq, "term").select(
         "doc_id",
         "term",
         F.expr("CAST(tf * (100000 div (df + 1)) AS BIGINT)").alias("w"),
-    ).localCheckpoint()  # feeds norms + both join sides (cf. _gram_pair_counts)
+    )
+
+
+def _tfidf_pair_join(wt: DataFrame, threshold: float) -> DataFrame:
+    # wt feeds norms + both join sides (cf. _gram_pair_counts) — callers
+    # pass either a localCheckpoint'd build or a parquet-backed snapshot
     norms = wt.groupBy("doc_id").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("n2")
     )
@@ -717,8 +731,28 @@ def tfidf_cosine_pairs(
     )
 
 
+# Materialized tf-idf weight table, fingerprint-keyed per corpus — same
+# cache discipline as dedup's _POSTINGS/_PREFIX_IDX/_MINHASH_SIG.
+_TFIDF_WT: dict[tuple, str] = {}
+
+
 def q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tfidf_cosine_pairs(fan_out(load_table(spark, sf_dir, "documents")))
+    from realparse_spark.cache import fingerprint_key, snapshot_path
+
+    df_cap = 1000
+
+    def _build(tmp: str) -> None:
+        _tfidf_weights(
+            fan_out(load_table(spark, sf_dir, "documents")), df_cap
+        ).write.mode("overwrite").parquet(tmp)
+
+    path = snapshot_path(
+        _TFIDF_WT,
+        fingerprint_key(sf_dir, "documents", "tfidf", df_cap),
+        "realparse_tfidf_",
+        _build,
+    )
+    return _tfidf_pair_join(spark.read.parquet(path), threshold=0.9)
 
 
 TEXT_TFIDF_COSINE_SQL = r"""

@@ -303,3 +303,51 @@ def test_prefix_self_join_keeps_explicit_parallelism(spark):
     df = q_dedup_prefix_jaccard(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan or "repartitionbyexpression" in plan.lower(), plan[:1500]
+
+
+def test_minhash_and_tfidf_caches_follow_snapshot_discipline(spark, tmp_path):
+    """The MinHash signature table and the tf-idf weight table join the
+    fingerprint-keyed snapshot family: cached results must equal the
+    from-docs computation, reuse must hit the same path, and a
+    regenerated fixture must rebuild."""
+    import os
+    import shutil
+
+    from realparse_spark.operators.dedup import (
+        _MINHASH_SIG,
+        minhash_lsh_pairs,
+        q_dedup_minhash,
+    )
+    from realparse_spark.operators.text import (
+        _TFIDF_WT,
+        q_text_tfidf_cosine,
+        tfidf_cosine_pairs,
+    )
+    from realparse_spark.sources.tables import fan_out, load_table
+
+    d = str(tmp_path / "sfcopy_sig")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", p)
+
+    docs = fan_out(load_table(spark, d, "documents"))
+    assert set(map(tuple, q_dedup_minhash(spark, d).collect())) == set(
+        map(tuple, minhash_lsh_pairs(docs).collect())
+    )
+    assert set(map(tuple, q_text_tfidf_cosine(spark, d).collect())) == set(
+        map(tuple, tfidf_cosine_pairs(docs).collect())
+    )
+    sig1 = {k: v for k, v in _MINHASH_SIG.items() if k[0] == os.path.abspath(d)}
+    wt1 = {k: v for k, v in _TFIDF_WT.items() if k[0] == os.path.abspath(d)}
+    assert len(sig1) == 1 and len(wt1) == 1
+
+    # unchanged source: reuse
+    q_dedup_minhash(spark, d).count()
+    assert {k: v for k, v in _MINHASH_SIG.items() if k[0] == os.path.abspath(d)} == sig1
+
+    # regenerated source: new key
+    os.utime(p, ns=(1, 1))
+    q_dedup_minhash(spark, d).count()
+    q_text_tfidf_cosine(spark, d).count()
+    assert len({k for k in _MINHASH_SIG if k[0] == os.path.abspath(d)}) == 2
+    assert len({k for k in _TFIDF_WT if k[0] == os.path.abspath(d)}) == 2
