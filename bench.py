@@ -151,6 +151,9 @@ EXTRA = [
     "dp_group_counts",      # discrete-Laplace noisy release (O(groups) noise)
     "doc_decontaminate",    # winnow -> contamination pairs -> keep/drop rollup
     "linkage_clusters",     # fuzzy pairs -> connected components -> entities
+    "line_dedup",           # CCNet segment scrub + ordered reassembly
+    "epoch_shuffle",        # deterministic epoch permutation -> batch manifest
+    "bpe_pair_counts",      # BPE merge-candidate counts off the word table
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realparse_spark.operators.text import ws_tokens
-from realparse_spark.sources.tables import load_table
+from realparse_spark.sources.tables import fan_out, load_table
 
 
 def _hash_bucket(key: Column, n: int = 100) -> Column:
@@ -642,8 +642,228 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# CCNet-style duplicated-segment removal (boilerplate scrub)
+# ---------------------------------------------------------------------------
+
+_SEG_TOKENS = 8
+_SEG_DUP_THRESHOLD = 2
+
+
+def remove_duplicated_segments(
+    docs: DataFrame,
+    seg_tokens: int = _SEG_TOKENS,
+    dup_threshold: int = _SEG_DUP_THRESHOLD,
+) -> DataFrame:
+    """CCNet-style duplicated-segment scrub (Wenzek et al. 2020 remove
+    duplicated *lines* across the corpus — headers, nav bars, cookie
+    banners): segment every document, drop segments whose corpus-wide
+    occurrence count reaches `dup_threshold`, and REASSEMBLE the
+    surviving text in original order.  The fixture corpus has no
+    newlines, so segmentation is fixed `seg_tokens`-token windows — the
+    operator is the split -> count -> filter -> ordered-reassembly
+    machinery, with the segmenter as the configurable policy.
+
+    100 TB shape: segment rows carry (doc_id, pos, seg); the frequency
+    table is ONE map-combined groupBy on the segment string; the scrub is
+    a left-anti join against the (small) boilerplate set; reassembly
+    groups by doc_id and sorts WITHIN the row (sort_array over the
+    collected (pos, seg) structs — bounded by document length, never a
+    global sort)."""
+    toks = ws_tokens(F.col("text"))
+    segs = F.expr(
+        f"transform(sequence(0, cast(ceil(size(_t) / {seg_tokens}.0) as int) - 1),"
+        f" i -> array_join(slice(_t, i * {seg_tokens} + 1, {seg_tokens}), ' '))"
+    )
+    lines = (
+        docs.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+    )
+    boiler = (
+        lines.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= dup_threshold)
+        .select("seg")
+    )
+    kept = lines.join(boiler, "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remove_duplicated_segments(
+        fan_out(load_table(spark, sf_dir, "documents"))
+    )
+
+
+LINE_DEDUP_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS _t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+    array_to_string(_t[(i - 1) * {_SEG_TOKENS} + 1 : (i - 1) * {_SEG_TOKENS} + {_SEG_TOKENS}], ' ') AS seg
+  FROM t, unnest(range(1, CAST(ceil(len(_t) / {_SEG_TOKENS}.0) AS BIGINT) + 1)) AS u(i)
+  WHERE len(_t) > 0
+),
+boiler AS (
+  SELECT seg FROM lines GROUP BY seg HAVING count(*) >= {_SEG_DUP_THRESHOLD}
+),
+kept AS (
+  SELECT l.* FROM lines l WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.seg = l.seg)
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(seg, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segments,
+  coalesce(r.n_kept, 0) AS n_kept,
+  coalesce(r.text_clean, '') AS text_clean
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle + batch packing (training-data delivery)
+# ---------------------------------------------------------------------------
+
+_N_EPOCHS = 3
+_BATCH_SIZE = 64
+
+
+def epoch_shuffle_batches(
+    docs: DataFrame, n_epochs: int = _N_EPOCHS, batch_size: int = _BATCH_SIZE
+) -> DataFrame:
+    """Deterministic multi-epoch training order: each epoch permutes the
+    corpus by md5('epoch:e:doc_id') and packs the permutation into
+    fixed-size batches — reproducible data ordering without any stored
+    shuffle state (resume-from-step just recomputes ranks).
+
+    The per-epoch global rank uses the two-phase distributed pattern
+    (cf. sorted_neighborhood_pairs): repartitionByRange on (epoch, key),
+    per-partition row_number, broadcast prefix offsets — no single
+    partition ever sees more than its range slice.  Output is the batch
+    MANIFEST (epoch, batch, sizes + a content checksum), which is what a
+    trainer's data loader actually consumes; emitting doc-level rows
+    would just be the ranked table itself."""
+    from pyspark.sql import Window
+
+    e = (
+        docs.select("doc_id", "n_chars")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.lit(n_epochs))))
+        .withColumn(
+            "sk",
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("epoch"), F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+    )
+    ranged = e.repartitionByRange(16, "epoch", "sk", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_pid", "epoch").orderBy("sk", "doc_id")
+    local = ranged.withColumn("_lrn", F.row_number().over(local_w))
+    off_w = (
+        Window.partitionBy("epoch")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = (
+        local.groupBy("_pid", "epoch")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            "epoch",
+            F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+        )
+    )
+    ranked = local.join(F.broadcast(offsets), ["_pid", "epoch"]).select(
+        "epoch",
+        "doc_id",
+        "n_chars",
+        "sk",
+        (F.col("_lrn") + F.col("_off")).alias("rank"),
+    )
+    batch = F.floor((F.col("rank") - 1) / batch_size).cast("int")
+    return (
+        ranked.groupBy("epoch", batch.alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.min("rank").cast("bigint").alias("rank_lo"),
+            F.max("rank").cast("bigint").alias("rank_hi"),
+            # order-insensitive content checksum so the manifest pins WHICH
+            # docs landed in the batch, not just how many
+            F.sum(F.conv(F.substring("sk", 1, 8), 16, 10).cast("long"))
+            .cast("bigint")
+            .alias("member_sum"),
+        )
+        .orderBy("epoch", "batch_id")
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_shuffle_batches(load_table(spark, sf_dir, "documents"))
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH e AS (
+  SELECT doc_id, n_chars, CAST(ep AS INTEGER) AS epoch,
+    md5('epoch:' || CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS sk
+  FROM documents, unnest(range(1, {_N_EPOCHS} + 1)) AS u(ep)
+),
+ranked AS (
+  SELECT epoch, doc_id, n_chars, sk,
+    row_number() OVER (PARTITION BY epoch ORDER BY sk, doc_id) AS rank
+  FROM e
+)
+SELECT epoch, CAST((rank - 1) // {_BATCH_SIZE} AS INTEGER) AS batch_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(min(rank) AS BIGINT) AS rank_lo,
+  CAST(max(rank) AS BIGINT) AS rank_hi,
+  CAST(sum(CAST('0x' || substring(sk, 1, 8) AS BIGINT)) AS BIGINT) AS member_sum
+FROM ranked
+GROUP BY 1, 2
+ORDER BY epoch, batch_id
+"""
+
+
 QUERIES = {
     "schema_evolution": q_schema_evolution,
+    "line_dedup": q_line_dedup,
+    "epoch_shuffle": q_epoch_shuffle,
     "doc_stratified_take": q_doc_stratified_take,
     "doc_split": q_doc_split,
     "doc_length_buckets": q_doc_length_buckets,
@@ -658,6 +878,8 @@ QUERIES = {
 
 ORACLES = {
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
+    "line_dedup": LINE_DEDUP_SQL,
+    "epoch_shuffle": EPOCH_SHUFFLE_SQL,
     "doc_stratified_take": DOC_STRATIFIED_TAKE_SQL,
     "doc_split": DOC_SPLIT_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,

@@ -1014,6 +1014,68 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# BPE pair counting (the inner loop of tokenizer training)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+def bpe_pair_counts(docs: DataFrame, top: int = _BPE_TOP) -> DataFrame:
+    """One iteration of BPE training (Sennrich et al. 2016): count every
+    adjacent symbol pair across the corpus, weighted by word frequency —
+    the pair with the highest count is the next merge.  At character
+    stage the pair is a 2-char substring of each distinct word.
+
+    100 TB shape: the corpus collapses to the DISTINCT-WORD table first
+    (one map-combined groupBy — the Zipf head makes this orders of
+    magnitude smaller than the token stream), pairs explode off words
+    (bounded by word length), and the ranking is TakeOrdered, never a
+    full sort.  Full BPE iterates this with a merge table; the per-round
+    count is the distributed part — the argmax/merge bookkeeping is
+    O(vocab) driver state in every production trainer."""
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(top)
+    )
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_counts(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+BPE_PAIR_COUNTS_SQL = rf"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word HAVING length(word) >= 2
+),
+pairs AS (
+  SELECT wc, word[i:i+1] AS pair
+  FROM words, unnest(range(1, length(word))) AS u(i)
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # decontamination report: the REMOVE step on top of contamination detection
 # ---------------------------------------------------------------------------
 
@@ -1098,6 +1160,7 @@ QUERIES = {
     "text_winnow": q_text_winnow,
     "text_contamination": q_text_contamination,
     "doc_decontaminate": q_doc_decontaminate,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "vocab_build": q_vocab_build,
     "text_oov_rate": q_text_oov_rate,
 }
@@ -1116,6 +1179,7 @@ ORACLES = {
     "text_winnow": TEXT_WINNOW_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "vocab_build": VOCAB_BUILD_SQL,
     "text_oov_rate": TEXT_OOV_RATE_SQL,
 }

@@ -221,3 +221,70 @@ def test_dq_embeddings_detects_seeded_violations(spark):
         "zero_norm": 1,
         "null_label": 1,
     }
+
+
+def test_line_dedup_scrubs_and_preserves_order(spark):
+    from realparse_spark.operators.pipeline_ops import q_line_dedup
+
+    rows = q_line_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # the synthetic corpus repeats 8-token windows, so the scrub must
+    # actually remove something somewhere, and never invent segments
+    assert any(r.n_kept < r.n_segments for r in rows)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_segments
+        if r.n_kept == 0:
+            assert r.text_clean == ""
+        else:
+            # reassembly preserves per-doc segment count
+            assert len(r.text_clean.split(" ")) >= r.n_kept
+
+
+def test_epoch_shuffle_batches_are_full_and_distinct(spark):
+    from realparse_spark.operators.pipeline_ops import (
+        _BATCH_SIZE,
+        _N_EPOCHS,
+        q_epoch_shuffle,
+    )
+    from realparse_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    rows = q_epoch_shuffle(spark, "/root/testdata/sf0.001").collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == set(range(1, _N_EPOCHS + 1))
+    for ep, batches in by_epoch.items():
+        assert sum(b.n_docs for b in batches) == n_docs
+        # every batch except the last is exactly full
+        for b in sorted(batches, key=lambda b: b.batch_id)[:-1]:
+            assert b.n_docs == _BATCH_SIZE
+        # ranks tile [1, n_docs] without gaps
+        assert min(b.rank_lo for b in batches) == 1
+        assert max(b.rank_hi for b in batches) == n_docs
+    # different epochs produce different permutations (member checksums
+    # of the same batch slot differ for at least one slot)
+    sums = {ep: tuple(b.member_sum for b in sorted(bs, key=lambda b: b.batch_id))
+            for ep, bs in by_epoch.items()}
+    assert len(set(sums.values())) == _N_EPOCHS
+
+
+def test_bpe_pair_counts_match_local_recompute(spark):
+    from collections import Counter
+
+    from realparse_spark.operators.text import q_bpe_pair_counts
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").collect()
+    words = Counter()
+    for d in docs:
+        for w in d.text.split():
+            if len(w) >= 2:
+                words[w] += 1
+    pairs = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += c
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.pair, r.n) for r in q_bpe_pair_counts(spark, "/root/testdata/sf0.001").collect()]
+    assert got == expect
