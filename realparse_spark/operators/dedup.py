@@ -567,12 +567,7 @@ def minhash_lsh_pairs(
         # one (doc_id, band_no, bucket) row per band via a single explode —
         # the whole candidate generation is ONE self-join keyed on
         # (band_no, bucket), not `bands` separate joins
-        band_arr = F.array(
-            *[
-                F.xxhash64(F.lit(b), *[F.col(f"mh_{b * r + j}") for j in range(r)])
-                for b in range(bands)
-            ]
-        )
+        band_arr = _band_key_array(k, bands)
         from pyspark.sql import Window
 
         # bucket size + representative in ONE pass (window over the same
@@ -613,6 +608,99 @@ def minhash_lsh_pairs(
         )
     finally:
         sig.unpersist()
+
+
+def _band_key_array(k: int, bands: int) -> Column:
+    """Per-doc array of `bands` 64-bit band keys over the mh_* columns."""
+    r = k // bands
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"mh_{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_probe_pairs(
+    corpus_sig: DataFrame,
+    incoming_sig: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental near-dup: probe an incoming batch's signatures against
+    an EXISTING corpus signature table (the _minhash_sig_for snapshot) —
+    the daily-ingest shape: nothing about the corpus is recomputed, and
+    candidate generation is ONE equi-join on (band_no, band_key) between
+    the (small) incoming band rows and the corpus band index.
+
+    Hot corpus buckets (> max_bucket members — boilerplate signatures)
+    are collapsed to their min-doc representative before the join, the
+    same skew policy as the batch path: each incoming doc still connects
+    to the bucket (via its representative) for downstream clustering,
+    but never fans out to every member.
+
+    Returns (inc_doc, corpus_doc, est_jaccard >= threshold)."""
+    if k % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide signature width k ({k})")
+    from pyspark.sql import Window
+
+    band_arr = _band_key_array(k, bands)
+    wb = Window.partitionBy("band_no", "bk")
+    cb = (
+        corpus_sig.select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.posexplode(band_arr).alias("band_no", "bk"),
+        )
+        .select(
+            "corpus_doc", "band_no", "bk",
+            F.count(F.lit(1)).over(wb).alias("_sz"),
+            F.min("corpus_doc").over(wb).alias("_rep"),
+        )
+        .filter(
+            (F.col("_sz") <= max_bucket) | (F.col("corpus_doc") == F.col("_rep"))
+        )
+        .select("corpus_doc", "band_no", "bk")
+    )
+    ib = incoming_sig.select(
+        F.col("doc_id").alias("inc_doc"),
+        F.posexplode(band_arr).alias("band_no", "bk"),
+    )
+    cand = ib.join(cb, ["band_no", "bk"]).select("inc_doc", "corpus_doc").distinct()
+    sa = incoming_sig.select(
+        F.col("doc_id").alias("inc_doc"),
+        F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_a"),
+    )
+    sb = corpus_sig.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_b"),
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        .cast("double") / F.lit(k)
+    )
+    return (
+        cand.join(sa, "inc_doc")
+        .join(sb, "corpus_doc")
+        .select("inc_doc", "corpus_doc", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("inc_doc", "corpus_doc")
+    )
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ingest gate over the fixture's every-5th-doc incoming
+    split: BOTH sides read the shared signature snapshot (zero signature
+    recompute — the point of storing signatures next to the corpus).
+    Rows-only driver check (xxhash64 band keys are not DuckDB-
+    reproducible); tests pin equality against the batch path filtered to
+    cross-split pairs."""
+    sig = spark.read.parquet(_minhash_sig_for(spark, sf_dir))
+    return minhash_probe_pairs(
+        sig.filter(F.col("doc_id") % 5 != 0),
+        sig.filter(F.col("doc_id") % 5 == 0),
+    )
 
 
 # Materialized MinHash signature table, fingerprint-keyed per corpus —
@@ -1194,6 +1282,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
 }
 
 ORACLES = {

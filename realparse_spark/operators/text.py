@@ -235,11 +235,34 @@ FROM documents
 """
 
 
+# Materialized winnow fingerprint table, fingerprint-keyed per corpus —
+# shared by text_winnow / text_contamination / doc_decontaminate (same
+# snapshot discipline as dedup's posting/signature tables: fingerprints
+# are the contamination index a pipeline stores next to the corpus).
+_WINNOW_FP: dict[tuple, str] = {}
+
+
+def _winnow_fp_for(spark: SparkSession, sf_dir: str) -> str:
+    from realparse_spark.cache import fingerprint_key, snapshot_path
+
+    def _build(tmp: str) -> None:
+        winnow_fingerprints(
+            fan_out(load_table(spark, sf_dir, "documents"))
+        ).write.mode("overwrite").parquet(tmp)
+
+    return snapshot_path(
+        _WINNOW_FP,
+        fingerprint_key(sf_dir, "documents", "winnow", WINNOW_K, WINNOW_W),
+        "realparse_winnow_",
+        _build,
+    )
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: fixture parquet is a single row group -> one scan task; the
-    # O(len·k) hash build must run on all cores (at real scale input splits
-    # provide the parallelism and the repartition is unnecessary)
-    return winnow_fingerprints(fan_out(load_table(spark, sf_dir, "documents")))
+    # fan_out inside the builder: fixture parquet is a single row group ->
+    # one scan task; the O(len·k) hash build must run on all cores (at
+    # real scale input splits provide the parallelism)
+    return spark.read.parquet(_winnow_fp_for(spark, sf_dir))
 
 
 TEXT_WINNOW_SQL = r"""
@@ -302,8 +325,7 @@ def contamination_pairs(
 
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic demo split: every 20th doc is the "benchmark" set
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    fps = winnow_fingerprints(docs)
+    fps = spark.read.parquet(_winnow_fp_for(spark, sf_dir))
     return contamination_pairs(fps, F.col("doc_id") % 20 == 0)
 
 
@@ -1118,11 +1140,14 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark split: detection (winnow -> shared-fp pairs, same operator
     the `text_contamination` query verifies) feeding the remove/report
     step."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    fps = winnow_fingerprints(docs)
+    fps = spark.read.parquet(_winnow_fp_for(spark, sf_dir))
     pairs = contamination_pairs(fps, F.col("doc_id") % 20 == 0)
     contaminated = pairs.select(F.col("train_doc").alias("doc_id")).distinct()
-    train = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "source")
+    train = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 != 0)
+        .select("doc_id", "source")
+    )
     return decontaminate_report(train, contaminated)
 
 

@@ -351,3 +351,30 @@ def test_minhash_and_tfidf_caches_follow_snapshot_discipline(spark, tmp_path):
     q_text_tfidf_cosine(spark, d).count()
     assert len({k for k in _MINHASH_SIG if k[0] == os.path.abspath(d)}) == 2
     assert len({k for k in _TFIDF_WT if k[0] == os.path.abspath(d)}) == 2
+
+
+def test_incremental_minhash_matches_batch_cross_pairs(spark):
+    """The incremental probe (incoming vs corpus signature snapshot) must
+    return exactly the batch path's pairs that cross the split — same
+    candidates, same estimates — when no bucket exceeds the cap."""
+    from realparse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        q_dedup_incremental_minhash,
+    )
+    from realparse_spark.sources.tables import fan_out, load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = fan_out(load_table(spark, sf, "documents"))
+    batch = minhash_lsh_pairs(docs).collect()
+    expect = {
+        (max(r.doc_a, r.doc_b) if max(r.doc_a, r.doc_b) % 5 == 0 else min(r.doc_a, r.doc_b),
+         min(r.doc_a, r.doc_b) if max(r.doc_a, r.doc_b) % 5 == 0 else max(r.doc_a, r.doc_b),
+         r.est_jaccard)
+        for r in batch
+        if (r.doc_a % 5 == 0) != (r.doc_b % 5 == 0)
+    }
+    got = {
+        (r.inc_doc, r.corpus_doc, r.est_jaccard)
+        for r in q_dedup_incremental_minhash(spark, sf).collect()
+    }
+    assert got == expect and got, (len(got), len(expect))

@@ -35,6 +35,7 @@ def test_all_queries_have_oracle_or_reason():
     # rows-only checks must be intentional; keep the allowlist here
     allowed_rows_only = {
         "dedup_minhash_lsh",
+        "dedup_incremental_minhash",  # xxhash64 band keys; batch-equality gate in test_dedup
         "dedup_simhash",
         "sim_ann_lsh",
         "sim_ann_lsh_batch",  # approximate; exact per-query parity gate vs lsh_probe
