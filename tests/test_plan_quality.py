@@ -604,3 +604,44 @@ def test_timeseries_windows_share_one_shuffle(spark, queries):
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert X.sortmerge_join_count(df) == 0, name
         assert X.python_eval_nodes(df) == 0, name
+
+
+def test_event_attribution_single_user_window(spark, queries):
+    df = queries["event_attribution"](spark, SF)
+    plan = X.executed_plan(df)
+    # the last-touch lookup is ONE user-partitioned window (two last()
+    # frames share it) + the channel rollup — never a global window
+    assert "Exchange SinglePartition" not in plan, plan[-2000:]
+    assert plan.count("Window") == 1, plan[-2000:]
+
+
+def test_epoch_shuffle_rank_is_distributed(spark, queries):
+    df = queries["epoch_shuffle"](spark, SF)
+    plan = X.executed_plan(df)
+    # the per-epoch global rank is two-phase (range partition + local
+    # row_number + broadcast prefix offsets): the ranked stream itself
+    # must never pass through a single partition.  The offset table's
+    # cumulative window IS single-partition by design — but it holds
+    # O(partitions x epochs) rows, so the gate pins the BIG side by
+    # requiring the range exchange and the broadcast to be present
+    assert "rangepartitioning" in plan.lower(), plan[-2000:]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bootstrap_means_are_map_side_combined(spark, queries):
+    df = queries["poisson_bootstrap_ci"](spark, SF)
+    plan = X.executed_plan(df)
+    # the R-fold replicate explosion must be aggregated BEFORE the wire:
+    # partial_sum under the (grp, r) HashAggregate pair
+    assert "partial_sum" in plan, plan[-2000:]
+
+
+def test_linkage_clusters_pair_join_has_length_band(spark, queries):
+    # the fuzzy self-join must keep the cheap length-band predicate so
+    # the O(|a||b|) levenshtein only sees banded candidates
+    from realparse_spark.operators.linkage import blocked_fuzzy_pairs
+    from realparse_spark.sources.tables import load_table
+
+    part = load_table(spark, SF, "part")
+    plan = X.executed_plan(blocked_fuzzy_pairs(part, "p_type", "p_name"))
+    assert "levenshtein" in plan and "length" in plan
