@@ -154,6 +154,9 @@ EXTRA = [
     "line_dedup",           # CCNet segment scrub + ordered reassembly
     "epoch_shuffle",        # deterministic epoch permutation -> batch manifest
     "bpe_pair_counts",      # BPE merge-candidate counts off the word table
+    "token_budget_mix",     # two-phase bucketed budget fill (no hot reducer)
+    # (dedup_incremental_minhash is correctness-only: same probe-join
+    # family as dedup_minhash_lsh, the benched representative)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:
     # both are the O(V^2·dim) blocked pair family whose bench
     # representative is the ANN/kNN path; pagerank_weighted is

@@ -752,6 +752,104 @@ ORDER BY t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# token-budget corpus sampling (fill a per-source budget from a
+# deterministic permutation)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 4000  # chars per source
+
+
+def token_budget_take(
+    docs: DataFrame, budget: int = _MIX_BUDGET, by: str = "source"
+) -> DataFrame:
+    """Sample each source's docs in deterministic md5 order until a
+    per-source token (here: char) budget fills — 'give me ~1B tokens at
+    this mix' without materializing or sorting the corpus.
+
+    100 TB shape — the naive form is a per-source ordered cumsum, i.e.
+    ONE reducer per source (a hot source serializes).  This runs the
+    selection two-phase instead: docs bucket by their md5 prefix (256
+    buckets/source), bucket subtotals + prefix offsets decide whole
+    buckets in O(sources x 256) rows, and only each source's single
+    BOUNDARY bucket gets a fine per-doc cumsum (window over one
+    bucket's docs).  The md5-prefix bucket order refines the full md5
+    order, so the selection is IDENTICAL to the naive cumsum — the
+    oracle states the naive form and must hash-match."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(by).alias("src"),
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).alias("sk"),
+    ).withColumn("bkt", F.conv(F.substring("sk", 1, 2), 16, 10).cast("int"))
+    bsum = d.groupBy("src", "bkt").agg(
+        F.sum("n_chars").alias("bc"), F.count(F.lit(1)).alias("bn")
+    )
+    woff = (
+        Window.partitionBy("src")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsum.select(
+        "src", "bkt", "bc", F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off")
+    )
+    full = boff.filter(F.col("off") + F.col("bc") <= budget).select("src", "bkt")
+    boundary = boff.filter(
+        (F.col("off") <= budget) & (F.col("off") + F.col("bc") > budget)
+    ).select("src", "bkt", "off")
+    wfine = Window.partitionBy("src", "bkt").orderBy("sk", "doc_id")
+    fine = (
+        d.join(boundary, ["src", "bkt"])
+        .withColumn("c", F.sum("n_chars").over(wfine))
+        .filter(F.col("off") + F.col("c") <= budget)
+        .select("src", "doc_id", "n_chars")
+    )
+    kept = d.join(full, ["src", "bkt"]).select("src", "doc_id", "n_chars").unionByName(fine)
+    return (
+        kept.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_kept"),
+        )
+        .select(
+            F.col("src").alias(by),
+            "n_docs",
+            "n_chars_kept",
+            F.lit(budget).cast("bigint").alias("budget"),
+            F.expr(f"n_chars_kept * 1000000 div {budget}").alias("fill_ppm"),
+        )
+        .orderBy(by)
+    )
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_take(load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_BUDGET_MIX_SQL = f"""
+WITH d AS (
+  SELECT source AS src, doc_id, n_chars,
+    md5('mix:' || CAST(doc_id AS VARCHAR)) AS sk
+  FROM documents
+),
+cum AS (
+  SELECT src, doc_id, n_chars,
+    sum(n_chars) OVER (PARTITION BY src ORDER BY sk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM d
+),
+kept AS (SELECT * FROM cum WHERE c <= {_MIX_BUDGET})
+SELECT src AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars_kept,
+  CAST({_MIX_BUDGET} AS BIGINT) AS budget,
+  CAST(sum(n_chars) * 1000000 // {_MIX_BUDGET} AS BIGINT) AS fill_ppm
+FROM kept GROUP BY src ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic epoch shuffle + batch packing (training-data delivery)
 # ---------------------------------------------------------------------------
 
@@ -864,6 +962,7 @@ QUERIES = {
     "schema_evolution": q_schema_evolution,
     "line_dedup": q_line_dedup,
     "epoch_shuffle": q_epoch_shuffle,
+    "token_budget_mix": q_token_budget_mix,
     "doc_stratified_take": q_doc_stratified_take,
     "doc_split": q_doc_split,
     "doc_length_buckets": q_doc_length_buckets,
@@ -880,6 +979,7 @@ ORACLES = {
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "line_dedup": LINE_DEDUP_SQL,
     "epoch_shuffle": EPOCH_SHUFFLE_SQL,
+    "token_budget_mix": TOKEN_BUDGET_MIX_SQL,
     "doc_stratified_take": DOC_STRATIFIED_TAKE_SQL,
     "doc_split": DOC_SPLIT_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,

@@ -70,7 +70,8 @@ _MODULES = (
 # snm_linkage, and the round-6 in-session additions (all sf0.001+sf0.01
 # parity-green at add time): poisson_bootstrap_ci, event_attribution,
 # seasonal_dow, dp_group_counts, doc_decontaminate, linkage_clusters,
-# line_dedup, epoch_shuffle, bpe_pair_counts.
+# line_dedup, epoch_shuffle, bpe_pair_counts, token_budget_mix,
+# dedup_incremental_minhash.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",

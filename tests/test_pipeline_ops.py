@@ -288,3 +288,54 @@ def test_bpe_pair_counts_match_local_recompute(spark):
     expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r.pair, r.n) for r in q_bpe_pair_counts(spark, "/root/testdata/sf0.001").collect()]
     assert got == expect
+
+
+def test_line_dedup_identity_at_infinite_threshold(spark):
+    """With an unreachable duplication threshold nothing is boilerplate,
+    so the reassembled text must equal the whitespace-normalized
+    original — pins the split -> reassemble round trip exactly."""
+    import re
+
+    from realparse_spark.operators.pipeline_ops import remove_duplicated_segments
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = {
+        r.doc_id: (r.n_segments, r.n_kept, r.text_clean)
+        for r in remove_duplicated_segments(docs, dup_threshold=10**9).collect()
+    }
+    for d in docs.collect():
+        norm = " ".join(re.split(r"\s+", d.text.strip()))
+        n_seg, n_kept, clean = out[d.doc_id]
+        assert n_seg == n_kept
+        assert clean == norm, (d.doc_id, clean[:80], norm[:80])
+
+
+def test_token_budget_two_phase_matches_naive_cumsum(spark):
+    """The bucketed two-phase selection must keep EXACTLY the docs a
+    naive per-source ordered cumsum keeps (local recompute)."""
+    import hashlib
+
+    from realparse_spark.operators.pipeline_ops import _MIX_BUDGET, q_token_budget_mix
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").collect()
+    by_src = {}
+    for d in docs:
+        sk = hashlib.md5(f"mix:{d.doc_id}".encode()).hexdigest()
+        by_src.setdefault(d.source, []).append((sk, d.doc_id, d.n_chars))
+    expect = {}
+    for src, rows in by_src.items():
+        c, n, chars = 0, 0, 0
+        for sk, _, nc in sorted(rows):
+            c += nc
+            if c > _MIX_BUDGET:
+                break
+            n, chars = n + 1, chars + nc
+        if n:
+            expect[src] = (n, chars)
+    got = {
+        r.source: (r.n_docs, r.n_chars_kept)
+        for r in q_token_budget_mix(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expect
