@@ -155,6 +155,7 @@ EXTRA = [
     "epoch_shuffle",        # deterministic epoch permutation -> batch manifest
     "bpe_pair_counts",      # BPE merge-candidate counts off the word table
     "token_budget_mix",     # two-phase bucketed budget fill (no hot reducer)
+    "error_budget",         # SLO burn rates over the daily rollup
     # (dedup_incremental_minhash is correctness-only: same probe-join
     # family as dedup_minhash_lsh, the benched representative)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:

@@ -373,13 +373,76 @@ FROM dev GROUP BY dow ORDER BY dow
 """
 
 
+# ---------------------------------------------------------------------------
+# SLO error budget (multi-window burn rate)
+# ---------------------------------------------------------------------------
+
+_SLO_PPM = 210000  # error budget: 21% of events may be 'error' (fixture
+# event types are uniform ~20%, so days oscillate around the budget —
+# both burn states appear in the output)
+
+
+def error_budget(events: DataFrame, slo_ppm: int = _SLO_PPM) -> DataFrame:
+    """Daily SLO error-budget accounting with a trailing-7-day burn rate
+    (the SRE multi-window burn-rate alert, Beyer et al. SRE workbook ch.5):
+    per day, the error rate in exact ppm, the 7-day rate, and burn flags
+    (rate over budget) at both windows.  Integer end-to-end: rates are
+    integral ppm of exact counts; the trailing window is sum-of-integers
+    over a 7-row frame on the O(days) rollup.
+
+    100 TB shape: one map-side-combined daily rollup (count + conditional
+    count), then window frames over O(days) rows — the window input is
+    the rollup, never the event stream."""
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    day_ppm = F.expr("n_err * 1000000 div n")
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_err").cast("bigint").alias("n_errors"),
+        day_ppm.alias("day_ppm"),
+        F.expr(
+            f"CAST(sum(n_err) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000 "
+            f"div sum(n) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("week_ppm"),
+        (day_ppm > slo_ppm).alias("burn_1d"),
+    ).withColumn("burn_7d", F.col("week_ppm") > slo_ppm).orderBy("day")
+
+
+def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error_budget(load_table(spark, sf_dir, "events"))
+
+
+ERROR_BUDGET_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+    count(*) FILTER (WHERE event_type = 'error') AS n_err
+  FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(n_err AS BIGINT) AS n_errors,
+  CAST(n_err * 1000000 // n AS BIGINT) AS day_ppm,
+  CAST(sum(n_err) OVER w * 1000000 // sum(n) OVER w AS BIGINT) AS week_ppm,
+  n_err * 1000000 // n > {_SLO_PPM} AS burn_1d,
+  sum(n_err) OVER w * 1000000 // sum(n) OVER w > {_SLO_PPM} AS burn_7d
+FROM daily
+WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
 QUERIES = {
     "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
     "event_attribution": q_event_attribution,
     "seasonal_dow": q_seasonal_dow,
+    "error_budget": q_error_budget,
 }
 ORACLES = {
     "poisson_bootstrap_ci": _poisson_bootstrap_sql(),
     "event_attribution": EVENT_ATTRIBUTION_SQL,
     "seasonal_dow": SEASONAL_DOW_SQL,
+    "error_budget": ERROR_BUDGET_SQL,
 }
