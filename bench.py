@@ -156,6 +156,10 @@ EXTRA = [
     "bpe_pair_counts",      # BPE merge-candidate counts off the word table
     "token_budget_mix",     # two-phase bucketed budget fill (no hot reducer)
     "error_budget",         # SLO burn rates over the daily rollup
+    "ab_test",              # hash-split two-proportion z-test readout
+    "word_pmi",             # doc-level co-occurrence PMI (df-capped pair join)
+    # (stream_enrich_e2e is correctness-only, like the other streaming
+    # lifecycles)
     # (dedup_incremental_minhash is correctness-only: same probe-join
     # family as dedup_minhash_lsh, the benched representative)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:

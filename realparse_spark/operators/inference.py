@@ -434,14 +434,129 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion z-test over a deterministic hash split
+# ---------------------------------------------------------------------------
+
+
+def ab_test_proportions(events: DataFrame, salt: str = "ab") -> DataFrame:
+    """Two-proportion z-test between md5-assigned arms: users split 50/50
+    by hash (the standard experiment-assignment primitive — sticky,
+    stateless, uniform), conversion = user has >= 1 purchase.  Counts are
+    exact integers; the z statistic is the fixed textbook formula
+    evaluated on those integers (same deterministic-float discipline as
+    event_zscore), so both engines agree bit-for-bit.
+
+    100 TB shape: one per-user aggregate (map-side combined), one 2-row
+    arm rollup, one 1-row final projection — the experiment readout never
+    shuffles anything user-level twice."""
+    users = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    arm = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(salt + ":"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        "A",
+    ).otherwise("B")
+    arms = (
+        users.select(arm.alias("arm"), "converted")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("converted").cast("bigint").alias("conv"),
+        )
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)  # 1 row x 1 row
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("conv_a * 1000000 div n_a").alias("rate_a_ppm"),
+        F.expr("conv_b * 1000000 div n_b").alias("rate_b_ppm"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.959964).alias("significant_95"),
+    )
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ab_test_proportions(load_table(spark, sf_dir, "events"))
+
+
+AB_TEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT CASE WHEN CAST('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         converted
+  FROM users
+),
+agg AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv
+  FROM arms GROUP BY arm
+),
+j AS (
+  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+  FROM (SELECT * FROM agg WHERE arm = 'A') a, (SELECT * FROM agg WHERE arm = 'B') b
+)
+SELECT n_a, conv_a, n_b, conv_b,
+  CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+  CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+  round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat,
+  abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b))) > 1.959964 AS significant_95
+FROM j
+"""
+
+
 QUERIES = {
     "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
+    "ab_test": q_ab_test,
     "event_attribution": q_event_attribution,
     "seasonal_dow": q_seasonal_dow,
     "error_budget": q_error_budget,
 }
 ORACLES = {
     "poisson_bootstrap_ci": _poisson_bootstrap_sql(),
+    "ab_test": AB_TEST_SQL,
     "event_attribution": EVENT_ATTRIBUTION_SQL,
     "seasonal_dow": SEASONAL_DOW_SQL,
     "error_budget": ERROR_BUDGET_SQL,

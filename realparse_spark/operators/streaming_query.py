@@ -613,11 +613,96 @@ ORDER BY client_ip_address, session_start
 )
 
 
+def q_stream_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment join under the oracle — the last
+    streaming lifecycle that was pytest-only (`stream_enrich_access`,
+    streaming/pipeline.py): every micro-batch left-joins the parsed
+    stream against a STATIC dimension (ip -> company for even last
+    octets, derived deterministically from the same synthesized corpus),
+    across two rotations sharing one checkpoint.
+
+    Determinism contract: the join is stateless (no watermark, no state
+    store), so after both availableNow runs the sink is exactly the
+    batch left join of all parsed lines against the dim — which is what
+    the oracle recomputes."""
+    from realparse_spark.streaming.pipeline import stream_enrich_access
+
+    events = load_table(spark, sf_dir, "events")
+    split = events.agg(F.avg(F.unix_timestamp("ts"))).collect()[0][0]
+    older = synth_style5(events.filter(F.unix_timestamp("ts") <= split))
+    newer = synth_style5(events.filter(F.unix_timestamp("ts") > split))
+
+    # static dim from the full corpus (batch, deterministic): even-last-
+    # octet IPs get a company row; odd ones exercise the left join's NULLs
+    octet = F.substring_index("client_ip_address", ".", -1).cast("int")
+    dim = (
+        older.unionByName(newer)
+        .select(
+            F.regexp_extract("value", r"^(\S+)", 1).alias("client_ip_address")
+        )
+        .distinct()
+        .filter(octet % 2 == 0)
+        .select(
+            "client_ip_address",
+            F.format_string("cust_%d", octet).alias("company_name"),
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="realparse_stream_enrich_")
+    try:
+        logs = os.path.join(root, "logs")
+        os.makedirs(logs)
+        out = os.path.join(root, "out")
+        ck = os.path.join(root, "ck")
+
+        _write_rotation(older, root, logs, "rmaccess.log.20021011")
+        stream_enrich_access(spark, logs, dim, out, ck).awaitTermination()
+        _write_rotation(newer, root, logs, "rmaccess.log.20021012")
+        stream_enrich_access(spark, logs, dim, out, ck).awaitTermination()
+
+        sink = spark.read.parquet(out)
+        res = (
+            sink.select(
+                F.coalesce("company_name", F.lit("none")).alias("company"),
+                "client_ip_address",
+            )
+            .groupBy("company")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct("client_ip_address").cast("bigint").alias("n_ips"),
+            )
+            .orderBy("company")
+        )
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_ENRICH_E2E_SQL = (
+    "WITH "
+    + _STYLE5_LINES_SQL.strip()
+    + r""",
+ips AS (SELECT regexp_extract(value, '^(\S+)', 1) AS ip FROM lines),
+dim AS (
+  SELECT DISTINCT ip,
+    'cust_' || CAST(CAST(string_split(ip, '.')[4] AS INTEGER) AS VARCHAR) AS company
+  FROM ips WHERE CAST(string_split(ip, '.')[4] AS INTEGER) % 2 = 0
+)
+SELECT coalesce(d.company, 'none') AS company,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT i.ip) AS BIGINT) AS n_ips
+FROM ips i LEFT JOIN dim d ON i.ip = d.ip
+GROUP BY 1 ORDER BY 1
+"""
+)
+
+
 # The streaming lifecycle's contract is identical to the batch loader's:
 # after both runs every synthesized line is in the warehouse exactly once,
 # so the oracle IS the load_e2e oracle (aggregate the lines directly).
 QUERIES = {
     "stream_load_e2e": q_stream_load_e2e,
+    "stream_enrich_e2e": q_stream_enrich_e2e,
     "stream_window_e2e": q_stream_window_e2e,
     "stream_upsert_e2e": q_stream_upsert_e2e,
     "stream_join_e2e": q_stream_join_e2e,
@@ -626,6 +711,7 @@ QUERIES = {
     "stream_custom_state_e2e": q_stream_custom_state_e2e,
 }
 ORACLES = {
+    "stream_enrich_e2e": STREAM_ENRICH_E2E_SQL,
     "stream_dedup_e2e": STREAM_DEDUP_E2E_SQL,
     "stream_session_e2e": STREAM_SESSION_E2E_SQL,
     "stream_custom_state_e2e": STREAM_CUSTOM_STATE_E2E_SQL,

@@ -1036,6 +1036,93 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# word co-occurrence PMI (distributional statistics for embeddings/features)
+# ---------------------------------------------------------------------------
+
+_PMI_TOP = 20
+
+
+def word_cooccurrence_pmi(
+    docs: DataFrame, top: int = _PMI_TOP, df_cap: int = 1000
+) -> DataFrame:
+    """Document-level word co-occurrence with an integer PMI surrogate —
+    the corpus statistic word-embedding / feature pipelines compute
+    before any training (Church & Hanks 1990 pointwise mutual
+    information):  pmi_ppm = n_ab * N * 1e6 div (n_a * n_b), exactly
+    1e6 * P(a,b)/(P(a)P(b)) under integer division (log-free — float ln
+    differs across libms, same discipline as the tf-idf integer idf).
+
+    100 TB shape: distinct-words-per-doc collapse first (array_distinct
+    in-row, one explode), df-cap drops stopword-grade hot tokens BEFORE
+    the per-doc pair self-join (the quadratic term is per-doc distinct
+    words, bounded by the cap x doc length, never corpus-sized), and the
+    ranking is TakeOrdered."""
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("w")
+    )
+    dfreq = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+        .filter(F.col("n_w") <= df_cap)
+    )
+    capped = words.join(dfreq, "w")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    a = capped.select(
+        "doc_id", F.col("w").alias("word_a"), F.col("n_w").alias("n_a")
+    )
+    b = capped.select(
+        "doc_id", F.col("w").alias("word_b"), F.col("n_w").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    scored = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "word_a",
+        "word_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.expr("n_ab * n_docs * 1000000 div (n_a * n_b)").alias("pmi_ppm"),
+    )
+    return scored.orderBy(
+        F.col("pmi_ppm").desc(), F.col("n_ab").desc(), "word_a", "word_b"
+    ).limit(top)
+
+
+def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_cooccurrence_pmi(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+WORD_PMI_SQL = rf"""
+WITH words AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS w
+  FROM documents
+),
+dfreq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words GROUP BY w
+  HAVING count(*) <= 1000
+),
+capped AS (SELECT words.doc_id, words.w, dfreq.n_w FROM words JOIN dfreq USING (w)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.w AS word_a, b.w AS word_b, a.n_w AS n_a, b.n_w AS n_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT word_a, word_b, n_a, n_b, n_ab,
+  CAST(n_ab * n_docs * 1000000 // (n_a * n_b) AS BIGINT) AS pmi_ppm
+FROM pairs, n
+ORDER BY pmi_ppm DESC, n_ab DESC, word_a, word_b
+LIMIT {_PMI_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE pair counting (the inner loop of tokenizer training)
 # ---------------------------------------------------------------------------
 
@@ -1186,6 +1273,7 @@ QUERIES = {
     "text_contamination": q_text_contamination,
     "doc_decontaminate": q_doc_decontaminate,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "word_pmi": q_word_pmi,
     "vocab_build": q_vocab_build,
     "text_oov_rate": q_text_oov_rate,
 }
@@ -1205,6 +1293,7 @@ ORACLES = {
     "text_contamination": TEXT_CONTAMINATION_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+    "word_pmi": WORD_PMI_SQL,
     "vocab_build": VOCAB_BUILD_SQL,
     "text_oov_rate": TEXT_OOV_RATE_SQL,
 }

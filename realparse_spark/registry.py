@@ -71,7 +71,8 @@ _MODULES = (
 # parity-green at add time): poisson_bootstrap_ci, event_attribution,
 # seasonal_dow, dp_group_counts, doc_decontaminate, linkage_clusters,
 # line_dedup, epoch_shuffle, bpe_pair_counts, token_budget_mix,
-# dedup_incremental_minhash, error_budget.
+# dedup_incremental_minhash, error_budget, ab_test, word_pmi,
+# stream_enrich_e2e.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",

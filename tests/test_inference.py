@@ -159,3 +159,28 @@ def test_linkage_clusters_match_pair_graph(spark):
     rows = q_linkage_clusters(spark, SF_DIR).collect()
     assert all(r.n_members >= 2 for r in rows)
     assert sum(r.n_members for r in rows) == n_nodes
+
+
+def test_ab_test_split_is_balanced_and_exact(spark):
+    """The hash split must roughly balance arms, and counts must equal a
+    local recompute of the assignment."""
+    import hashlib
+
+    from realparse_spark.operators.inference import q_ab_test
+
+    ev = load_table(spark, SF_DIR, "events")
+    users = {
+        r.user_id: r.converted
+        for r in ev.groupBy("user_id")
+        .agg(F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"))
+        .collect()
+    }
+    expect = {"A": [0, 0], "B": [0, 0]}
+    for uid, conv in users.items():
+        arm = "A" if int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2 == 0 else "B"
+        expect[arm][0] += 1
+        expect[arm][1] += conv
+    r = q_ab_test(spark, SF_DIR).collect()[0]
+    assert (r.n_a, r.conv_a) == tuple(expect["A"])
+    assert (r.n_b, r.conv_b) == tuple(expect["B"])
+    assert min(r.n_a, r.n_b) > 0.3 * (r.n_a + r.n_b)
