@@ -144,7 +144,13 @@ def sorted_neighborhood_pairs(
         "_pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("_pid").orderBy("sk", "name")
-    local = ranged.withColumn("_lrn", F.row_number().over(local_w))
+    # one materialization shared by offsets + rank join: two branches each
+    # re-deriving `ranged` would sample range boundaries independently
+    # (RangePartitioner seeds per RDD id), making _pid inconsistent
+    # between them — see epoch_shuffle_batches for the observed failure
+    local = ranged.withColumn("_lrn", F.row_number().over(local_w)).localCheckpoint(
+        eager=False
+    )
     off_w = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )

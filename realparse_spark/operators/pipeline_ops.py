@@ -891,7 +891,16 @@ def epoch_shuffle_batches(
         "_pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("_pid", "epoch").orderBy("sk", "doc_id")
-    local = ranged.withColumn("_lrn", F.row_number().over(local_w))
+    # ONE materialization shared by the offsets and the final rank join:
+    # both branches re-deriving `ranged` would each instantiate their own
+    # RangePartitioner, whose boundary SAMPLING is seeded per RDD id —
+    # disagreeing cuts make _pid mean different things in the two
+    # branches and the prefix offsets shift ranks past n_docs (caught by
+    # the tri-scale sweep at sf0.1: one phantom 238th batch).  The
+    # lineage cut pins a single consistent partitioning.
+    local = ranged.withColumn("_lrn", F.row_number().over(local_w)).localCheckpoint(
+        eager=False
+    )
     off_w = (
         Window.partitionBy("epoch")
         .orderBy("_pid")
