@@ -158,6 +158,7 @@ EXTRA = [
     "error_budget",         # SLO burn rates over the daily rollup
     "ab_test",              # hash-split two-proportion z-test readout
     "word_pmi",             # doc-level co-occurrence PMI (df-capped pair join)
+    "graph_common_neighbors",  # link prediction (cap-bounded in-row wedges)
     # (stream_enrich_e2e is correctness-only, like the other streaming
     # lifecycles)
     # (dedup_incremental_minhash is correctness-only: same probe-join

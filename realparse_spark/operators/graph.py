@@ -507,15 +507,113 @@ ORDER BY dist
 """
 
 
+# 64 sits under the fixture graph's median degree (~115 at every SF) so
+# hub centers are excluded at all scales while low-degree centers still
+# produce candidates — the knob a deployment tunes to its degree
+# distribution (wedge work is sum over centers of deg², cap² bounded)
+_CN_DEG_CAP = 64
+
+
+def common_neighbor_candidates(
+    edges: DataFrame, deg: DataFrame, center_cap: int = _CN_DEG_CAP, top: int = 20
+) -> DataFrame:
+    """Link prediction by common-neighbor count: the top NON-adjacent
+    vertex pairs sharing the most neighbors — 'parts that should be
+    bundled but never were' over the co-order graph.
+
+    Scale shape: wedge enumeration is sum(deg(center)²) and a hub center
+    connects everything-to-everything while carrying no discriminative
+    signal (the same reason Adamic-Adar down-weights high-degree common
+    neighbors to ~0) — so centers above `center_cap` are EXCLUDED, the
+    documented policy knob mirroring the dedup df_cap.  Surviving
+    centers' neighbor arrays are O(cap), so candidate pairs generate
+    IN-ROW (index-aware transform over the sorted array — no quadratic
+    shuffle; the wire only carries (u, v, partial-count) rows), existing
+    edges are removed with a left-anti join, and the ranking is
+    TakeOrdered."""
+    centers = deg.filter(F.col("deg") <= center_cap).select("node")
+    nb = (
+        edges.join(centers, edges.src == centers.node)
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("nb"))
+    )
+    pairs = nb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(nb, (x, i) ->"
+                " transform(slice(nb, i + 2, size(nb)), y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    cn = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    nonadj = cn.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            F.col("u").cast("bigint").alias("part_a"),
+            F.col("v").cast("bigint").alias("part_b"),
+            "n_common",
+        )
+        .orderBy(F.col("n_common").desc(), "part_a", "part_b")
+        .limit(top)
+    )
+
+
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    snap = _co_order_edges_for(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(snap, "edges"))
+    deg = spark.read.parquet(os.path.join(snap, "deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    return common_neighbor_candidates(edges, deg)
+
+
+GRAPH_COMMON_NEIGHBORS_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+  GROUP BY 1, 2
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+ce AS (
+  SELECT e.src AS c, e.dst AS x
+  FROM edges e JOIN deg ON deg.node = e.src
+  WHERE deg.deg <= {_CN_DEG_CAP}
+),
+wedges AS (
+  SELECT a.x AS u, b.x AS v FROM ce a JOIN ce b ON a.c = b.c AND a.x < b.x
+),
+cn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common FROM wedges GROUP BY u, v),
+nonadj AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = cn.u AND e.dst = cn.v)
+)
+SELECT CAST(u AS BIGINT) AS part_a, CAST(v AS BIGINT) AS part_b, n_common
+FROM nonadj
+ORDER BY n_common DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pagerank_parts": q_pagerank_parts,
     "pagerank_weighted": q_pagerank_weighted,
     "graph_triangles": q_graph_triangles,
     "graph_khop": q_graph_khop,
+    "graph_common_neighbors": q_graph_common_neighbors,
 }
 ORACLES = {
     "pagerank_parts": _pagerank_sql(3),
     "pagerank_weighted": _pagerank_sql(3, weighted=True),
     "graph_triangles": GRAPH_TRIANGLES_SQL,
     "graph_khop": GRAPH_KHOP_SQL,
+    "graph_common_neighbors": GRAPH_COMMON_NEIGHBORS_SQL,
 }
