@@ -442,18 +442,27 @@ ORDER BY day
 def ab_test_proportions(events: DataFrame, salt: str = "ab") -> DataFrame:
     """Two-proportion z-test between md5-assigned arms: users split 50/50
     by hash (the standard experiment-assignment primitive — sticky,
-    stateless, uniform), conversion = user has >= 1 purchase.  Counts are
-    exact integers; the z statistic is the fixed textbook formula
-    evaluated on those integers (same deterministic-float discipline as
-    event_zscore), so both engines agree bit-for-bit.
+    stateless, uniform), conversion = user purchased more often than they
+    viewed (a per-user comparison that stays non-degenerate at every
+    fixture scale; 'any purchase' saturates to 100% on this corpus).
+    Counts are exact integers; the z statistic is the fixed textbook
+    formula evaluated on those integers (same deterministic-float
+    discipline as event_zscore), so both engines agree bit-for-bit.  A
+    degenerate readout (pooled rate 0 or 1 -> zero standard error) yields
+    a NULL z instead of a division — the driver's ANSI session errors on
+    x/0, and 'no variance' is a meaningful experiment outcome.
 
     100 TB shape: one per-user aggregate (map-side combined), one 2-row
     arm rollup, one 1-row final projection — the experiment readout never
     shuffles anything user-level twice."""
     users = events.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "converted"
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            > F.count(F.when(F.col("event_type") == "view", 1)),
+            1,
         )
+        .otherwise(0)
+        .alias("converted")
     )
     arm = F.when(
         F.pmod(
@@ -493,9 +502,8 @@ def ab_test_proportions(events: DataFrame, salt: str = "ab") -> DataFrame:
     pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
-    z = (pa - pb) / F.sqrt(
-        pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
-    )
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = F.when(se > 0, (pa - pb) / se)
     return j.select(
         "n_a",
         "conv_a",
@@ -504,7 +512,7 @@ def ab_test_proportions(events: DataFrame, salt: str = "ab") -> DataFrame:
         F.expr("conv_a * 1000000 div n_a").alias("rate_a_ppm"),
         F.expr("conv_b * 1000000 div n_b").alias("rate_b_ppm"),
         F.round(z, 4).alias("z_stat"),
-        (F.abs(z) > 1.959964).alias("significant_95"),
+        F.coalesce(F.abs(z) > 1.959964, F.lit(False)).alias("significant_95"),
     )
 
 
@@ -515,7 +523,9 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 AB_TEST_SQL = """
 WITH users AS (
   SELECT user_id,
-    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+            > count(*) FILTER (WHERE event_type = 'view')
+         THEN 1 ELSE 0 END AS converted
   FROM events GROUP BY user_id
 ),
 arms AS (
@@ -531,19 +541,23 @@ agg AS (
 j AS (
   SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
   FROM (SELECT * FROM agg WHERE arm = 'A') a, (SELECT * FROM agg WHERE arm = 'B') b
+),
+d AS (
+  SELECT *,
+    CAST(conv_a AS DOUBLE) / n_a AS pa,
+    CAST(conv_b AS DOUBLE) / n_b AS pb,
+    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+  FROM j
+),
+s AS (
+  SELECT *, sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se FROM d
 )
 SELECT n_a, conv_a, n_b, conv_b,
   CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
   CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
-  round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
-    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-           * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-           * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat,
-  abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
-    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-           * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-           * (1.0 / n_a + 1.0 / n_b))) > 1.959964 AS significant_95
-FROM j
+  round(CASE WHEN se > 0 THEN (pa - pb) / se END, 4) AS z_stat,
+  coalesce(abs(CASE WHEN se > 0 THEN (pa - pb) / se END) > 1.959964, false) AS significant_95
+FROM s
 """
 
 
