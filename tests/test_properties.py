@@ -339,3 +339,84 @@ def test_vocab_build_ranking_and_oov_arithmetic(spark):
            for r in oov_rate(docs, vocab).collect()}
     # s1: tokens a a a b b zz -> 1 OOV of 6; s2: b c c zz yy -> 2 OOV of 5
     assert oov == {"s1": (6, 1, 166666), "s2": (5, 2, 400000)}
+
+
+# ---------------------------------------------------------------------------
+# round-6 ops: segment scrub round trip and token-budget prefix property
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(_doc_st, min_size=1, max_size=10),
+    threshold=st.integers(2, 4),
+)
+def test_segment_scrub_matches_python_reference(spark, texts, threshold):
+    """remove_duplicated_segments vs a direct Python recomputation on
+    random corpora: same segmentation, same corpus-frequency filter, same
+    ordered reassembly — including empty docs and all-boilerplate docs."""
+    from collections import Counter
+
+    from realparse_spark.operators.pipeline_ops import remove_duplicated_segments
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.text_clean)
+        for r in remove_duplicated_segments(
+            docs, seg_tokens=4, dup_threshold=threshold
+        ).collect()
+    }
+    segs_by_doc = {}
+    freq = Counter()
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        segs = [" ".join(toks[i : i + 4]) for i in range(0, len(toks), 4)]
+        segs_by_doc[doc_id] = segs
+        freq.update(segs)
+    for doc_id, segs in segs_by_doc.items():
+        if not segs:
+            assert doc_id not in got  # zero-token docs emit no lines
+            continue
+        kept = [s for s in segs if freq[s] < threshold]
+        assert got[doc_id] == (len(segs), len(kept), " ".join(kept)), (
+            doc_id,
+            segs,
+        )
+
+
+@settings(**_SETTINGS)
+@given(
+    chars=st.lists(st.integers(1, 300), min_size=1, max_size=40),
+    budget=st.integers(50, 2000),
+)
+def test_token_budget_prefix_property(spark, chars, budget):
+    """token_budget_take == take the md5-permutation prefix while the
+    running char total stays within budget — for random doc sizes and
+    budgets (single source, so the per-source rollup is one row or
+    empty)."""
+    import hashlib
+
+    from realparse_spark.operators.pipeline_ops import token_budget_take
+
+    docs = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate(chars)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = token_budget_take(docs, budget=budget).collect()
+    order = sorted(
+        (hashlib.md5(f"mix:{i}".encode()).hexdigest(), i, n)
+        for i, n in enumerate(chars)
+    )
+    c, n_docs, n_kept = 0, 0, 0
+    for _, _, n in order:
+        c += n
+        if c > budget:
+            break
+        n_docs, n_kept = n_docs + 1, n_kept + n
+    if n_docs == 0:
+        assert rows == []
+    else:
+        assert len(rows) == 1
+        assert (rows[0].n_docs, rows[0].n_chars_kept) == (n_docs, n_kept)
