@@ -303,6 +303,115 @@ FROM conv GROUP BY channel ORDER BY channel
 
 
 # ---------------------------------------------------------------------------
+# linear (multi-touch) attribution
+# ---------------------------------------------------------------------------
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = _TOUCH_TYPES,
+    conversion: str = _CONVERSION,
+    lookback_days: int = _LOOKBACK_DAYS,
+) -> DataFrame:
+    """Multi-touch complement of `last_touch_attribution`: each
+    conversion's value splits EQUALLY across every qualifying touch in
+    the lookback window (the 'linear' model); conversions with no touch
+    credit 'none' in full.  Credits are exact integers — value in 1e-4
+    units times 1e6, integer-divided by the touch count — so the split is
+    engine-identical (truncation loses < n_touches micro-units per
+    conversion, far below reporting precision, and is the documented
+    trade for exactness).
+
+    Shape: one equi-join on user_id with the time-band residual (the
+    funnel join family — per-user histories are small, the band bounds
+    the fan-out), one window partitioned by conversion id for the touch
+    count, an anti-join for the untouched remainder.  Nothing global."""
+    vu = (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint")
+    t = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("t_uid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    p = events.filter(F.col("event_type") == conversion).select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        vu.alias("value_u"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("user_id") == F.col("t_uid"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr(f"INTERVAL {lookback_days} DAYS")),
+    )
+    n_t = F.count(F.lit(1)).over(Window.partitionBy("pid"))
+    credited = pairs.select(
+        "channel",
+        "pid",
+        F.expr("value_u * 1000000").alias("vscaled"),
+        n_t.alias("n_t"),
+    ).select(
+        "channel", "pid", F.expr("vscaled div n_t").alias("credit_micro")
+    )
+    untouched = p.join(
+        pairs.select("pid").distinct(), "pid", "left_anti"
+    ).select(
+        F.lit("none").alias("channel"),
+        "pid",
+        F.expr("value_u * 1000000").alias("credit_micro"),
+    )
+    return (
+        credited.unionByName(untouched)
+        .groupBy("channel")
+        .agg(
+            F.count_distinct("pid").cast("bigint").alias("n_conversions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.sum("credit_micro").cast("bigint").alias("credit_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return linear_attribution(load_table(spark, sf_dir, "events"))
+
+
+LINEAR_ATTRIBUTION_SQL = f"""
+WITH t AS (
+  SELECT user_id AS t_uid, ts AS tts, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+p AS (
+  SELECT user_id, event_id AS pid, ts AS pts,
+    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_u
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT t.channel, p.pid, p.value_u
+  FROM p JOIN t ON p.user_id = t.t_uid
+    AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL '{_LOOKBACK_DAYS} days'
+),
+credited AS (
+  SELECT channel, pid,
+    (value_u * 1000000) // count(*) OVER (PARTITION BY pid) AS credit_micro
+  FROM pairs
+),
+untouched AS (
+  SELECT 'none' AS channel, pid, value_u * 1000000 AS credit_micro
+  FROM p WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.pid = p.pid)
+),
+unioned AS (
+  SELECT * FROM credited UNION ALL SELECT * FROM untouched
+)
+SELECT channel,
+  CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions,
+  CAST(count(*) AS BIGINT) AS n_credits,
+  CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+FROM unioned GROUP BY channel ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
 # day-of-week seasonal decomposition
 # ---------------------------------------------------------------------------
 
@@ -565,6 +674,7 @@ QUERIES = {
     "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
     "ab_test": q_ab_test,
     "event_attribution": q_event_attribution,
+    "linear_attribution": q_linear_attribution,
     "seasonal_dow": q_seasonal_dow,
     "error_budget": q_error_budget,
 }
@@ -572,6 +682,7 @@ ORACLES = {
     "poisson_bootstrap_ci": _poisson_bootstrap_sql(),
     "ab_test": AB_TEST_SQL,
     "event_attribution": EVENT_ATTRIBUTION_SQL,
+    "linear_attribution": LINEAR_ATTRIBUTION_SQL,
     "seasonal_dow": SEASONAL_DOW_SQL,
     "error_budget": ERROR_BUDGET_SQL,
 }

@@ -187,3 +187,25 @@ def test_ab_test_split_is_balanced_and_exact(spark):
     assert r.n_a > 0 and r.n_b > 0
     # non-degenerate on the fixture: a finite z must be produced
     assert r.z_stat is not None
+
+
+def test_linear_attribution_conserves_mass_within_truncation(spark):
+    """Sum of credits equals total conversion value to within one
+    micro-unit per credit row (the integer-split truncation bound), and
+    every conversion is credited in exactly one place per channel."""
+    from realparse_spark.operators.inference import q_linear_attribution
+
+    ev = load_table(spark, SF_DIR, "events")
+    total_u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.sum((F.col("value").cast("decimal(18,4)") * 10000).cast("bigint")))
+        .collect()[0][0]
+    )
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    rows = q_linear_attribution(spark, SF_DIR).collect()
+    credit = sum(r.credit_micro for r in rows)
+    n_credits = sum(r.n_credits for r in rows)
+    assert 0 <= total_u * 1000000 - credit < n_credits
+    assert sum(r.n_conversions for r in rows) >= n_purch  # a conversion can
+    # touch multiple channels; every purchase appears under >= 1 channel
+    assert {r.channel for r in rows} <= {"click", "view", "none"}
