@@ -160,6 +160,7 @@ EXTRA = [
     "word_pmi",             # doc-level co-occurrence PMI (df-capped pair join)
     "graph_common_neighbors",  # link prediction (cap-bounded in-row wedges)
     "linear_attribution",   # multi-touch equal split (time-band join)
+    "funnel_steps",         # ordered 3-step funnel (chained conditional mins)
     # (stream_enrich_e2e is correctness-only, like the other streaming
     # lifecycles)
     # (dedup_incremental_minhash is correctness-only: same probe-join

@@ -2488,7 +2488,104 @@ ORDER BY nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# ordered multi-step funnel (view -> click -> purchase firsts per user)
+# ---------------------------------------------------------------------------
+
+
+def funnel_steps(events: DataFrame, step_window: str = "12 HOURS") -> DataFrame:
+    """Ordered three-step funnel: each user's first view, first click
+    within `step_window` AFTER that view, first purchase within
+    `step_window` AFTER that click — the strict-order product funnel
+    with per-step windows (a click before any view does not count; a
+    late click is a drop-off, which is what the window measures).
+    Output is the one-row stage readout with exact drop-off counts and
+    ppm rates.
+
+    Shape: three user-keyed aggregates chained by two left joins carrying
+    the previous stage's timestamp as a residual (`ts > prev`) — every
+    stage partitions by user_id, the conditional min is map-side
+    combined, and nothing user-level crosses stages twice.  The readout
+    aggregate is a single row."""
+    ev = events.select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("cts")
+    )
+    vc = (
+        v.join(
+            clicks,
+            (F.col("user_id") == F.col("c_uid"))
+            & (F.col("cts") > F.col("t_view"))
+            & (F.col("cts") <= F.col("t_view") + F.expr("INTERVAL 12 HOURS")),
+            "left",
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("cts").alias("t_click"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")
+    )
+    vcp = (
+        vc.join(
+            buys,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("pts") > F.col("t_click"))
+            & (F.col("pts") <= F.col("t_click") + F.expr("INTERVAL 12 HOURS")),
+            "left",
+        )
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("pts").alias("t_purchase"))
+    )
+    return vcp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_view"),
+        F.count("t_click").cast("bigint").alias("n_view_click"),
+        F.count("t_purchase").cast("bigint").alias("n_full_funnel"),
+        F.expr("count(t_click) * 1000000 div count(*)").alias("click_rate_ppm"),
+        F.expr(
+            "CASE WHEN count(t_click) <> 0"
+            " THEN count(t_purchase) * 1000000 div count(t_click) END"
+        ).alias("purchase_rate_ppm"),
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_steps(load_table(spark, sf_dir, "events"))
+
+
+FUNNEL_STEPS_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+vc AS (
+  SELECT v.user_id, v.t_view, min(c.ts) AS t_click
+  FROM v LEFT JOIN events c
+    ON c.user_id = v.user_id AND c.event_type = 'click' AND c.ts > v.t_view
+    AND c.ts <= v.t_view + INTERVAL '12 hours'
+  GROUP BY v.user_id, v.t_view
+),
+vcp AS (
+  SELECT vc.user_id, vc.t_view, vc.t_click, min(p.ts) AS t_purchase
+  FROM vc LEFT JOIN events p
+    ON p.user_id = vc.user_id AND p.event_type = 'purchase' AND p.ts > vc.t_click
+    AND p.ts <= vc.t_click + INTERVAL '12 hours'
+  GROUP BY vc.user_id, vc.t_view, vc.t_click
+)
+SELECT CAST(count(*) AS BIGINT) AS n_view,
+  CAST(count(t_click) AS BIGINT) AS n_view_click,
+  CAST(count(t_purchase) AS BIGINT) AS n_full_funnel,
+  CAST(count(t_click) * 1000000 // count(*) AS BIGINT) AS click_rate_ppm,
+  CAST(CASE WHEN count(t_click) <> 0
+       THEN count(t_purchase) * 1000000 // count(t_click) END AS BIGINT) AS purchase_rate_ppm
+FROM vcp
+"""
+
+
 QUERIES = {
+    "funnel_steps": q_funnel_steps,
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
     "event_ohlc": q_event_ohlc,
@@ -2526,6 +2623,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "funnel_steps": FUNNEL_STEPS_SQL,
     "market_basket": MARKET_BASKET_SQL,
     "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
     "event_ohlc": EVENT_OHLC_SQL,
