@@ -162,7 +162,8 @@ EXTRA = [
     "linear_attribution",   # multi-touch equal split (time-band join)
     "funnel_steps",         # ordered 3-step funnel (chained conditional mins)
     # (stream_enrich_e2e is correctness-only, like the other streaming
-    # lifecycles)
+    # lifecycles; graph_adamic_adar is correctness-only — same plan
+    # family as graph_common_neighbors, the benched representative)
     # (dedup_incremental_minhash is correctness-only: same probe-join
     # family as dedup_minhash_lsh, the benched representative)
     # (emb_threshold_sweep is correctness-only, like dedup_embedding:

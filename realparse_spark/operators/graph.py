@@ -564,6 +564,98 @@ def common_neighbor_candidates(
     )
 
 
+def adamic_adar_candidates(
+    edges: DataFrame, deg: DataFrame, center_cap: int = _CN_DEG_CAP, top: int = 20
+) -> DataFrame:
+    """Adamic-Adar-weighted link prediction: like common neighbors, but
+    each shared neighbor contributes inversely to its own degree (the
+    rational surrogate 1e9 div deg — monotone like 1/ln(deg) but
+    integer-exact cross-engine, same discipline as the tf-idf integer
+    idf), so promiscuous hubs stop dominating the score.  The center's
+    weight is a CONSTANT per adjacency row, so candidate pairs still
+    generate in-row from the sorted neighbor array with the weight
+    attached — the wire carries (u, v, partial-weight) only."""
+    centers = deg.filter(F.col("deg") <= center_cap).select(
+        "node", F.expr(f"CAST(1000000000 div deg AS BIGINT)").alias("cw")
+    )
+    nb = (
+        edges.join(centers, edges.src == centers.node)
+        .groupBy("src", "cw")
+        .agg(F.array_sort(F.collect_list("dst")).alias("nb"))
+    )
+    pairs = nb.select(
+        "cw",
+        F.explode(
+            F.expr(
+                "flatten(transform(nb, (x, i) ->"
+                " transform(slice(nb, i + 2, size(nb)), y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p"),
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "cw")
+    aa = pairs.groupBy("u", "v").agg(
+        F.sum("cw").cast("bigint").alias("aa_ppb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+    )
+    nonadj = aa.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            F.col("u").cast("bigint").alias("part_a"),
+            F.col("v").cast("bigint").alias("part_b"),
+            "n_common",
+            "aa_ppb",
+        )
+        .orderBy(F.col("aa_ppb").desc(), "part_a", "part_b")
+        .limit(top)
+    )
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    snap = _co_order_edges_for(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(snap, "edges"))
+    deg = spark.read.parquet(os.path.join(snap, "deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    return adamic_adar_candidates(edges, deg)
+
+
+GRAPH_ADAMIC_ADAR_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+  GROUP BY 1, 2
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+ce AS (
+  SELECT e.src AS c, e.dst AS x, CAST(1000000000 // deg.deg AS BIGINT) AS cw
+  FROM edges e JOIN deg ON deg.node = e.src
+  WHERE deg.deg <= {_CN_DEG_CAP}
+),
+wedges AS (
+  SELECT a.x AS u, b.x AS v, a.cw FROM ce a JOIN ce b ON a.c = b.c AND a.x < b.x
+),
+aa AS (
+  SELECT u, v, CAST(sum(cw) AS BIGINT) AS aa_ppb,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM wedges GROUP BY u, v
+),
+nonadj AS (
+  SELECT aa.* FROM aa
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = aa.u AND e.dst = aa.v)
+)
+SELECT CAST(u AS BIGINT) AS part_a, CAST(v AS BIGINT) AS part_b, n_common, aa_ppb
+FROM nonadj
+ORDER BY aa_ppb DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -609,6 +701,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_khop": q_graph_khop,
     "graph_common_neighbors": q_graph_common_neighbors,
+    "graph_adamic_adar": q_graph_adamic_adar,
 }
 ORACLES = {
     "pagerank_parts": _pagerank_sql(3),
@@ -616,4 +709,5 @@ ORACLES = {
     "graph_triangles": GRAPH_TRIANGLES_SQL,
     "graph_khop": GRAPH_KHOP_SQL,
     "graph_common_neighbors": GRAPH_COMMON_NEIGHBORS_SQL,
+    "graph_adamic_adar": GRAPH_ADAMIC_ADAR_SQL,
 }

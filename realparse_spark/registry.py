@@ -73,7 +73,7 @@ _MODULES = (
 # line_dedup, epoch_shuffle, bpe_pair_counts, token_budget_mix,
 # dedup_incremental_minhash, error_budget, ab_test, word_pmi,
 # stream_enrich_e2e, graph_common_neighbors, linear_attribution,
-# funnel_steps.
+# funnel_steps, graph_adamic_adar.
 _PRIORITY = (
     # round-5 additions still without a driver row
     "q6_forecast_revenue",
