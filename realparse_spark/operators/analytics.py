@@ -2507,6 +2507,7 @@ def funnel_steps(events: DataFrame, step_window: str = "12 HOURS") -> DataFrame:
     stage partitions by user_id, the conditional min is map-side
     combined, and nothing user-level crosses stages twice.  The readout
     aggregate is a single row."""
+    win = F.expr(f"INTERVAL {step_window}")
     ev = events.select("user_id", "event_type", "ts")
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("t_view")
@@ -2519,7 +2520,7 @@ def funnel_steps(events: DataFrame, step_window: str = "12 HOURS") -> DataFrame:
             clicks,
             (F.col("user_id") == F.col("c_uid"))
             & (F.col("cts") > F.col("t_view"))
-            & (F.col("cts") <= F.col("t_view") + F.expr("INTERVAL 12 HOURS")),
+            & (F.col("cts") <= F.col("t_view") + win),
             "left",
         )
         .groupBy("user_id", "t_view")
@@ -2533,7 +2534,7 @@ def funnel_steps(events: DataFrame, step_window: str = "12 HOURS") -> DataFrame:
             buys,
             (F.col("user_id") == F.col("p_uid"))
             & (F.col("pts") > F.col("t_click"))
-            & (F.col("pts") <= F.col("t_click") + F.expr("INTERVAL 12 HOURS")),
+            & (F.col("pts") <= F.col("t_click") + win),
             "left",
         )
         .groupBy("user_id", "t_view", "t_click")
@@ -2543,7 +2544,10 @@ def funnel_steps(events: DataFrame, step_window: str = "12 HOURS") -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_view"),
         F.count("t_click").cast("bigint").alias("n_view_click"),
         F.count("t_purchase").cast("bigint").alias("n_full_funnel"),
-        F.expr("count(t_click) * 1000000 div count(*)").alias("click_rate_ppm"),
+        F.expr(
+            "CASE WHEN count(*) <> 0"
+            " THEN count(t_click) * 1000000 div count(*) END"
+        ).alias("click_rate_ppm"),
         F.expr(
             "CASE WHEN count(t_click) <> 0"
             " THEN count(t_purchase) * 1000000 div count(t_click) END"
@@ -2555,7 +2559,10 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(load_table(spark, sf_dir, "events"))
 
 
-FUNNEL_STEPS_SQL = """
+def funnel_steps_sql(step_window: str = "12 HOURS") -> str:
+    """DuckDB oracle for :func:`funnel_steps`, with the SAME per-step
+    window so the two can never drift apart."""
+    return f"""
 WITH v AS (
   SELECT user_id, min(ts) AS t_view FROM events
   WHERE event_type = 'view' GROUP BY user_id
@@ -2564,24 +2571,28 @@ vc AS (
   SELECT v.user_id, v.t_view, min(c.ts) AS t_click
   FROM v LEFT JOIN events c
     ON c.user_id = v.user_id AND c.event_type = 'click' AND c.ts > v.t_view
-    AND c.ts <= v.t_view + INTERVAL '12 hours'
+    AND c.ts <= v.t_view + INTERVAL '{step_window}'
   GROUP BY v.user_id, v.t_view
 ),
 vcp AS (
   SELECT vc.user_id, vc.t_view, vc.t_click, min(p.ts) AS t_purchase
   FROM vc LEFT JOIN events p
     ON p.user_id = vc.user_id AND p.event_type = 'purchase' AND p.ts > vc.t_click
-    AND p.ts <= vc.t_click + INTERVAL '12 hours'
+    AND p.ts <= vc.t_click + INTERVAL '{step_window}'
   GROUP BY vc.user_id, vc.t_view, vc.t_click
 )
 SELECT CAST(count(*) AS BIGINT) AS n_view,
   CAST(count(t_click) AS BIGINT) AS n_view_click,
   CAST(count(t_purchase) AS BIGINT) AS n_full_funnel,
-  CAST(count(t_click) * 1000000 // count(*) AS BIGINT) AS click_rate_ppm,
+  CAST(CASE WHEN count(*) <> 0
+       THEN count(t_click) * 1000000 // count(*) END AS BIGINT) AS click_rate_ppm,
   CAST(CASE WHEN count(t_click) <> 0
        THEN count(t_purchase) * 1000000 // count(t_click) END AS BIGINT) AS purchase_rate_ppm
 FROM vcp
 """
+
+
+FUNNEL_STEPS_SQL = funnel_steps_sql()
 
 
 QUERIES = {

@@ -529,7 +529,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     n: int = 3,
     k: int = 32,
     bands: int = 8,
@@ -555,6 +555,8 @@ def minhash_lsh_pairs(
     completeness inside hot buckets, mirroring the ngram df_cap policy."""
     if k % bands != 0:
         raise ValueError(f"bands ({bands}) must divide signature width k ({k})")
+    if docs is None and sig is None:
+        raise ValueError("minhash_lsh_pairs needs either docs or a sig table")
     # a precomputed signature table (see _minhash_sig_for) skips the
     # narrow-but-arithmetic-heavy build; either way the plan references
     # the signatures three times (banding + both verify sides), so the

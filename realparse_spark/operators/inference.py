@@ -131,22 +131,29 @@ def poisson_bootstrap_ci(
             F.sum(F.col("v") * F.col("w")).alias("swx"),
             F.sum("w").alias("sw"),
         )
+        # An all-zero-weight replicate (P ~ e^-n, only possible for tiny
+        # groups) has no mean; drop it BEFORE ranking — Spark sorts NULLs
+        # first on ASC while DuckDB sorts them last, so a NULL mean_r
+        # would silently diverge cross-engine.
+        .filter(F.col("sw") > 0)
         .select(
             "grp",
             "r",
-            (
-                F.col("swx").cast("double")
-                / F.nullif(F.col("sw"), F.lit(0)).cast("double")
-            ).alias("mean_r"),
+            (F.col("swx").cast("double") / F.col("sw").cast("double")).alias(
+                "mean_r"
+            ),
         )
     )
     rn = F.row_number().over(Window.partitionBy("grp").orderBy("mean_r", "r"))
-    ranked = means.withColumn("rn", rn)
+    rn_d = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.desc("mean_r"), F.desc("r"))
+    )
+    ranked = means.withColumn("rn", rn).withColumn("rn_d", rn_d)
     ci = ranked.groupBy("grp").agg(
         F.round(F.max(F.when(F.col("rn") == 2, F.col("mean_r"))), 6).alias("ci_lo"),
-        F.round(
-            F.max(F.when(F.col("rn") == n_replicates - 1, F.col("mean_r"))), 6
-        ).alias("ci_hi"),
+        F.round(F.max(F.when(F.col("rn_d") == 2, F.col("mean_r"))), 6).alias(
+            "ci_hi"
+        ),
     )
     point = base.groupBy("grp").agg(
         F.round(
@@ -184,18 +191,20 @@ rep AS (
 ),
 means AS (
   SELECT grp, r,
-    CAST(sum(v * w) AS DOUBLE) / CAST(nullif(sum(w), 0) AS DOUBLE) AS mean_r
+    CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_r
   FROM rep GROUP BY grp, r
+  HAVING sum(w) > 0
 ),
 ranked AS (
   SELECT grp, r, mean_r,
-    row_number() OVER (PARTITION BY grp ORDER BY mean_r, r) AS rn
+    row_number() OVER (PARTITION BY grp ORDER BY mean_r, r) AS rn,
+    row_number() OVER (PARTITION BY grp ORDER BY mean_r DESC, r DESC) AS rn_d
   FROM means
 ),
 ci AS (
   SELECT grp,
     round(max(CASE WHEN rn = 2 THEN mean_r END), 6) AS ci_lo,
-    round(max(CASE WHEN rn = {N_REPLICATES - 1} THEN mean_r END), 6) AS ci_hi
+    round(max(CASE WHEN rn_d = 2 THEN mean_r END), 6) AS ci_hi
   FROM ranked GROUP BY grp
 ),
 point AS (

@@ -329,9 +329,18 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(fps, F.col("doc_id") % 20 == 0)
 
 
+def _sql_splice(src: str, marker: str, replacement: str) -> str:
+    """str.replace that fails loudly at import time if the marker text has
+    drifted out of the source SQL (a silent no-op would otherwise surface
+    only as invalid SQL at oracle run time)."""
+    assert marker in src, f"SQL splice marker not found: {marker!r}"
+    return src.replace(marker, replacement)
+
+
 # extends the winnow CTE chain: fingerprint rows -> df cap -> bench/train
 # self-join -> shared-fp counts
-TEXT_CONTAMINATION_SQL = TEXT_WINNOW_SQL.replace(
+TEXT_CONTAMINATION_SQL = _sql_splice(
+    TEXT_WINNOW_SQL,
     "SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM m",
     """,
 fp_rows AS (
@@ -1241,7 +1250,8 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extends the contamination chain: pair list -> distinct contaminated ids
 # -> per-source keep/drop rollup over the train split
 DOC_DECONTAMINATE_SQL = (
-    TEXT_CONTAMINATION_SQL.replace(
+    _sql_splice(
+        TEXT_CONTAMINATION_SQL,
         "SELECT b.doc_id AS bench_doc",
         ", pairs AS (\nSELECT b.doc_id AS bench_doc",
     )
