@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realparse_spark.cache import fingerprint_key, snapshot_path
+from realparse_spark.operators.distrank import rank_distributed
 from realparse_spark.operators.text import ws_tokens
 from realparse_spark.sources.tables import fan_out, load_table
 
@@ -282,8 +283,6 @@ def prefix_jaccard_pairs(
 def _build_prefix_index(docs: DataFrame, n: int, threshold: float) -> DataFrame:
     """The df-ranked prefix posting index (doc_id, garr, n_tok, pos, tok)
     — the derived corpus structure the PPJoin self-join reads."""
-    from pyspark.sql import Window
-
     toks = docs.select(
         "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("tok")
     )
@@ -291,13 +290,14 @@ def _build_prefix_index(docs: DataFrame, n: int, threshold: float) -> DataFrame:
     # ordering by frequency".  Interning matters twice: the self-join key
     # becomes an int, and array_intersect below hits Spark's primitive
     # fast path (string arrays pay generic UTF8String hashing per pair —
-    # measured 4x slower end-to-end).  The ranking is one global sort of
-    # the VOCABULARY (not the corpus); every set-similarity-join system
-    # does this same preprocessing pass.
+    # measured 4x slower end-to-end).  The rank is over the VOCABULARY
+    # (not the corpus), but shingle vocabularies grow near-linearly with
+    # corpus size, so it uses the two-phase distributed rank — never a
+    # single-partition window (the round-6 scale finding).
     doc_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    tok_ids = doc_freq.withColumn(
-        "tok_id", F.row_number().over(Window.orderBy("df", "tok"))
-    ).select("tok", "tok_id")
+    tok_ids = rank_distributed(doc_freq, ["df", "tok"], rank_col="tok_id").select(
+        "tok", "tok_id"
+    )
     # one row per doc: shingle-id array sorted ascending == rarest-first
     # under the global (df, tok) total order the prefix principle requires
     doc_arr = (

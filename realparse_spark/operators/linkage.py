@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realparse_spark.operators.distrank import rank_distributed
+
 
 def blocked_fuzzy_pairs(
     df: DataFrame,
@@ -134,33 +136,12 @@ def sorted_neighborhood_pairs(
     Candidates come from ONE equi-join on the rank bucket (each row
     probes its own and the previous width-`window` bucket), so the
     neighborhood comparison is O(keys x window), never quadratic."""
-    from pyspark.sql import Window
-
     names = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     keyed = names.select(
         F.col(key_col).alias("name"), "n", F.reverse(key_col).alias("sk")
     )
-    ranged = keyed.repartitionByRange(n_ranges, "sk", "name").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    local_w = Window.partitionBy("_pid").orderBy("sk", "name")
-    # one materialization shared by offsets + rank join: two branches each
-    # re-deriving `ranged` would sample range boundaries independently
-    # (RangePartitioner seeds per RDD id), making _pid inconsistent
-    # between them — see epoch_shuffle_batches for the observed failure
-    local = ranged.withColumn("_lrn", F.row_number().over(local_w)).localCheckpoint(
-        eager=False
-    )
-    off_w = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
-    )
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .select("_pid", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"))
-    )
-    ranked = local.join(F.broadcast(offsets), "_pid").select(
-        "name", "n", "sk", (F.col("_lrn") + F.col("_off")).alias("rn")
+    ranked = rank_distributed(keyed, ["sk", "name"], n_ranges=n_ranges).select(
+        "name", "n", "sk", "rn"
     )
     bkt = F.floor((F.col("rn") - 1) / window).cast("bigint")
     a = ranked.select(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realparse_spark.operators.distrank import rank_distributed
 from realparse_spark.operators.text import ws_tokens
 from realparse_spark.sources.tables import fan_out, load_table
 
@@ -872,8 +873,6 @@ def epoch_shuffle_batches(
     MANIFEST (epoch, batch, sizes + a content checksum), which is what a
     trainer's data loader actually consumes; emitting doc-level rows
     would just be the ranked table itself."""
-    from pyspark.sql import Window
-
     e = (
         docs.select("doc_id", "n_chars")
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.lit(n_epochs))))
@@ -887,41 +886,9 @@ def epoch_shuffle_batches(
             ),
         )
     )
-    ranged = e.repartitionByRange(16, "epoch", "sk", "doc_id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    local_w = Window.partitionBy("_pid", "epoch").orderBy("sk", "doc_id")
-    # ONE materialization shared by the offsets and the final rank join:
-    # both branches re-deriving `ranged` would each instantiate their own
-    # RangePartitioner, whose boundary SAMPLING is seeded per RDD id —
-    # disagreeing cuts make _pid mean different things in the two
-    # branches and the prefix offsets shift ranks past n_docs (caught by
-    # the tri-scale sweep at sf0.1: one phantom 238th batch).  The
-    # lineage cut pins a single consistent partitioning.
-    local = ranged.withColumn("_lrn", F.row_number().over(local_w)).localCheckpoint(
-        eager=False
-    )
-    off_w = (
-        Window.partitionBy("epoch")
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    )
-    offsets = (
-        local.groupBy("_pid", "epoch")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .select(
-            "_pid",
-            "epoch",
-            F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
-        )
-    )
-    ranked = local.join(F.broadcast(offsets), ["_pid", "epoch"]).select(
-        "epoch",
-        "doc_id",
-        "n_chars",
-        "sk",
-        (F.col("_lrn") + F.col("_off")).alias("rank"),
-    )
+    ranked = rank_distributed(
+        e, ["sk", "doc_id"], rank_col="rank", partition_cols=("epoch",), n_ranges=16
+    ).select("epoch", "doc_id", "n_chars", "sk", "rank")
     batch = F.floor((F.col("rank") - 1) / batch_size).cast("int")
     return (
         ranked.groupBy("epoch", batch.alias("batch_id"))
