@@ -91,3 +91,42 @@ def python_eval_nodes(df: DataFrame) -> int:
     every hot path; ArrowEvalPython/MapInPandas are the sanctioned slow
     path and are counted separately."""
     return executed_plan(df).count("BatchEvalPython")
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Contents of each `[...]` group at bracket depth 0 in a plan line."""
+    depth, start, groups = 0, -1, []
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def unpartitioned_windows(df: DataFrame) -> int:
+    """Window nodes with an EMPTY partition spec — the plan shape that
+    funnels the whole input through one task (`WindowExec: No Partition
+    Defined`).  A Window line prints as
+    ``Window [functions], [partition spec], [ordering]``; the
+    unpartitioned-but-ordered form drops the middle group (2 groups, the
+    last being an ASC/DESC ordering), a partitioned-but-unordered window
+    also has 2 groups but no ordering markers.  Anything non-zero must be
+    justified by a bounded (post-aggregation / post-limit) input — the
+    blanket plan gate keeps the allowlist."""
+    n = 0
+    for line in executed_plan(df).splitlines():
+        s = re.sub(r"^[\s+:|*()\d-]*", "", line)
+        if not s.startswith("Window "):
+            continue
+        groups = _top_level_bracket_groups(s)
+        if len(groups) >= 3:
+            continue  # functions, partition spec, ordering — partitioned
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)\b", groups[1]):
+            continue  # partitioned, no ordering
+        n += 1
+    return n

@@ -83,10 +83,25 @@ def test_no_python_in_extension_hot_paths(spark, queries):
         assert X.python_eval_nodes(df) == 0, name
 
 
+# Queries allowed to keep an unpartitioned (ordered) Window node: each
+# window's input is bounded by a PRIOR aggregation or limit, never the
+# raw corpus — the single partition sees O(groups) rows by construction.
+_BOUNDED_WINDOW_OK = {
+    "yearly_growth": "analytics.py:520 — lag over the O(years) rollup",
+    "daily_new_users": "analytics.py:985 — cumsum over the O(days) rollup",
+    "ks_statistic": "analytics.py:2180 — CDF over the O(bins) cell table",
+    "emb_threshold_sweep": "dedup.py:912 — cum count over O(bands~20) rows",
+    "vocab_build": "text.py:971 — row_number after limit(vocab_size)",
+    "error_budget": "inference.py:524 — 7-day frame over the O(days) rollup",
+}
+
+
 def test_every_registered_query_plan_is_clean(spark, queries):
     """Blanket gate over ALL registered queries: no plan may contain a
-    row-at-a-time Python UDF (BatchEvalPython) or an unpartitioned
-    CartesianProduct — the two plan shapes that cannot survive 100 TB.
+    row-at-a-time Python UDF (BatchEvalPython), an unpartitioned
+    CartesianProduct, or — outside the documented bounded-input
+    allowlist — an unpartitioned ordered Window (moves the whole input
+    to ONE task): the three plan shapes that cannot survive 100 TB.
     Runs at sf0.001 so the e2e lifecycle queries (which execute their
     pipelines during construction) stay cheap; this checks PLANS, the
     per-query gates above check the stronger properties."""
@@ -102,6 +117,8 @@ def test_every_registered_query_plan_is_clean(spark, queries):
             bad.append((name, "BatchEvalPython"))
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
+        if name not in _BOUNDED_WINDOW_OK and X.unpartitioned_windows(df):
+            bad.append((name, "unpartitioned Window over non-aggregated input"))
     assert not bad, bad
 
 
