@@ -267,13 +267,16 @@ PNG_TYPE = "image/png"
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    """RFC 2083 §6.6 predictor (public spec)."""
+def _paeth_vec(a, b, c):
+    """RFC 2083 §6.6 predictor (public spec), vectorized over numpy int
+    arrays; returns the per-lane predictor as uint8."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
     p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
 
 
 def _png_bytes(doc_id: int, width: int, height: int) -> bytes:
@@ -281,34 +284,44 @@ def _png_bytes(doc_id: int, width: int, height: int) -> bytes:
     IDAT, genuine chunk CRCs, and row filters CYCLING through all five
     types (None/Sub/Up/Average/Paeth) so the decoder's every unfilter
     path is exercised.  Pixel bytes use the same generator arithmetic as
-    PPM/BMP: byte i = (doc_id*31 + i*7) % 256 in image order."""
+    PPM/BMP: byte i = (doc_id*31 + i*7) % 256 in image order.
+
+    The filter pass is whole-row numpy (uint8 wraparound IS the RFC's
+    mod-256): encoding filters read only RAW neighbor bytes, so unlike
+    the decoder there is no sequential dependency anywhere."""
     import struct  # noqa: PLC0415 — executor-side import
     import zlib  # noqa: PLC0415 — executor-side import
 
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
     bpp, rb = 3, width * 3
-    raw = bytes((doc_id * 31 + i * 7) % 256 for i in range(rb * height))
+    raw = (
+        (doc_id * 31 + np.arange(rb * height, dtype=np.int64) * 7) % 256
+    ).astype(np.uint8).reshape(height, rb)
+    zero = np.zeros(bpp, dtype=np.uint8)
     lines = bytearray()
-    prev = bytes(rb)
     for r in range(height):
-        row = raw[r * rb : (r + 1) * rb]
+        row = raw[r]
+        prev = raw[r - 1] if r else np.zeros(rb, dtype=np.uint8)
+        a = np.concatenate([zero, row[:-bpp]])
+        c = np.concatenate([zero, prev[:-bpp]])
         ft = r % 5
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            out = row - a
+        elif ft == 2:
+            out = row - prev
+        elif ft == 3:
+            out = row - (
+                (a.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:
+            out = row - _paeth_vec(
+                a.astype(np.int16), prev.astype(np.int16), c.astype(np.int16)
+            )
         lines.append(ft)
-        for x in range(rb):
-            a = row[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if ft == 0:
-                v = row[x]
-            elif ft == 1:
-                v = (row[x] - a) % 256
-            elif ft == 2:
-                v = (row[x] - b) % 256
-            elif ft == 3:
-                v = (row[x] - (a + b) // 2) % 256
-            else:
-                v = (row[x] - _paeth(a, b, c)) % 256
-            lines.append(v)
-        prev = row
+        lines += out.tobytes()
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -368,33 +381,50 @@ def _decode_png(payload: bytes) -> tuple[int, int, int]:
         stream = zlib.decompress(bytes(idat))
     except zlib.error as ex:
         raise ValueError(f"corrupt IDAT stream: {ex}") from ex
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
     bpp, rb = 3, w * 3
     if len(stream) != h * (rb + 1):
         raise ValueError("raster length mismatch")
-    total = 0
-    prev = bytearray(rb)
+    # unfilter in numpy (uint8 wraparound IS the RFC's mod-256 add):
+    # None/Up are whole-row ops, Sub is a strided cumulative sum, and
+    # only Average/Paeth — whose predictor reads the RECONSTRUCTED left
+    # pixel — need a per-pixel scan, vectorized across the 3 channels.
+    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, rb + 1)
+    fts, rows = arr[:, 0], arr[:, 1:].copy()
+    prev = np.zeros(rb, dtype=np.uint8)
     for r in range(h):
-        ft = stream[r * (rb + 1)]
-        row = bytearray(stream[r * (rb + 1) + 1 : (r + 1) * (rb + 1)])
-        for x in range(rb):
-            a = row[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if ft == 0:
-                pass
-            elif ft == 1:
-                row[x] = (row[x] + a) % 256
-            elif ft == 2:
-                row[x] = (row[x] + b) % 256
-            elif ft == 3:
-                row[x] = (row[x] + (a + b) // 2) % 256
-            elif ft == 4:
-                row[x] = (row[x] + _paeth(a, b, c)) % 256
-            else:
-                raise ValueError(f"unknown filter type {ft}")
-        total += sum(row)
+        ft, row = int(fts[r]), rows[r]
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for o in range(bpp):
+                np.add.accumulate(row[o::bpp], dtype=np.uint8, out=row[o::bpp])
+        elif ft == 2:
+            row += prev
+        elif ft == 3:
+            row[:bpp] += prev[:bpp] // 2
+            for x in range(bpp, rb, bpp):
+                row[x : x + bpp] += (
+                    (
+                        row[x - bpp : x].astype(np.uint16)
+                        + prev[x : x + bpp].astype(np.uint16)
+                    )
+                    // 2
+                ).astype(np.uint8)
+        elif ft == 4:
+            # first pixel: a = c = 0 -> predictor is b
+            row[:bpp] += prev[:bpp]
+            for x in range(bpp, rb, bpp):
+                row[x : x + bpp] += _paeth_vec(
+                    row[x - bpp : x].astype(np.int16),
+                    prev[x : x + bpp].astype(np.int16),
+                    prev[x - bpp : x].astype(np.int16),
+                )
+        else:
+            raise ValueError(f"unknown filter type {ft}")
         prev = row
-    return w, h, total
+    return w, h, int(rows.astype(np.uint64).sum())
 
 
 def synthesize_images_png(docs: DataFrame) -> DataFrame:
