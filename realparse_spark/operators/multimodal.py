@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from realparse_spark.sources.tables import load_table
+from realparse_spark.sources.tables import fan_out, load_table
 
 MEDIA_TYPES = ("image/png", "audio/wav", "video/mp4")
 
@@ -895,7 +895,7 @@ def frame_sample_plan(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_payload = attach_payload(docs)
     return with_payload.groupBy("media_type").agg(
         F.count("doc_id").alias("n_assets"),
@@ -926,7 +926,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan over the payloads: one row per sampled byte
     offset (the addressing a real frame decoder would use), all JVM-side
     sequence/posexplode — Python only ever sees the (stubbed) decode."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return frame_sample_plan(attach_payload(docs), every_n_bytes=64)
 
 
@@ -956,7 +956,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     only sees bytes).  Exact-integer output so the DuckDB oracle, which
     recomputes the deterministic pixel function arithmetically, must agree
     bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_image(synthesize_images(docs))
 
 
@@ -983,7 +983,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of `multimodal_decode`): build a PCM file per doc — odd docs
     with an extra LIST chunk — then decode by walking the RIFF chunks.
     The oracle recomputes the amplitude arithmetic directly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_audio(synthesize_audio(docs))
 
 
@@ -1006,7 +1006,7 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples.  The generator's sample i is ((doc_id*131 + i*17) % 4096) -
     2048, so the oracle sums over i ∈ {0, 4, 8, ...} directly — any
     off-by-one in the chunk walk or the stride breaks the hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return resample_audio(synthesize_audio(docs), factor=4)
 
 
@@ -1029,7 +1029,7 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per decoded FRAME with its exact luma sum.  The oracle recomputes
     the per-frame arithmetic via a doc×frame×pixel unnest — any plane-skip
     or marker-walk bug changes a luma sum and breaks the hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_video(synthesize_videos(docs))
 
 
@@ -1058,7 +1058,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane.  The oracle recomputes the sampled byte indices arithmetically
     — including BMP's bottom-up row mapping — over a target-grid unnest,
     so a wrong gather index or a missing row flip breaks the hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return resize_image(synthesize_images(docs), dst_w=8, dst_h=8)
 
 
@@ -1105,7 +1105,7 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     types to recover the pixel plane.  The oracle recomputes the
     generator arithmetic directly; any inflate/unfilter/CRC bug breaks
     the hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_image(synthesize_images_png(docs))
 
 
