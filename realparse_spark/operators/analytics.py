@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realparse_spark.sources.tables import load_table
+from realparse_spark.sources.tables import fan_out, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -1794,7 +1794,7 @@ def corr_matrix(lineitem: DataFrame) -> DataFrame:
 
 
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corr_matrix(load_table(spark, sf_dir, "lineitem"))
+    return corr_matrix(fan_out(load_table(spark, sf_dir, "lineitem")))
 
 
 def _corr_matrix_sql() -> str:
@@ -1910,7 +1910,7 @@ def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     double ONCE with an identical expression tree on both sides, so
     round(6) hash-matches.  A singular design (det = 0) or constant y
     yields NULL coefficients rather than NaN."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     d = {
         "x1": F.col("l_quantity").cast("decimal(18,4)"),
         "x2": F.col("l_discount").cast("decimal(18,4)"),

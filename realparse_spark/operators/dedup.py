@@ -841,7 +841,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # return an always-empty result — verifiable but vacuous.  0.35 keeps
     # the same blocked-pairwise plan while producing a non-empty,
     # hash-compared pair set at all three fixture scales (14/26/391 rows).
-    return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    return embedding_near_dup(fan_out(load_table(spark, sf_dir, "embeddings")), threshold=0.35)
 
 
 DEDUP_EMBEDDING_SQL = r"""
@@ -876,7 +876,7 @@ def q_emb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples the dominant cost for no reason.  Division order is fixed
     (x / norm elementwise, then a sequential left-fold dot), IEEE-
     deterministic in both engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),

@@ -35,7 +35,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realparse_spark.sources.tables import load_table
+from realparse_spark.sources.tables import fan_out, load_table
 
 _U32 = 1 << 32
 
@@ -173,7 +173,7 @@ def poisson_bootstrap_ci(
 def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap CI for the mean event value per event_type."""
     return poisson_bootstrap_ci(
-        load_table(spark, sf_dir, "events"), "event_type", "value", "event_id"
+        fan_out(load_table(spark, sf_dir, "events")), "event_type", "value", "event_id"
     )
 
 
