@@ -73,3 +73,35 @@ def test_all_rows_and_columns_pass_through(spark):
     rows = out.collect()
     assert len(rows) == 100
     assert all(r.payload == r.k * 2 for r in rows)
+
+
+def test_rank_property_random_multisets(spark):
+    """Hypothesis property: for ANY multiset of (key, uniquifier) rows —
+    duplicates in the key, adversarial clustering, tiny and lopsided
+    inputs — rank_distributed equals the position in the sorted total
+    order, for several n_ranges including more ranges than rows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(st.integers(-5, 5), min_size=1, max_size=60),
+        n_ranges=st.sampled_from([1, 2, 7, 64]),
+    )
+    def prop(keys, n_ranges):
+        rows = [(k, i) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "k int, t int")
+        got = sorted(
+            (r.rn, r.k, r.t)
+            for r in rank_distributed(df, ["k", "t"], n_ranges=n_ranges).collect()
+        )
+        exp = [
+            (i + 1, k, t) for i, (k, t) in enumerate(sorted((k, t) for k, t in rows))
+        ]
+        assert got == exp
+
+    prop()
