@@ -37,12 +37,30 @@ import tempfile
 from collections.abc import Callable
 
 
+# Folded into every fingerprint key.  The data fingerprint (mtime/size)
+# invalidates snapshots when the SOURCE changes, but nothing else would
+# invalidate them when the BUILDER changes: /tmp outlives processes, so a
+# code change that alters a derived artifact's content or schema would
+# silently serve the previous version's table to the new code.  Bump this
+# on ANY such change (round 7: prefix-index token ids int -> bigint via
+# the distributed rank).
+SNAPSHOT_VERSION = 2
+
+
 def fingerprint_key(sf_dir: str, table: str, *extras) -> tuple:
     """Content fingerprint of ``<sf_dir>/<table>.parquet`` plus build
     params — a regenerated-in-place fixture changes mtime/size and
-    invalidates every dependent snapshot (no stale-index reuse)."""
+    invalidates every dependent snapshot (no stale-index reuse), and
+    ``SNAPSHOT_VERSION`` invalidates them all when builder semantics
+    change."""
     st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-    return (os.path.abspath(sf_dir), int(st.st_mtime_ns), st.st_size, *extras)
+    return (
+        SNAPSHOT_VERSION,
+        os.path.abspath(sf_dir),
+        int(st.st_mtime_ns),
+        st.st_size,
+        *extras,
+    )
 
 
 def snapshot_path(
