@@ -298,22 +298,27 @@ def main() -> None:
             got_sum = sum(got_map[name] for name, got_map, _ in gated)
             agg_ratio = round(got_sum / floor_sum, 3) if floor_sum else None
             if agg_ratio is not None and agg_ratio > 1.25:
+                # the retry totals live in a SEPARATE map: published
+                # per-query timings keep the original protocol's values
+                # (same rule as the per-query re-measure above), so the
+                # floor ratchet never ingests retry minima
+                retry_vals: dict[str, float] = {}
                 for name, got_map, _ in gated:
                     t0 = time.perf_counter()
                     materialize(queries[name](spark, sf_dir))
-                    got_map[name] = min(
+                    retry_vals[name] = min(
                         got_map[name], round(time.perf_counter() - t0, 3)
                     )
-                got_sum = sum(got_map[name] for name, got_map, _ in gated)
-                retry_ratio = round(got_sum / floor_sum, 3)
+                retry_ratio = round(sum(retry_vals.values()) / floor_sum, 3)
                 remeasures["__aggregate__"] = {
                     "first": agg_ratio,
                     "retry_min": retry_ratio,
                 }
                 if retry_ratio > 1.25:
                     regressions.append(
-                        f"aggregate warm drift: sum {round(got_sum, 3)}s vs "
-                        f"floors {round(floor_sum, 3)}s "
+                        f"aggregate warm drift: retry sum "
+                        f"{round(sum(retry_vals.values()), 3)}s vs floors "
+                        f"{round(floor_sum, 3)}s "
                         f"(ratio {retry_ratio} > 1.25, reproduced on re-measure)"
                     )
                 agg_ratio = retry_ratio

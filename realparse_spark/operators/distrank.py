@@ -42,7 +42,7 @@ def rank_distributed(
     *,
     rank_col: str = "rn",
     partition_cols: Sequence[str] = (),
-    n_ranges: int = 32,
+    n_ranges: int | None = None,
 ) -> DataFrame:
     """1-based global ``row_number`` over ``order_cols`` (per
     ``partition_cols`` group if given), computed without ever moving the
@@ -50,7 +50,15 @@ def rank_distributed(
 
     ``order_cols`` must be unique within each partition group — the rank
     is otherwise nondeterministic across runs (range cuts move).
+
+    ``n_ranges`` defaults to ``spark.sql.shuffle.partitions`` so rank
+    parallelism scales with the cluster instead of pinning a constant (a
+    fixed 32 would itself recreate a milder form of the bottleneck this
+    helper removes); pass an explicit value only to pin a layout (e.g.
+    epoch_shuffle's reproducible 16-range manifest).
     """
+    if n_ranges is None:
+        n_ranges = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cols = [*partition_cols, *order_cols]
     ranged = df.repartitionByRange(n_ranges, *cols).withColumn(
         "_pid", F.spark_partition_id()

@@ -332,8 +332,10 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_splice(src: str, marker: str, replacement: str) -> str:
     """str.replace that fails loudly at import time if the marker text has
     drifted out of the source SQL (a silent no-op would otherwise surface
-    only as invalid SQL at oracle run time)."""
-    assert marker in src, f"SQL splice marker not found: {marker!r}"
+    only as invalid SQL at oracle run time).  A real raise, not an assert
+    — the guarantee must survive ``python -O``."""
+    if marker not in src:
+        raise ValueError(f"SQL splice marker not found: {marker!r}")
     return src.replace(marker, replacement)
 
 

@@ -115,9 +115,11 @@ def unpartitioned_windows(df: DataFrame) -> int:
     ``Window [functions], [partition spec], [ordering]``; the
     unpartitioned-but-ordered form drops the middle group (2 groups, the
     last being an ASC/DESC ordering), a partitioned-but-unordered window
-    also has 2 groups but no ordering markers.  Anything non-zero must be
-    justified by a bounded (post-aggregation / post-limit) input — the
-    blanket plan gate keeps the allowlist."""
+    also has 2 groups but no ordering markers.  An unpartitioned AND
+    unordered window (a grand-total frame, 1 bracket group) is counted
+    too — it is just as single-partition as the ordered form.  Anything
+    non-zero must be justified by a bounded (post-aggregation /
+    post-limit) input — the blanket plan gate keeps the allowlist."""
     n = 0
     for line in executed_plan(df).splitlines():
         s = re.sub(r"^[\s+:|*()\d-]*", "", line)

@@ -117,8 +117,12 @@ def test_every_registered_query_plan_is_clean(spark, queries):
             bad.append((name, "BatchEvalPython"))
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
-        if name not in _BOUNDED_WINDOW_OK and X.unpartitioned_windows(df):
-            bad.append((name, "unpartitioned Window over non-aggregated input"))
+        n_up = X.unpartitioned_windows(df)
+        # allowlisted queries are bounded to their ONE documented window —
+        # a second one appearing is exactly the round-6 finding recurring
+        limit = 1 if name in _BOUNDED_WINDOW_OK else 0
+        if n_up > limit:
+            bad.append((name, f"{n_up} unpartitioned Window(s), allowed {limit}"))
     assert not bad, bad
 
 
