@@ -60,12 +60,14 @@ def fingerprint_key(sf_dir: str, table: str, *extras) -> tuple:
     ``SNAPSHOT_VERSION`` invalidates them all when builder semantics
     change."""
     st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    # version goes LAST so key[0] stays the sf_dir (tests and diagnostics
+    # select a fixture's cache entries by that position)
     return (
-        SNAPSHOT_VERSION,
         os.path.abspath(sf_dir),
         int(st.st_mtime_ns),
         st.st_size,
         *extras,
+        SNAPSHOT_VERSION,
     )
 
 
