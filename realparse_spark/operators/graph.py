@@ -548,8 +548,14 @@ def common_neighbor_candidates(
     cn = pairs.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_common")
     )
+    # candidates always have u < v (in-row generation walks a SORTED
+    # neighbor array), and the edge list is symmetric — so the anti-join
+    # needs only the src < dst half, which halves both the scan (the
+    # filter pushes to parquet) and the anti-join shuffle
     nonadj = cn.join(
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        edges.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ),
         ["u", "v"],
         "left_anti",
     )
@@ -596,8 +602,12 @@ def adamic_adar_candidates(
         F.sum("cw").cast("bigint").alias("aa_ppb"),
         F.count(F.lit(1)).cast("bigint").alias("n_common"),
     )
+    # same src < dst halving as common_neighbor_candidates: candidates
+    # come from a sorted array, edges are symmetric
     nonadj = aa.join(
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        edges.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ),
         ["u", "v"],
         "left_anti",
     )
