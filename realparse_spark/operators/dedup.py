@@ -330,8 +330,16 @@ def _prefix_self_join(pref: DataFrame, threshold: float) -> DataFrame:
     pair candidate stream with a per-row array_intersect — parallelism
     must be sized to the output, not the input.  An explicit partition
     count is honored by AQE (only size-derived plans get coalesced), so
-    every core keeps a slice of the verification work."""
-    pref = pref.repartition(64, "tok")
+    every core keeps a slice of the verification work.  The count scales
+    with the session (2x shuffle partitions, floor 64) instead of
+    pinning the bench value.  The join stays sort-merge by choice: a
+    shuffled-hash hint measures ~12% faster at bench scale, but its
+    build side holds a whole partition of |doc|-wide posting arrays in
+    memory — an OOM at corpus scale, where SMJ spills."""
+    n_parts = max(
+        64, 2 * int(pref.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
+    pref = pref.repartition(n_parts, "tok")
     a, b = pref.alias("a"), pref.alias("b")
     # minimum overlap for J >= t at sizes (na, nb): c >= t/(1+t)·(na+nb)
     min_overlap = (
