@@ -1,0 +1,90 @@
+"""Unit tests for bench.py's regression gates via the remeasure
+callback — these code paths only execute during a real drift event, so
+a live bench run cannot exercise them."""
+
+from __future__ import annotations
+
+from bench import gate_regressions
+
+
+def _mk(floors_warm, floors_extra, sf=0.1):
+    return {"sf": sf, "warm": floors_warm, "extra_warm": floors_extra}
+
+
+def test_sf_mismatch_skips_all_gates():
+    base = _mk({"a": 0.1}, {}, sf=0.01)
+    regs, rem, ratio = gate_regressions(
+        base, 0.1, {"a": 99.0}, {}, lambda n, k: 0.0
+    )
+    assert regs == [] and rem == {} and ratio is None
+
+
+def test_clean_run_no_suspects_no_remeasure_calls():
+    calls = []
+
+    def never(n, k):
+        calls.append(n)
+        return 0.0
+
+    base = _mk({"a": 1.0}, {"b": 0.5})
+    regs, rem, ratio = gate_regressions(base, 0.1, {"a": 1.1}, {"b": 0.52}, never)
+    assert regs == [] and rem == {} and calls == []
+    assert ratio == round((1.1 + 0.52) / 1.5, 3)
+
+
+def test_per_query_load_burst_does_not_reproduce():
+    # first pass 5x over floor; retry lands at floor -> no regression,
+    # but BOTH samples are published
+    base = _mk({"a": 1.0}, {})
+    regs, rem, ratio = gate_regressions(base, 0.1, {"a": 5.0}, {}, lambda n, k: 1.0)
+    assert regs == []
+    assert rem["a"] == {"first": 5.0, "retry_min": 1.0}
+    # aggregate: got 5.0 vs floor 1.0 -> 5.0 > 1.25 triggers the
+    # aggregate retry too; retry min(5.0, 1.0) = 1.0 -> ratio 1.0, clean
+    assert rem["__aggregate__"] == {"first": 5.0, "retry_min": 1.0}
+    assert ratio == 1.0
+
+
+def test_per_query_real_regression_reproduces():
+    base = _mk({"a": 1.0}, {})
+    regs, rem, ratio = gate_regressions(base, 0.1, {"a": 5.0}, {}, lambda n, k: 4.9)
+    assert len(regs) == 2  # per-query AND aggregate both reproduce
+    assert "a:" in regs[0] and "aggregate" in regs[1]
+    assert rem["a"] == {"first": 5.0, "retry_min": 4.9}
+    assert rem["__aggregate__"]["retry_min"] == ratio == 4.9
+
+
+def test_aggregate_drift_without_any_per_query_suspect():
+    # every query 1.5x its sub-second floor: under 2x+0.5s individually,
+    # but the fleet slid — exactly the round-6 blind spot
+    floors = {f"q{i}": 0.4 for i in range(20)}
+    got = {k: 0.6 for k in floors}
+    base = _mk({}, floors)
+    # retry reproduces the slide
+    regs, rem, ratio = gate_regressions(base, 0.1, {}, dict(got), lambda n, k: 0.6)
+    assert len(regs) == 1 and "aggregate" in regs[0]
+    assert ratio == 1.5
+    # retry comes back clean (load burst) -> published, not failed
+    regs2, rem2, ratio2 = gate_regressions(
+        base, 0.1, {}, dict(got), lambda n, k: 0.4
+    )
+    assert regs2 == []
+    assert rem2["__aggregate__"] == {"first": 1.5, "retry_min": 1.0}
+    assert ratio2 == 1.0
+
+
+def test_retry_never_lowers_published_per_query_values():
+    floors = {"a": 0.4, "b": 0.4}
+    got = {"a": 0.7, "b": 0.7}
+    base = _mk({}, floors)
+    gate_regressions(base, 0.1, {}, got, lambda n, k: 0.1)
+    # the aggregate retry min-merges into ITS OWN total; the caller's
+    # per-query map must keep the first-pass protocol values
+    assert got == {"a": 0.7, "b": 0.7}
+
+
+def test_empty_floors_yield_none_ratio():
+    regs, rem, ratio = gate_regressions(
+        _mk({}, {}), 0.1, {"a": 1.0}, {}, lambda n, k: 0.0
+    )
+    assert regs == [] and ratio is None
