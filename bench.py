@@ -193,6 +193,10 @@ def gate_regressions(baseline, sf, warm, extra_warm, remeasure_min):
     (min-merged into a SEPARATE total — external load can only inflate)
     before failing.
 
+    A floored query with NO timing this run (errored or dropped from
+    the benched set) is itself a regression — without this, a query
+    that starts crashing silently exits both gates.
+
     Returns (regressions, remeasures, agg_ratio)."""
     regressions: list[str] = []
     remeasures: dict[str, dict[str, float]] = {}
@@ -202,6 +206,18 @@ def gate_regressions(baseline, sf, warm, extra_warm, remeasure_min):
 
     def _over(got: float, floor: float) -> bool:
         return got > 2.0 * floor + 0.5
+
+    missing = [
+        name
+        for section, got_map in (("warm", warm), ("extra_warm", extra_warm))
+        for name in baseline.get(section, {})
+        if got_map.get(name) is None
+    ]
+    if missing:
+        regressions.append(
+            "floored queries absent from this run (errored or dropped): "
+            + ", ".join(sorted(missing))
+        )
 
     gated = [
         (name, got_map, floor)
@@ -224,8 +240,15 @@ def gate_regressions(baseline, sf, warm, extra_warm, remeasure_min):
     got_sum = sum(got_map[name] for name, got_map, _ in gated)
     agg_ratio = round(got_sum / floor_sum, 3) if floor_sum else None
     if agg_ratio is not None and agg_ratio > 1.25:
+        # min-merge any per-query min-of-3 retry already collected above
+        # instead of burning (and trusting) a single fresh run for those
         retry_sum = sum(
-            min(got_map[name], remeasure_min(name, 1))
+            min(
+                got_map[name],
+                remeasures[name]["retry_min"]
+                if name in remeasures
+                else remeasure_min(name, 1),
+            )
             for name, got_map, _ in gated
         )
         retry_ratio = round(retry_sum / floor_sum, 3)

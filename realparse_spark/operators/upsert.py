@@ -161,7 +161,28 @@ class MergeBackend:
         keys: list[str],
         order_col: str | None = None,
     ) -> int:
-        raise NotImplementedError
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement merge(); use the "
+            "'parquet' backend (BucketedParquetMerge) or subclass "
+            "MergeBackend over your table format's MERGE INTO"
+        )
+
+
+def merge_backend(name: str = "parquet", **kwargs) -> "MergeBackend":
+    """Resolve a MERGE backend by name.
+
+    Only the dependency-free ``parquet`` backend ships in this repo; a
+    Delta/Iceberg deployment registers its own ``MergeBackend`` subclass
+    (one ``MERGE INTO`` statement) and is deliberately not stubbed here —
+    those runtimes aren't in this container.
+    """
+    if name == "parquet":
+        return BucketedParquetMerge(**kwargs)
+    raise NotImplementedError(
+        f"merge backend {name!r} not implemented; use 'parquet' "
+        "(BucketedParquetMerge) or provide a MergeBackend subclass "
+        "backed by your table format's MERGE INTO"
+    )
 
 
 class BucketedParquetMerge(MergeBackend):

@@ -41,82 +41,88 @@ _MODULES = (
 # registration order decides which queries earn a hard driver-verified row
 # each round.  Names listed here are emitted FIRST (in this order); everything
 # else follows in module order.  Rotate per round so every query accumulates
-# driver rows.  The round-7 window (EXACTLY 50 names): registry growth is
-# FROZEN this round (per the round-6 verdict) and the window is drawn
-# entirely from the 60 registered queries that have never earned a driver
-# CORRECTNESS row (r1-r6 union) — the text/dedup/pipeline batch, the
-# analytics/statistics batch, the inference/privacy batch, the linkage and
-# graph families, and the scale/layout profilers.  All 60 are
-# tri-scale (sf0.001/0.01/0.1) parity-green in-repo via
-# tests/test_oracle_parity.py (the driver-identical DuckDB check).  The 10
-# deferred to the round-8 window (shapes already driver-proven through
-# sibling queries, re-verified in-repo every session): doc_stratified_take,
-# grouping_sets_agg, time_weighted_avg, event_ohlc, event_gaps,
-# interval_coverage, event_mad_outliers, hist_quantiles, clamped_balance,
-# dedup_incremental_minhash (rows-only).  Round-8 should spend its
-# remaining ~40 slots on flagship re-verification (oldest rows now r4-r5:
-# q12/q14/q15/q17/q22/q4/q13, stream_join_e2e, load_e2e, parse family).
+# driver rows.
+#
+# The round-8 window (EXACTLY 50 names), per the round-7 verdict task 1:
+# (a) the 10 queries deferred from the round-7 window — after round 7 these
+#     are the ONLY registered queries with no driver CORRECTNESS row ever
+#     (r1-r7 union covers the other 191); putting them first closes the
+#     verification ledger.  All 9 oracled ones are tri-scale
+#     (sf0.001/0.01/0.1) parity-green in-repo via tests/test_oracle_parity.py
+#     (the driver-identical DuckDB check); dedup_incremental_minhash is
+#     rows-only by design (MinHash not DuckDB-reproducible) with a
+#     batch-equality gate in tests/test_dedup.py.
+# (b) 40 of the 41 queries whose LATEST driver row is round 4 — the oldest
+#     rows on the books (everything else is r5+).  The one r4 query deferred
+#     to round 9 is sim_ann_ivf: it is declared rows-only (the driver check
+#     would be the weak ran-not-broken form it already earned in r4) and its
+#     real guarantees — recall vs exact scan and partition-pruned probe —
+#     are pinned by in-repo gates in tests/test_similarity.py every session.
+# Registry growth stayed FROZEN until this window was drawn (round-7 verdict
+# task 2); any post-window additions register AFTER the first 50 names and
+# must update this comment.
 _PRIORITY = (
-    # text / NLP batch
-    "text_bm25",
-    "text_tfidf_cosine",
-    "doc_decontaminate",
-    "bpe_pair_counts",
-    "word_pmi",
-    "vocab_build",
-    "text_oov_rate",
-    # dedup / pipeline batch
-    "dedup_prefix_jaccard",
-    "emb_threshold_sweep",
-    "line_dedup",
-    "epoch_shuffle",
-    "token_budget_mix",
+    # --- (a) round-7 deferrals: never driver-sampled, drain first ---
+    "doc_stratified_take",
+    "grouping_sets_agg",
+    "time_weighted_avg",
+    "event_ohlc",
+    "event_gaps",
+    "interval_coverage",
+    "event_mad_outliers",
+    "hist_quantiles",
+    "clamped_balance",
+    "dedup_incremental_minhash",  # rows-only
+    # --- (b) oldest driver rows (latest = r4), flagship re-verification ---
+    # TPC-H / report shapes
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "big_spender_orders",
+    "distinct_agg",
+    "rollup_agg",
+    "yearly_growth",
+    "unpivot_metrics",
+    "value_deciles",
+    "top2_files",
+    "union_sources",
+    "watermark_incremental",
+    "doc_length_buckets",
+    "doc_top_terms",
+    # dedup family
+    "dedup_canonical",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_embedding",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    # doc pipeline family
+    "doc_chunk",
+    "doc_pack",
+    "doc_pipeline_e2e",
+    "doc_sample",
+    "doc_split",
+    # embeddings / similarity
+    "emb_knn_join",
+    "emb_quantize",
+    "sim_topk_cosine_arrow",
+    # events / time series
+    "event_transitions",
+    "event_zscore",
+    "events_retention",
+    "rolling_active_users",
+    # multimodal
+    "multimodal_frames",
+    "multimodal_meta",
     # streaming
-    "stream_enrich_e2e",
-    # joins / sketches / privacy
-    "interval_overlap_join",
-    "cms_user_counts",
-    "k_anonymity",
-    "l_diversity",
-    "dp_group_counts",
-    # event analytics batch
-    "funnel_steps",
-    "market_basket",
-    "event_cusum",
-    "event_attribution",
-    "linear_attribution",
-    "seasonal_dow",
-    "error_budget",
-    # statistics batch
-    "corr_matrix",
-    "crosstab_chi2",
-    "ols_price_model",
-    "weighted_median",
-    "daily_autocorr",
-    "ks_statistic",
-    "benford_digits",
-    "gini_revenue",
-    # inference batch
-    "poisson_bootstrap_ci",
-    "ab_test",
-    # data-quality / scale profilers
-    "dq_profile",
-    "table_diff",
-    "skew_profile",
-    "join_size_profile",
-    "bloom_prune_join",
-    "zorder_key",
-    # linkage family
-    "fuzzy_match_parts",
-    "snm_linkage",
-    "linkage_clusters",
-    # graph family
-    "pagerank_parts",
-    "pagerank_weighted",
-    "graph_triangles",
-    "graph_khop",
-    "graph_common_neighbors",
-    "graph_adamic_adar",
+    "stream_upsert_e2e",
+    "stream_window_e2e",
+    # text family
+    "text_bigram_logprob",
+    "text_boilerplate",
+    "text_token_entropy",
+    # profiling
+    "table_profile",
 )
 
 

@@ -88,3 +88,36 @@ def test_empty_floors_yield_none_ratio():
         _mk({}, {}), 0.1, {"a": 1.0}, {}, lambda n, k: 0.0
     )
     assert regs == [] and ratio is None
+
+
+def test_missing_floored_query_is_reported():
+    # a floored query that produced no timing (errored / dropped from the
+    # benched set) must surface as a regression, not silently vanish
+    base = _mk({"a": 1.0}, {"b": 0.5, "c": 0.5})
+    regs, rem, ratio = gate_regressions(
+        base, 0.1, {"a": 1.0}, {"b": 0.5}, lambda n, k: 0.0
+    )
+    assert len(regs) == 1
+    assert "absent" in regs[0] and "c" in regs[0]
+    # the present queries still gate normally (clean here)
+    assert ratio == 1.0
+
+
+def test_aggregate_retry_reuses_per_query_min_of_3():
+    # query "a" trips the per-query gate, collecting a min-of-3 retry;
+    # the aggregate retry must min-merge THAT value, not re-measure
+    calls = []
+
+    def remeasure(n, k):
+        calls.append((n, k))
+        return 2.4
+
+    base = _mk({"a": 1.0, "b": 1.0}, {})
+    regs, rem, ratio = gate_regressions(
+        base, 0.1, {"a": 9.0, "b": 1.2}, {}, remeasure
+    )
+    # per-query pass re-measured only the suspect (min of 3); the
+    # aggregate pass re-measured only "b" (1 run) and reused a's 2.4
+    assert calls == [("a", 3), ("b", 1)]
+    assert rem["a"] == {"first": 9.0, "retry_min": 2.4}
+    assert ratio == round((2.4 + 1.2) / 2.0, 3)

@@ -323,3 +323,47 @@ def test_ivf_pq_search_recall_vs_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert len(exact & got) / len(exact) >= 0.8, (exact, got)
+
+
+def test_pq_driver_queries_fresh_fit_deterministic(spark, sf_dir):
+    """End-to-end determinism for the three PQ driver queries (round-7
+    verdict task 4): clearing the codebook cache and re-running must
+    reproduce every row — fit (k-means++ seeding), encode (argmin ties)
+    and ADC/LUT arithmetic are all pinned, not just the encode step."""
+    from realparse_spark.operators import similarity as sim
+
+    from pq_golden import PQ_QUERY_NAMES, run_all
+
+    first = run_all(spark, sf_dir)
+    sim._PQ_BOOKS.clear()
+    second = run_all(spark, sf_dir)
+    for name in PQ_QUERY_NAMES:
+        assert first[name] == second[name], f"{name} shifted on a fresh fit"
+        assert first[name], f"{name} returned no rows"
+
+
+def test_pq_driver_queries_match_golden_snapshot(spark, sf_dir):
+    """Round-over-round pin: the PQ queries are the only components whose
+    outputs no oracle or parity test fixes exactly, so their results are
+    snapshotted against the fixture's content hash.  A silent kernel
+    change fails here; an intentional one regenerates via
+    `python tests/regen_pq_golden.py`."""
+    import json
+
+    import pytest
+
+    from pq_golden import GOLDEN_PATH, PQ_QUERY_NAMES, fixture_sha, run_all
+
+    with open(GOLDEN_PATH) as fh:
+        golden = json.load(fh)
+    if golden["fixture_sha"] != fixture_sha(sf_dir):
+        pytest.skip(
+            "embeddings fixture regenerated since the golden snapshot — "
+            "re-pin with `python tests/regen_pq_golden.py`"
+        )
+    got = run_all(spark, sf_dir)
+    for name in PQ_QUERY_NAMES:
+        assert got[name] == golden["results"][name], (
+            f"{name} shifted vs the committed golden snapshot; if the "
+            "kernel change was intentional run tests/regen_pq_golden.py"
+        )

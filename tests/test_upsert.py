@@ -126,3 +126,21 @@ def test_merge_backend_seam(spark, tmp_path):
     assert be.merge(spark, df2, path, keys=["k"], order_col="ver") == 3
     got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_backend_unknown_name_raises_with_message():
+    """Requesting a backend this repo doesn't ship must fail loudly and
+    point at the parquet backend (round-7 verdict residual nit)."""
+    import pytest
+
+    from realparse_spark.operators.upsert import (
+        MergeBackend,
+        BucketedParquetMerge,
+        merge_backend,
+    )
+
+    assert isinstance(merge_backend("parquet", n_buckets=4), BucketedParquetMerge)
+    with pytest.raises(NotImplementedError, match=r"'delta' not implemented.*parquet"):
+        merge_backend("delta")
+    with pytest.raises(NotImplementedError, match="MergeBackend does not implement"):
+        MergeBackend().merge(None, None, "t", keys=["k"])
