@@ -166,6 +166,11 @@ EXTRA = [
     "vocab_build",          # top-N vocab (TakeOrdered + bounded window)
     "emb_threshold_sweep",  # pair-band cumulative threshold curve
     "dedup_incremental_minhash",  # new-batch probe vs corpus signatures
+    "pii_density",          # per-source PII audit (regex at scan speed)
+    "vocab_zipf_slope",     # Zipf exponent over the term-frequency head
+    "ngram_novelty",        # first-occurrence novelty per document
+    "adaptive_length_filter",  # per-source Tukey fences via dist. rank
+    "doc_cdc_dedup",        # content-defined chunk partial-dup report
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -35,6 +35,7 @@ _MODULES = (
     "realparse_spark.operators.linkage",
     "realparse_spark.operators.graph",
     "realparse_spark.operators.layout",
+    "realparse_spark.operators.corpus_quality",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so
@@ -59,8 +60,12 @@ _MODULES = (
 #     real guarantees — recall vs exact scan and partition-pruned probe —
 #     are pinned by in-repo gates in tests/test_similarity.py every session.
 # Registry growth stayed FROZEN until this window was drawn (round-7 verdict
-# task 2); any post-window additions register AFTER the first 50 names and
-# must update this comment.
+# task 2); post-window additions register AFTER the first 50 names.  Round-8
+# growth: the corpus_quality module (pii_density, vocab_zipf_slope,
+# ngram_novelty, adaptive_length_filter, doc_cdc_dedup — all oracled) plus
+# dedup_phash (rows-only).  These queue behind sim_ann_ivf for the round-9
+# window, keeping the never-sampled backlog at 7 (< one round's growth, per
+# the don't-outgrow-the-driver rule).
 _PRIORITY = (
     # --- (a) round-7 deferrals: never driver-sampled, drain first ---
     "doc_stratified_take",
