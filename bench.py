@@ -171,6 +171,7 @@ EXTRA = [
     "ngram_novelty",        # first-occurrence novelty per document
     "adaptive_length_filter",  # per-source Tukey fences via dist. rank
     "doc_cdc_dedup",        # content-defined chunk partial-dup report
+    "dedup_phash",          # DCT perceptual-hash image near-dup pairs
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

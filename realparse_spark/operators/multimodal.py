@@ -1121,7 +1121,195 @@ GROUP BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (pHash: 32x32 grayscale -> 2D DCT-II -> 8x8
+# low-frequency block -> median-threshold 64-bit hash)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def synthesize_near_dup_images(docs: DataFrame) -> DataFrame:
+    """Fixture generator for image dedup: documents land in quads
+    (base = doc_id // 4) over a mixed pseudo-random base texture (a
+    regular sawtooth puts half the DCT block exactly ON the median — a
+    knife-edge fixture where ±1 pixel flips arbitrary bits).  Variant 0
+    is the base image; variant 1 adds +1 to every 97th byte (re-encode
+    noise — pHash collapses it to the identical hash); variant 2 adds
+    +16 to every 13th byte (a visible overlay — lands 2-18 bits away,
+    so only SOME quads stay within the near-dup radius, exercising the
+    hamming verify both ways); variant 3 renders a different spatial
+    pattern entirely (24+ bits away, never pairs).  Dimensions are
+    per-quad so in-quad rasters align.  Same PPM/BMP alternation as
+    `synthesize_images`; generator-only Python, Arrow-batched."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(it: Iterator) -> Iterator:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                base, variant = int(d) // 4, int(d) % 4
+                w, h = 12 + 4 * (base % 5), 8 + 2 * (base % 4)
+                n = w * h * 3
+                i = np.arange(n, dtype=np.int64)
+                if variant < 3:
+                    px = ((i * 2654435761 + base * 97003) >> 7) % 256
+                    if variant == 1:
+                        px = px.copy()
+                        px[::97] = (px[::97] + 1) % 256
+                    elif variant == 2:
+                        px = px.copy()
+                        px[::13] = (px[::13] + 16) % 256
+                else:
+                    px = ((i * 40503 + base * 31 + 7) >> 3) % 256
+                raw = px.astype(np.uint8).tobytes()
+                if d % 2 == 0:
+                    payloads.append(
+                        b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + raw
+                    )
+                else:
+                    import struct  # noqa: PLC0415 — executor-side import
+
+                    # TOP-DOWN BMP (negative biHeight, legal per the
+                    # format): raster order equals image order, so a
+                    # quad's PPM and BMP variants depict the SAME image
+                    # — and the decoder's negative-height branch gets
+                    # exercised (a bottom-up BMP here would vertically
+                    # flip the twin and break every cross-format pair)
+                    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + n, 0, 0, 54)
+                    info = struct.pack(
+                        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, n, 2835, 2835, 0, 0
+                    )
+                    payloads.append(header + info + raw)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def _phash64(img) -> int:
+    """64-bit pHash of an (h, w, 3) uint8 raster: grayscale mean,
+    nearest-neighbor 32x32 (same ⌊i·src/dst⌋ gather as `resize_image`),
+    unnormalized 2D DCT-II, top-left 8x8 block, bit j set iff
+    coefficient j exceeds the median of the 63 AC coefficients (DC is
+    excluded from the threshold — it only encodes global brightness)."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    h, w = img.shape[0], img.shape[1]
+    g = img.astype(np.float64).mean(axis=2)
+    ys = np.arange(32, dtype=np.int64) * h // 32
+    xs = np.arange(32, dtype=np.int64) * w // 32
+    s = g[ys][:, xs]
+    k = np.arange(32, dtype=np.float64)
+    D = np.cos(np.pi * np.outer(k, k + 0.5) / 32.0)
+    d = D @ s @ D.T
+    block = d[:8, :8].flatten()
+    med = float(np.median(block[1:]))
+    bits = block > med
+    val = 0
+    for j in range(64):
+        if bits[j]:
+            val |= 1 << j
+    # wrap to signed int64 for LongType
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def phash_images(df: DataFrame) -> DataFrame:
+    """(doc_id, media_type, phash) via one Arrow-batched kernel — decode
+    (REAL PPM/BMP parsing, bottom-up BMP flip included), grayscale,
+    resize, DCT.  At 100 TB this is the only Python stage; everything
+    downstream (banding, bucket join, hamming verify) is JVM codegen."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in it:
+            out = {"doc_id": [], "media_type": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    mt, (_, _, img) = PPM_TYPE, _ppm_pixels(b)
+                elif b[:2] == b"BM":
+                    mt, (_, _, img) = BMP_TYPE, _bmp_pixels(b)
+                else:
+                    raise ValueError(f"unknown magic {b[:2]!r}")
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["phash"].append(_phash64(img))
+            yield pd.DataFrame(out).astype({"phash": "int64"})
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within `max_hamming` bits — the
+    image analog of `simhash_pairs` (dedup.py): pigeonhole over 4
+    16-bit chunks (hamming <= 3 forces at least one chunk equal), ONE
+    equi-join on (chunk_id, chunk_val) buckets, exact `bit_count(xor)`
+    verify inside the join condition, distinct over multi-chunk matches.
+    Candidate work is Σ|bucket|², never |corpus|²; a boilerplate-image
+    hot bucket would concentrate it, the same Zipf head every banded
+    sketch join has — the simhash operator's hot-bucket collapse applies
+    unchanged if a real corpus needs it."""
+    if max_hamming >= 4:
+        raise ValueError("4x16-bit pigeonhole supports max_hamming <= 3")
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"c{c}")
+            for c in range(4)
+        ]
+    )
+    sides = hashes.select(
+        "doc_id", "phash", F.posexplode(chunks).alias("chunk_id", "chunk_val")
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ham <= max_hamming),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for `dedup_phash`: pHash near-dup pairs over the
+    synthesized near-dup image corpus (one image per document row).
+    Rows-only: the DCT is not DuckDB-reproducible; the kernel is pinned
+    by a pure-Python reference parity test, planted-pair recall/precision
+    gates, and a fresh-run determinism gate (tests/test_multimodal.py)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    imgs = synthesize_near_dup_images(docs)
+    return phash_near_dup_pairs(phash_images(imgs)).orderBy("doc_a", "doc_b")
+
+
 QUERIES = {
+    "dedup_phash": q_dedup_phash,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_png": q_multimodal_png,
     "multimodal_resize": q_multimodal_resize,

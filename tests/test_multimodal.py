@@ -372,3 +372,89 @@ def test_png_truncated_chunk_raises_valueerror_local():
     )
     with pytest.raises(ValueError, match="IDAT|raster"):
         _decode_png(trunc)
+
+
+# ---------------------------------------------------------------------------
+# pHash image dedup gates (rows-only query — these ARE its correctness story)
+# ---------------------------------------------------------------------------
+
+
+def _phash_ref(payload: bytes) -> int:
+    """Independent pure-Python pHash reference (no shared code with the
+    kernel beyond the documented algorithm): grayscale mean, ⌊i·src/32⌋
+    gather, explicit double-loop DCT-II, median of the 63 AC coefs."""
+    import math
+    import statistics
+
+    from realparse_spark.operators.multimodal import _bmp_pixels, _ppm_pixels
+
+    if payload[:2] == b"P6":
+        w, h, img = _ppm_pixels(payload)
+    else:
+        w, h, img = _bmp_pixels(payload)
+    gray = [
+        [sum(img[y][x][c] for c in range(3)) / 3.0 for x in range(w)]
+        for y in range(h)
+    ]
+    s = [[gray[y * h // 32][x * w // 32] for x in range(32)] for y in range(32)]
+    block = []
+    for u in range(8):
+        for v in range(8):
+            acc = 0.0
+            for y in range(32):
+                for x in range(32):
+                    acc += (
+                        s[y][x]
+                        * math.cos(math.pi * u * (y + 0.5) / 32.0)
+                        * math.cos(math.pi * v * (x + 0.5) / 32.0)
+                    )
+            block.append(acc)
+    med = statistics.median(block[1:])
+    val = sum(1 << j for j in range(64) if block[j] > med)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def test_phash_kernel_matches_pure_python_reference(spark, sf_dir):
+    from realparse_spark.operators.multimodal import (
+        phash_images,
+        synthesize_near_dup_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 24)
+    imgs = synthesize_near_dup_images(docs)
+    got = {r.doc_id: r.phash for r in phash_images(imgs).collect()}
+    payloads = {r.doc_id: bytes(r.payload) for r in imgs.collect()}
+    assert len(got) == 24
+    for doc_id, payload in payloads.items():
+        assert got[doc_id] == _phash_ref(payload), doc_id
+
+
+def test_phash_near_dup_planted_recall_and_precision(spark, sf_dir):
+    from realparse_spark.registry import all_queries
+
+    rows = all_queries()["dedup_phash"](spark, sf_dir).collect()
+    assert rows, "fixture must produce near-dup pairs"
+    n_quads = 0
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_quads = sum(1 for b in range(n_docs // 4 + 1) if b * 4 + 1 < n_docs)
+    v01 = [r for r in rows if r.doc_a // 4 == r.doc_b // 4
+           and (r.doc_a % 4, r.doc_b % 4) == (0, 1)]
+    # variant 1 is re-encode noise: the overwhelming majority of quads
+    # collapse to the identical hash (a few knife-edge textures land at
+    # hamming 4 — correct pHash behavior, gated as the tolerance here)
+    assert len(v01) / n_quads >= 0.95, (len(v01), n_quads)
+    # precision on the fixture is absolute: nothing crosses quads and
+    # variant 3 (a different image) never pairs
+    assert all(r.doc_a // 4 == r.doc_b // 4 for r in rows)
+    assert all(3 not in (r.doc_a % 4, r.doc_b % 4) for r in rows)
+    assert all(0 <= r.hamming <= 3 for r in rows)
+
+
+def test_phash_query_deterministic(spark, sf_dir):
+    from realparse_spark.registry import all_queries
+
+    q = all_queries()["dedup_phash"]
+    a = [tuple(r) for r in q(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
