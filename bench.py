@@ -269,7 +269,64 @@ def gate_regressions(baseline, sf, warm, extra_warm, remeasure_min):
     return regressions, remeasures, agg_ratio
 
 
+def host_probe() -> float:
+    """Repo-independent host-speed probe: min-of-3 of a fixed numpy
+    matmul.  Reported alongside the timings (and a committed floor in
+    bench_baseline.json) so a drift verdict can be read against how fast
+    THIS run's host actually was — round 8's first bench overlapped the
+    previous round's driver closeout and read agg_ratio 1.306 vs 1.241
+    minutes later on the idled host.  Reporting-only: no gate consumes
+    it (a code regression can't inflate a repo-independent probe, but
+    auto-scaling floors by it would still soften the contract)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1024, 1024))
+    a @ a  # warm BLAS threads
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ a
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def effective_cores() -> float:
+    """Sustained-parallelism probe: wall-clock of N CPU-bound processes
+    vs one, reported as the effective core count the hypervisor is
+    actually delivering.  A co-tenant on the PHYSICAL host steals
+    parallel capacity without touching loadavg or short single-core
+    probes — observed in round 8: probe_sec/sha-chain identical to the
+    morning's clean run while every 32-way Spark stage ran a uniform
+    ~1.4x slower; this probe read ~22 of 32.  Reporting-only, like
+    host_probe: it explains a drift verdict, it does not excuse one."""
+    import multiprocessing as mp
+
+    n = os.cpu_count() or 1
+
+    with mp.Pool(1) as p:
+        t0 = time.perf_counter()
+        p.map(_burn, [1])
+        single = time.perf_counter() - t0
+    with mp.Pool(n) as p:
+        p.map(_burn, [0] * n)  # warm the workers
+        t0 = time.perf_counter()
+        p.map(_burn, [1] * n)
+        wall = time.perf_counter() - t0
+    return round(n * single / wall, 1) if wall > 0 else float(n)
+
+
+def _burn(flag: int) -> int:
+    x = 0
+    for i in range(3_000_000 if flag else 1000):
+        x += i * i
+    return x
+
+
 def main() -> None:
+    # ambient host context BEFORE this run loads the machine (a 1-min
+    # load average read at the end would mostly measure the bench itself)
+    load_before = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -376,6 +433,10 @@ def main() -> None:
         "sf": sf,
         "agg_ratio": agg_ratio,
         "regressions": regressions,
+        # host context for reading drift verdicts (see host_probe)
+        "probe_sec": host_probe(),
+        "effective_cores": effective_cores(),
+        "load_avg_start": load_before,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump({**summary, **detail}, fh, indent=1, sort_keys=True)

@@ -4,9 +4,10 @@ shape (Zipf) fitting, n-gram novelty against the growing corpus,
 per-source adaptive length filtering, and content-defined-chunk (CDC)
 partial-duplication measurement.
 
-These extend the reference's data-quality surface (real_parse.pl's
-per-customer audit reporting, `real_parse.pl:120-180`, generalized to
-corpus curation) with the curation steps published LLM-data pipelines
+These extend the reference's data-quality surface (pull_report.pl's
+per-customer audit rollup — counts / max / averages per entity,
+`pull_report.pl:34-60` — generalized to per-source corpus curation)
+with the curation steps published LLM-data pipelines
 (CCNet, Gopher/MassiveText, RefinedWeb) apply at web scale.  Every
 operator is pure DataFrame/expression work — no Python row UDFs — and
 each has an exact DuckDB oracle.

@@ -49,5 +49,7 @@ def test_all_queries_have_oracle_or_reason():
         "approx_topk_users",  # frequent-items sketch; exact-match gate in tests
         "approx_audience_overlap",  # theta set algebra; exact-match gate in tests
         "approx_quantiles",
+        "dedup_phash",  # DCT hash not SQL-reproducible; kernel-parity +
+        # recall/precision/determinism gates in test_multimodal
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
