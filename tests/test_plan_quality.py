@@ -694,3 +694,18 @@ def test_linkage_clusters_pair_join_has_length_band(spark, queries):
     part = load_table(spark, SF, "part")
     plan = X.executed_plan(blocked_fuzzy_pairs(part, "p_type", "p_name"))
     assert "levenshtein" in plan and "length" in plan
+
+
+def test_corpus_quality_plans(spark, queries):
+    """Round-8 family plan pins beyond the blanket gate: the
+    length-fence join must broadcast its O(sources) threshold table
+    (a shuffled join on `source` would co-partition the whole corpus
+    by a 20-value key — skew by construction), and the scan-speed
+    operators must stay free of Python eval nodes."""
+    import realparse_spark.plans.explain as X
+
+    fences = queries["adaptive_length_filter"](spark, SF)
+    plan = X.executed_plan(fences)
+    assert "BroadcastHashJoin" in plan, plan[-2000:]
+    for name in ("pii_density", "doc_cdc_dedup", "ngram_novelty", "vocab_zipf_slope"):
+        assert X.python_eval_nodes(queries[name](spark, SF)) == 0, name
