@@ -327,6 +327,24 @@ def main() -> None:
     # ambient host context BEFORE this run loads the machine (a 1-min
     # load average read at the end would mostly measure the bench itself)
     load_before = round(os.getloadavg()[0], 2)
+    # starved-host guard: when the hypervisor is delivering well under
+    # the nominal core count (physical-host co-tenant), every Spark
+    # stage runs uniformly slower and a drift verdict measures the
+    # neighbor, not the code.  Wait briefly (bounded — the driver's
+    # per-round run must not hang) for capacity to return; proceed and
+    # measure regardless after the last attempt, with the probe values
+    # recorded in the output either way.
+    eff = effective_cores()
+    n_cpu = os.cpu_count() or 1
+    for _ in range(3):
+        if eff >= 0.8 * n_cpu:
+            break
+        print(
+            f"bench: host delivering ~{eff} of {n_cpu} cores; waiting 60s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+        eff = effective_cores()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -409,6 +427,15 @@ def main() -> None:
     regressions, remeasures, agg_ratio = gate_regressions(
         baseline, sf, warm, extra_warm, remeasure_min
     )
+    # a verdict reached on a capacity-starved host carries its context
+    # inline (the gate still fails — the probes explain, they don't
+    # excuse; a reader of the archived line sees both)
+    host_note = None
+    if regressions and eff < 0.8 * n_cpu:
+        host_note = (
+            f"host delivered ~{eff} of {n_cpu} cores during this run "
+            "(physical-host co-tenancy; see SCALE.md benchmarking notes)"
+        )
 
     # stdout is EXACTLY one compact JSON line (headline timings, warm
     # totals, regressions) — the driver archives only the tail of stdout
@@ -435,8 +462,9 @@ def main() -> None:
         "regressions": regressions,
         # host context for reading drift verdicts (see host_probe)
         "probe_sec": host_probe(),
-        "effective_cores": effective_cores(),
+        "effective_cores": eff,
         "load_avg_start": load_before,
+        **({"host_note": host_note} if host_note else {}),
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump({**summary, **detail}, fh, indent=1, sort_keys=True)
