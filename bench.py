@@ -305,6 +305,7 @@ def effective_cores() -> float:
     n = os.cpu_count() or 1
 
     with mp.Pool(1) as p:
+        p.map(_burn, [0])  # warm the worker, same as the N-process side
         t0 = time.perf_counter()
         p.map(_burn, [1])
         single = time.perf_counter() - t0
@@ -429,13 +430,17 @@ def main() -> None:
     )
     # a verdict reached on a capacity-starved host carries its context
     # inline (the gate still fails — the probes explain, they don't
-    # excuse; a reader of the archived line sees both)
+    # excuse; a reader of the archived line sees both).  RE-probe here:
+    # the start-of-run reading can't see a co-tenant that arrived
+    # mid-run — the exact failure mode being annotated.
     host_note = None
-    if regressions and eff < 0.8 * n_cpu:
-        host_note = (
-            f"host delivered ~{eff} of {n_cpu} cores during this run "
-            "(physical-host co-tenancy; see SCALE.md benchmarking notes)"
-        )
+    if regressions:
+        eff = min(eff, effective_cores())
+        if eff < 0.8 * n_cpu:
+            host_note = (
+                f"host delivered ~{eff} of {n_cpu} cores around this run "
+                "(physical-host co-tenancy; see SCALE.md benchmarking notes)"
+            )
 
     # stdout is EXACTLY one compact JSON line (headline timings, warm
     # totals, regressions) — the driver archives only the tail of stdout

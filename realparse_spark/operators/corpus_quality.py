@@ -70,7 +70,11 @@ def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture corpus carries no PII, so the query plants a
     deterministic, doc_id-varying amount (0-2 emails, 0-1 phones — same
     arithmetic in the oracle) and audits it."""
-    docs = load_table(spark, sf_dir, "documents")
+    from realparse_spark.sources.tables import fan_out
+
+    # fan_out: two corpus-wide regexp_count scans on single-row-group
+    # fixtures would otherwise run as one task
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     planted = docs.select(
         "source",
         "n_chars",
@@ -165,7 +169,11 @@ def vocab_zipf_slope(docs: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
 
 
 def q_vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return vocab_zipf_slope(load_table(spark, sf_dir, "documents"))
+    from realparse_spark.sources.tables import fan_out
+
+    # fan_out: the tokenize/explode/map-side combine is the heavy stage
+    # and single-row-group fixtures would serialize it into one task
+    return vocab_zipf_slope(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 VOCAB_ZIPF_SLOPE_SQL = rf"""
@@ -303,14 +311,10 @@ def adaptive_length_filter(docs: DataFrame) -> DataFrame:
         .filter((F.col("rn") == F.col("p1")) | (F.col("rn") == F.col("p3")))
         .groupBy("source")
         .agg(
+            # when p1 == p3 (cnt <= 2) the single surviving row satisfies
+            # both when() branches, so q1 and q3 are both always set
             F.max(F.when(F.col("rn") == F.col("p1"), F.col("n_chars"))).alias("q1"),
             F.max(F.when(F.col("rn") == F.col("p3"), F.col("n_chars"))).alias("q3"),
-        )
-        # a single-doc source has p1 == p3 == 1: one row serves both
-        .select(
-            "source",
-            "q1",
-            F.coalesce("q3", "q1").alias("q3"),
         )
     )
     fences = quarts.select(
@@ -404,11 +408,16 @@ def cdc_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # boundary AFTER the last char of a window whose hash matches the
     # mask; the final position is always a boundary so every char lands
-    # in exactly one chunk
+    # in exactly one chunk.  The size(_h) = 0 guard matters: Spark's
+    # sequence(1, 0) yields the DESCENDING [1, 0], whose 0 index makes
+    # element_at throw — a 1-4-char document (norm shorter than the
+    # hash window) must fall through to the single whole-string chunk,
+    # exactly like the oracle's exclusive range().
     ends = (
         "array_sort(array_distinct(concat("
+        "CASE WHEN size(_h) = 0 THEN cast(array() AS array<int>) ELSE "
         f"transform(filter(sequence(1, size(_h)), i -> element_at(_h, i) % {CDC_MASK} = 0), "
-        f"i -> i + {CDC_K} - 1), "
+        f"i -> i + {CDC_K} - 1) END, "
         "array(length(_norm)))))"
     )
     starts = "concat(array(1), transform(slice(_ends, 1, size(_ends) - 1), e -> e + 1))"

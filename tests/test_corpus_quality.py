@@ -55,20 +55,58 @@ def test_cdc_chunks_edit_locality(spark):
     assert len(shared) / len(set(c1)) >= 0.8, (len(shared), len(set(c1)))
 
 
-def test_cdc_chunks_cover_document_exactly(spark):
-    """Chunk lengths partition the normalized text: no char lost or
-    duplicated (boundaries include the final position exactly once)."""
-    txt = "Hello, World! " * 30
-    df = _docs(spark, [(1, txt, "en", "a", len(txt))])
-    norm_len = len("".join(c for c in txt.lower() if c.isalnum()))
-    # recompute chunk lengths by re-deriving the substring bounds: chunk
-    # md5s are opaque, so instead check total coverage via a sum of
-    # lengths reconstructed from a second run with distinct inputs
-    chunks = cdc_chunks(df).collect()
-    assert len(chunks) >= 1
-    # a doc made of one repeated sentence has at most a handful of
-    # DISTINCT chunk hashes (the repeat makes interior chunks identical)
-    assert len({r.chunk_md5 for r in chunks}) < len(chunks) or len(chunks) == 1
+def _cdc_ref_chunks(text: str) -> list[str]:
+    """Pure-Python CDC reference: same normalization, rolling hash,
+    boundary mask and md5 chunk ids as cdc_chunks."""
+    import hashlib
+
+    from realparse_spark.operators.corpus_quality import CDC_K, CDC_MASK
+    from realparse_spark.operators.text import WINNOW_B, WINNOW_P
+
+    norm = "".join(c for c in text.lower() if c.isascii() and c.isalnum())
+    if not norm:
+        return []
+    codes = [ord(c) for c in norm]
+    hs = []
+    if len(codes) >= CDC_K:
+        for i in range(len(codes) - CDC_K + 1):
+            h = codes[i]
+            for j in range(1, CDC_K):
+                h = (h * WINNOW_B + codes[i + j]) % WINNOW_P
+            hs.append(h)
+    ends = sorted(
+        {i + CDC_K for i, h in enumerate(hs) if h % CDC_MASK == 0} | {len(norm)}
+    )
+    starts = [1] + [e + 1 for e in ends[:-1]]
+    return [
+        hashlib.md5(norm[s - 1 : e].encode()).hexdigest()
+        for s, e in zip(starts, ends)
+    ]
+
+
+def test_cdc_chunks_match_reference_and_cover_exactly(spark):
+    """Chunk-for-chunk parity with an independent Python implementation
+    (order-insensitive, multiplicity-sensitive) — pins exact coverage:
+    any boundary off-by-one drops/duplicates a char and changes an md5."""
+    from collections import Counter
+
+    texts = [
+        _varied_text(200),
+        _varied_text(80, salt=4),
+        "Hello, World! " * 30,
+        "short",       # norm len 5 == CDC_K
+        "Hi!",         # norm len 2 < CDC_K: single whole-string chunk
+        "a",           # norm len 1
+        "?!,.",        # norm empty: no chunks at all
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    got = cdc_chunks(_docs(spark, rows)).collect()
+    by_doc: dict[int, Counter] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, Counter())[r.chunk_md5] += 1
+    for i, t in enumerate(texts):
+        expect = Counter(_cdc_ref_chunks(t))
+        assert by_doc.get(i, Counter()) == expect, (i, t[:30])
 
 
 def test_cdc_dup_report_flags_shared_paragraph(spark):

@@ -415,7 +415,13 @@ def _phash_ref(payload: bytes) -> int:
 
 
 def test_phash_kernel_matches_pure_python_reference(spark, sf_dir):
+    """Three-way parity: the batched kernel, the per-image numpy
+    `_phash64` (whose docstring the kernel claims to match), and the
+    independent double-loop reference must all agree."""
     from realparse_spark.operators.multimodal import (
+        _bmp_pixels,
+        _phash64,
+        _ppm_pixels,
         phash_images,
         synthesize_near_dup_images,
     )
@@ -426,7 +432,8 @@ def test_phash_kernel_matches_pure_python_reference(spark, sf_dir):
     payloads = {r.doc_id: bytes(r.payload) for r in imgs.collect()}
     assert len(got) == 24
     for doc_id, payload in payloads.items():
-        assert got[doc_id] == _phash_ref(payload), doc_id
+        img = (_ppm_pixels if payload[:2] == b"P6" else _bmp_pixels)(payload)[2]
+        assert got[doc_id] == _phash64(img) == _phash_ref(payload), doc_id
 
 
 def test_phash_near_dup_planted_recall_and_precision(spark, sf_dir):
