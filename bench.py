@@ -303,13 +303,17 @@ def effective_cores() -> float:
     import multiprocessing as mp
 
     n = os.cpu_count() or 1
+    # spawn, never fork: the post-regression re-probe runs AFTER the Spark
+    # JVM gateway and its threads are live, and fork-with-threads can
+    # deadlock the probing process right as it is about to report
+    ctx = mp.get_context("spawn")
 
-    with mp.Pool(1) as p:
+    with ctx.Pool(1) as p:
         p.map(_burn, [0])  # warm the worker, same as the N-process side
         t0 = time.perf_counter()
         p.map(_burn, [1])
         single = time.perf_counter() - t0
-    with mp.Pool(n) as p:
+    with ctx.Pool(n) as p:
         p.map(_burn, [0] * n)  # warm the workers
         t0 = time.perf_counter()
         p.map(_burn, [1] * n)

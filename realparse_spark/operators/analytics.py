@@ -2246,9 +2246,18 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is nonlinear — not a plain cumulative sum — but has the exact closed
     form b_t = c_t - min(0, min_{s<=t} c_s) over the raw cumsum c, so it
     runs as TWO frames over ONE window shuffle (partition by user, order
-    by time) instead of a stateful per-row loop; deltas stay decimal so
-    both engines agree exactly.  Output collapses to one row per user:
-    final balance, peak balance, and how many debits hit the floor."""
+    by time) instead of a stateful per-row loop.
+
+    Exactness (the time_weighted_avg discipline): ALL arithmetic in
+    BIGINT micro-units — deltas floored to 1e-4 units (floor, not cast:
+    double->int casts truncate in Spark but round in DuckDB), cumsum /
+    running-min / clamp / peak / final all exact int64 — then ONE
+    terminal conversion to DECIMAL(18,4) via decimal MULTIPLICATION by
+    0.0001 (division is out: DuckDB decimal '/' degrades to DOUBLE,
+    Spark's doesn't — the r8 hash-mismatch family).  Mirrored cast-for-
+    cast in CLAMPED_BALANCE_SQL.  At fixture scales |cumsum| stays well
+    inside int64; a 100 TB deployment swaps the running sums to
+    DECIMAL(38,0) and keeps the same closed form."""
     from pyspark.sql import Window
 
     ev = (
@@ -2260,40 +2269,48 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.when(
                 F.col("event_type") == "purchase",
-                F.col("value").cast("decimal(18,4)"),
+                F.floor(F.col("value") * 10000).cast("bigint"),
             )
-            .otherwise(-F.col("value").cast("decimal(18,4)"))
-            .alias("delta"),
+            .otherwise(-F.floor(F.col("value") * 10000).cast("bigint"))
+            .alias("delta_u"),
         )
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     csum = ev.select(
-        "user_id", "ts", "event_id", "delta", F.sum("delta").over(w).alias("c")
+        "user_id", "ts", "event_id", "delta_u",
+        F.sum("delta_u").over(w).cast("bigint").alias("c"),
     )
     # second frame over the SAME partitioning/order — one shuffle total
     run = csum.select(
         "user_id",
         "ts",
         "event_id",
-        "delta",
-        (
-            F.col("c")
-            - F.least(F.lit(0).cast("decimal(18,4)"), F.min("c").over(w))
-        ).alias("bal"),
+        "delta_u",
+        (F.col("c") - F.least(F.lit(0).cast("bigint"), F.min("c").over(w)))
+        .cast("bigint")
+        .alias("bal_u"),
     )
+    to_dec = lambda col: (  # noqa: E731 — exact: int64 × decimal(5,4)
+        col.cast("decimal(18,0)") * F.lit("0.0001").cast("decimal(5,4)")
+    ).cast("decimal(18,4)")
     return (
         run.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_moves"),
-            F.max("bal").cast("decimal(18,4)").alias("peak_balance"),
-            F.max_by("bal", F.struct("ts", "event_id"))
-            .cast("decimal(18,4)")
-            .alias("final_balance"),
+            F.max("bal_u").alias("_peak_u"),
+            F.max_by("bal_u", F.struct("ts", "event_id")).alias("_final_u"),
             F.sum(
-                F.when((F.col("bal") == 0) & (F.col("delta") < 0), 1).otherwise(0)
+                F.when((F.col("bal_u") == 0) & (F.col("delta_u") < 0), 1).otherwise(0)
             ).alias("n_floored"),
+        )
+        .select(
+            "user_id",
+            "n_moves",
+            to_dec(F.col("_peak_u")).alias("peak_balance"),
+            to_dec(F.col("_final_u")).alias("final_balance"),
+            "n_floored",
         )
         .orderBy("user_id")
     )
@@ -2302,38 +2319,39 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLAMPED_BALANCE_SQL = """
 WITH ev AS (
   SELECT user_id, ts, event_id,
-    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
-         ELSE -CAST(value AS DECIMAL(18,4)) END AS delta
+    CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 10000) AS BIGINT)
+         ELSE -CAST(floor(value * 10000) AS BIGINT) END AS delta_u
   FROM events WHERE event_type IN ('purchase', 'click')
 ),
 csum AS (
-  SELECT user_id, ts, event_id, delta,
-    sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  SELECT user_id, ts, event_id, delta_u,
+    CAST(sum(delta_u) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
   FROM ev
 ),
 runmin AS (
-  SELECT user_id, ts, event_id, delta, c,
-    min(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  SELECT user_id, ts, event_id, delta_u, c,
+    CAST(min(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mn
   FROM csum
 ),
 bal AS (
-  -- CASE, not least(): DuckDB's least() degrades DECIMAL args to DOUBLE
-  SELECT user_id, ts, event_id, delta,
-    c - CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(18,4)) END AS bal
+  SELECT user_id, ts, event_id, delta_u,
+    c - CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS BIGINT) END AS bal_u
   FROM runmin
 ),
 lastv AS (
-  SELECT user_id, bal AS final_balance,
+  SELECT user_id, bal_u AS final_u,
     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM bal
 )
 SELECT b.user_id,
   CAST(count(*) AS BIGINT) AS n_moves,
-  CAST(max(b.bal) AS DECIMAL(18,4)) AS peak_balance,
-  CAST(max(l.final_balance) AS DECIMAL(18,4)) AS final_balance,
-  CAST(sum(CASE WHEN b.bal = 0 AND b.delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(CAST(max(b.bal_u) AS DECIMAL(18,0)) * CAST(0.0001 AS DECIMAL(5,4))
+       AS DECIMAL(18,4)) AS peak_balance,
+  CAST(CAST(max(l.final_u) AS DECIMAL(18,0)) * CAST(0.0001 AS DECIMAL(5,4))
+       AS DECIMAL(18,4)) AS final_balance,
+  CAST(sum(CASE WHEN b.bal_u = 0 AND b.delta_u < 0 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_floored
 FROM bal b
 JOIN lastv l ON l.user_id = b.user_id AND l.rn = 1

@@ -48,10 +48,13 @@ def pii_density(docs: DataFrame, text_col: str = "text") -> DataFrame:
     rollup on a low-cardinality key."""
     t = F.col(text_col)
     n_pii = F.regexp_count(t, F.lit(_EMAIL_RE)) + F.regexp_count(t, F.lit(_PHONE_RE))
+    # greatest(n_chars, 1): a zero-length document must not produce
+    # Inf/NaN density (and engines disagree on x/0), so it scores as if
+    # one char long — mirrored in PII_DENSITY_SQL
     per_doc = docs.select(
         "source",
         n_pii.alias("n_pii"),
-        (n_pii * 1000.0 / F.col("n_chars")).alias("density"),
+        (n_pii * 1000.0 / F.greatest(F.col("n_chars"), F.lit(1))).alias("density"),
     )
     return (
         per_doc.groupBy("source")
@@ -108,8 +111,8 @@ SELECT source,
   count(*) AS n_docs,
   CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
   CAST(sum(n_pii) AS BIGINT) AS total_pii,
-  round(avg(n_pii * 1000.0 / n_chars), 4) AS avg_density_kb,
-  round(max(n_pii * 1000.0 / n_chars), 4) AS max_density_kb
+  round(avg(n_pii * 1000.0 / greatest(n_chars, 1)), 4) AS avg_density_kb,
+  round(max(n_pii * 1000.0 / greatest(n_chars, 1)), 4) AS max_density_kb
 FROM scored
 GROUP BY source
 ORDER BY source
@@ -311,7 +314,7 @@ def adaptive_length_filter(docs: DataFrame) -> DataFrame:
         .filter((F.col("rn") == F.col("p1")) | (F.col("rn") == F.col("p3")))
         .groupBy("source")
         .agg(
-            # when p1 == p3 (cnt <= 2) the single surviving row satisfies
+            # when p1 == p3 (cnt == 1) the single surviving row satisfies
             # both when() branches, so q1 and q3 are both always set
             F.max(F.when(F.col("rn") == F.col("p1"), F.col("n_chars"))).alias("q1"),
             F.max(F.when(F.col("rn") == F.col("p3"), F.col("n_chars"))).alias("q3"),

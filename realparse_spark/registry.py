@@ -44,90 +44,93 @@ _MODULES = (
 # else follows in module order.  Rotate per round so every query accumulates
 # driver rows.
 #
-# The round-8 window (EXACTLY 50 names), per the round-7 verdict task 1:
-# (a) the 10 queries deferred from the round-7 window — after round 7 these
-#     are the ONLY registered queries with no driver CORRECTNESS row ever
-#     (r1-r7 union covers the other 191); putting them first closes the
-#     verification ledger.  All 9 oracled ones are tri-scale
-#     (sf0.001/0.01/0.1) parity-green in-repo via tests/test_oracle_parity.py
-#     (the driver-identical DuckDB check); dedup_incremental_minhash is
-#     rows-only by design (MinHash not DuckDB-reproducible) with a
-#     batch-equality gate in tests/test_dedup.py.
-# (b) 40 of the 41 queries whose LATEST driver row is round 4 — the oldest
-#     rows on the books (everything else is r5+).  The one r4 query deferred
-#     to round 9 is sim_ann_ivf: it is declared rows-only (the driver check
-#     would be the weak ran-not-broken form it already earned in r4) and its
-#     real guarantees — recall vs exact scan and partition-pruned probe —
-#     are pinned by in-repo gates in tests/test_similarity.py every session.
-# Registry growth stayed FROZEN until this window was drawn (round-7 verdict
-# task 2); post-window additions register AFTER the first 50 names.  Round-8
-# growth: the corpus_quality module (pii_density, vocab_zipf_slope,
-# ngram_novelty, adaptive_length_filter, doc_cdc_dedup — all oracled) plus
-# dedup_phash (rows-only).  These queue behind sim_ann_ivf for the round-9
-# window, keeping the never-sampled backlog at 7 (< one round's growth, per
-# the don't-outgrow-the-driver rule).
+# The round-9 window (EXACTLY 50 names), per the round-8 verdict tasks 1-3:
+# (a) clamped_balance FIRST — the only red row of r8 (hash mismatch on the
+#     driver despite bit-identical replicas at every scale).  Root cause
+#     class: DECIMAL widening arithmetic hashing differently across engines.
+#     Fixed this round by rewriting the clamp recurrence in BIGINT
+#     micro-units (x10^4, floor-not-cast) with ONE terminal DECIMAL(18,4)
+#     conversion via exact decimal multiplication — mirrored cast-for-cast
+#     in the oracle — and pinned by a vanilla-ANSI-session tri-scale parity
+#     test (tests/test_vanilla_session.py).  The row must be re-earned.
+# (b) the 7 queries with no driver row ever after r8 (exactly as scheduled
+#     by the round-8 rotation comment): the 5 oracled corpus_quality
+#     queries + dedup_phash (rows-only) + the deferred sim_ann_ivf
+#     (rows-only; r4 row exists).  All 5 oracled ones are tri-scale
+#     parity-green in-repo (TRISWEEP_r08.txt).
+# (c) 42 of the 45 queries whose LATEST driver row is round 5 — the
+#     staleness frontier (after r8 re-verified the r4 block, nothing older
+#     remains).  The 3 deferred to round 10 are the batch's only rows-only
+#     names (emb_knn_join_ivf, sim_ann_lsh, sim_ann_lsh_batch): their
+#     driver check is the weak ran-produced-rows form, while their real
+#     guarantees — recall vs exact scan, batch-vs-single parity, partition
+#     pruning — are pinned by in-repo gates in tests/test_similarity.py
+#     every session, so deferring them loses the least signal.
+# Post-window additions register AFTER these 50 names; never-sampled
+# backlog stays <= one round's driver capacity (the rule that took the
+# backlog 60 -> 10 -> 7 -> 0 this round).
 _PRIORITY = (
-    # --- (a) round-7 deferrals: never driver-sampled, drain first ---
-    "doc_stratified_take",
-    "grouping_sets_agg",
-    "time_weighted_avg",
-    "event_ohlc",
-    "event_gaps",
-    "interval_coverage",
-    "event_mad_outliers",
-    "hist_quantiles",
+    # --- (a) the r8 red row, re-earned first ---
     "clamped_balance",
-    "dedup_incremental_minhash",  # rows-only
-    # --- (b) oldest driver rows (latest = r4), flagship re-verification ---
-    # TPC-H / report shapes
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "big_spender_orders",
-    "distinct_agg",
-    "rollup_agg",
-    "yearly_growth",
-    "unpivot_metrics",
-    "value_deciles",
-    "top2_files",
-    "union_sources",
-    "watermark_incremental",
-    "doc_length_buckets",
-    "doc_top_terms",
-    # dedup family
-    "dedup_canonical",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_embedding",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    # doc pipeline family
-    "doc_chunk",
-    "doc_pack",
-    "doc_pipeline_e2e",
-    "doc_sample",
-    "doc_split",
-    # embeddings / similarity
-    "emb_knn_join",
-    "emb_quantize",
-    "sim_topk_cosine_arrow",
-    # events / time series
-    "event_transitions",
-    "event_zscore",
-    "events_retention",
-    "rolling_active_users",
-    # multimodal
-    "multimodal_frames",
-    "multimodal_meta",
-    # streaming
-    "stream_upsert_e2e",
-    "stream_window_e2e",
+    # --- (b) never-sampled backlog: drains to zero this round ---
+    "pii_density",
+    "vocab_zipf_slope",
+    "ngram_novelty",
+    "adaptive_length_filter",
+    "doc_cdc_dedup",
+    "dedup_phash",  # rows-only
+    "sim_ann_ivf",  # rows-only, deferred from r8
+    # --- (c) staleness frontier: latest row r5, all oracled ---
+    # parse / log-report pipelines
+    "parse_style5",
+    "parse_weblog",
+    "parse_positional",
+    "client_info_parse",
+    "stats_mask_explode",
+    "log_report_e2e",
+    "load_e2e",
+    "stream_load_e2e",
+    "stream_join_e2e",
+    # TPC-H shapes
+    "q4_late_orders",
+    "q12_priority_class",
+    "q13_order_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_idle_balance",
+    "above_avg_parts",
+    "revenue_by_nation",
+    # joins / windows / session
+    "asof_join",
+    "anti_semi_join",
+    "range_band_join",
+    "sessionize",
+    "session_window_native",
+    "gap_fill",
+    "pivot_events",
+    "cube_agg",
+    "json_props",
+    "rollup_merge",
+    # dedup / embeddings
+    "dedup_exact",
+    "emb_centroids",
+    # docs
+    "doc_source_mix",
+    "doc_weighted_sample",
     # text family
-    "text_bigram_logprob",
-    "text_boilerplate",
-    "text_token_entropy",
-    # profiling
-    "table_profile",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_contamination",
+    # privacy / dq
+    "anonymize_ips",
+    "redact_pii",
+    "dq_checks",
+    # multimodal
+    "multimodal_decode",
+    "multimodal_audio",
+    "multimodal_video",
 )
 
 
