@@ -1259,12 +1259,16 @@ def phash_images(df: DataFrame) -> DataFrame:
                     mt, (w, h, img) = BMP_TYPE, _bmp_pixels(b)
                 else:
                     raise ValueError(f"unknown magic {b[:2]!r}")
-                g = img.astype(np.float64).mean(axis=2)
+                # gather the 32x32 sample BEFORE the float64 grayscale:
+                # mean-of-selected == select-of-means pixel for pixel, so
+                # this is bit-identical to _phash64's full-plane pass but
+                # skips a (h, w) float64 alloc per image (the cold-path
+                # dominator at fixture image sizes)
                 ys = np.arange(32, dtype=np.int64) * h // 32
                 xs = np.arange(32, dtype=np.int64) * w // 32
                 ids.append(int(doc_id))
                 mts.append(mt)
-                planes.append(g[ys][:, xs])
+                planes.append(img[ys][:, xs].astype(np.float64).mean(axis=2))
             if not ids:
                 continue
             S = np.stack(planes)  # (n, 32, 32)

@@ -1,0 +1,471 @@
+"""Training-data SELECTION operators — the decide-what-to-train-on family
+that sits between the curation metrics (corpus_quality.py, text.py) and
+the mixing/packing ops (pipeline_ops.py):
+
+- `dsir_importance`: importance weights for target-domain data selection
+  (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling" — arXiv:2302.03169): per-document average log-ratio of a
+  target vs raw bigram distribution over a capped feature vocabulary.
+- `semdedup`: semantic deduplication (Abbas et al. 2023, "SemDeDup" —
+  arXiv:2303.09540): cluster embeddings, then drop near-identical
+  members within each cluster, keeping the member farthest from the
+  centroid.  Candidate pairs are CLUSTER-blocked — never all-pairs.
+- `ccnet_ppl_buckets`: CCNet-style head/middle/tail split per source by
+  LM score (Wenzek et al. 2020, "CCNet: Extracting High Quality
+  Monolingual Datasets" — the per-language perplexity-tertile split),
+  using the corpus-self-scored bigram LM from text.py.
+
+Reference parity note: the RealParse reference (real_parse.pl /
+pull_report.pl) has no selection surface at all — these extend the
+engine toward the 100 TB training-data pipeline the brief targets.
+
+Scale notes (audited per operator below): one explode each, map-side
+combined vocab aggregates, O(K)/O(clusters) broadcast tables, and the
+per-source rank runs on `rank_distributed` (no corpus-scale
+single-partition window anywhere — blanket-gated in
+tests/test_plan_quality.py like every other module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.distrank import rank_distributed
+from realparse_spark.operators.text import ws_tokens
+from realparse_spark.sources.tables import fan_out, load_table
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+DSIR_TOP_K = 2000
+DSIR_TARGET_SOURCE = "src0"
+
+
+def _bigram_array(text_col):
+    """Consecutive word-bigram array — the bigram_logprob convention
+    (text.py): whitespace tokens joined by a single space."""
+    toks = ws_tokens(text_col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str = DSIR_TARGET_SOURCE,
+    top_k: int = DSIR_TOP_K,
+) -> DataFrame:
+    """Per-document DSIR importance score: the average, over the
+    document's bigram occurrences, of ln(p_target(f) / p_raw(f)) with
+    add-1 smoothing over a shared top-`top_k` feature vocabulary.
+    Documents that score high look like the target domain; resampling
+    by these weights is the DSIR selection step.
+
+    Exactness: the smoothed ratio is ONE ln of an exact-integer ratio —
+    ln((cnt_t+1)·(R+K) / ((cnt_r+1)·(T+K))) with all four factors
+    BIGINT — so both engines evaluate the identical double.  (At fixture
+    scales the int64 products stay ~1e12; a 100 TB corpus overflows
+    them, so the production variant casts the two factors to DOUBLE
+    before multiplying — one rounding each — or sums in DECIMAL(38,0).)
+    Per-doc scores round to 6 (the text.py logprob discipline).
+
+    Scale shape: ONE bigram explode; the vocabulary aggregate is a
+    map-side-combined groupBy(bg); top-K is ORDER BY + LIMIT
+    (TakeOrdered — per-partition heaps, no global sort); the K-row
+    log-ratio table and the 1-row totals broadcast; the score is one
+    groupBy(doc_id).  Documents whose bigrams are all out-of-vocabulary
+    (or that have <2 tokens) carry no evidence either way and are
+    omitted — deterministic in both engines."""
+    tf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(_bigram_array(F.col("text"))).alias("bg"),
+        )
+        .groupBy("doc_id", "source", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    is_t = F.col("source") == target_source
+    vocab = tf.groupBy("bg").agg(
+        F.sum(F.when(is_t, F.col("tf")).otherwise(0)).cast("bigint").alias("cnt_t"),
+        F.sum(F.when(~is_t, F.col("tf")).otherwise(0)).cast("bigint").alias("cnt_r"),
+        F.sum("tf").cast("bigint").alias("total"),
+    )
+    topk = vocab.orderBy(F.col("total").desc(), "bg").limit(top_k)
+    totals = topk.agg(
+        F.sum("cnt_t").cast("bigint").alias("t_tot"),
+        F.sum("cnt_r").cast("bigint").alias("r_tot"),
+    )
+    k = F.lit(top_k).cast("bigint")
+    ratio = topk.crossJoin(F.broadcast(totals)).select(
+        "bg",
+        F.log(
+            ((F.col("cnt_t") + 1) * (F.col("r_tot") + k)).cast("double")
+            / ((F.col("cnt_r") + 1) * (F.col("t_tot") + k))
+        ).alias("llr"),
+    )
+    return (
+        tf.join(F.broadcast(ratio), "bg")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_feats"),
+            F.round(F.sum(F.col("tf") * F.col("llr")) / F.sum("tf"), 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: the bigram explode over a single-row-group fixture scan
+    # would otherwise run one task (production inputs arrive as splits)
+    return dsir_importance(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+DSIR_IMPORTANCE_SQL = rf"""
+WITH tk AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source,
+    unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM tk
+),
+tf AS (SELECT doc_id, source, bg, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+vocab AS (
+  SELECT bg,
+    CAST(sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN tf ELSE 0 END) AS BIGINT) AS cnt_t,
+    CAST(sum(CASE WHEN source <> '{DSIR_TARGET_SOURCE}' THEN tf ELSE 0 END) AS BIGINT) AS cnt_r,
+    CAST(sum(tf) AS BIGINT) AS total
+  FROM tf GROUP BY bg
+),
+topk AS (SELECT * FROM vocab ORDER BY total DESC, bg LIMIT {DSIR_TOP_K}),
+tot AS (
+  SELECT CAST(sum(cnt_t) AS BIGINT) AS t_tot, CAST(sum(cnt_r) AS BIGINT) AS r_tot
+  FROM topk
+),
+ratio AS (
+  SELECT bg,
+    ln(CAST((cnt_t + 1) * (r_tot + {DSIR_TOP_K}) AS DOUBLE)
+       / ((cnt_r + 1) * (t_tot + {DSIR_TOP_K}))) AS llr
+  FROM topk CROSS JOIN tot
+)
+SELECT tf.doc_id, tf.source,
+  CAST(sum(tf) AS BIGINT) AS n_feats,
+  round(sum(tf * llr) / sum(tf), 6) AS score
+FROM tf JOIN ratio USING (bg)
+GROUP BY tf.doc_id, tf.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-blocked semantic dedup
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35  # fixture-calibrated like dedup_embedding (dedup.py:900)
+
+
+def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup over an embedding table: (1) centroids from the coarse
+    `label` prior (exact-decimal mean per dimension — the emb_centroids
+    discipline, advanced.py:1151), (2) ONE Lloyd reassignment step —
+    each vector moves to its nearest centroid by L2, so the blocking key
+    is COMPUTED, not given, (3) within each cluster, pairs with cosine
+    ≥ tau are near-duplicates and the member CLOSER to the centroid is
+    dropped (SemDeDup's keep-farthest-from-centroid rule — it keeps the
+    informative extremes), ties dropping the higher vec_id.  Returns a
+    per-cluster audit: n_vecs, n_dup_pairs, n_dropped, n_kept.
+
+    Determinism: centroid components round to 6; L2 distances round to
+    6 with (d2, cluster_id) lexicographic argmin; pair cosines round to
+    4 (dedup_embedding convention); centroid-cosines round to 6 before
+    the keep comparison.  All folds are sequential left folds —
+    bit-stable across engines.
+
+    Scale: the centroid table is O(clusters · dim) and broadcasts; the
+    assignment is a broadcast nested-loop over K centroids (linear in
+    corpus, never quadratic); pairwise work is Σ|cluster|² — the same
+    blocked bound as every banded sketch join here, with IVF splitting
+    (similarity.py) the escape hatch if one cluster dominates."""
+    dim_sq = lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)  # noqa: E731
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+
+    long = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent_long = long.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    cents = cent_long.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    cand = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    d2 = F.round(fold(F.zip_with(F.col("embedding"), F.col("cvec"), dim_sq)), 6)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    assigned = (
+        cand.withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "embedding", "cvec")
+    )
+    dot = lambda a, b: fold(F.zip_with(a, b, lambda x, y: x * y))  # noqa: E731
+    norm = lambda a: F.sqrt(fold(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))  # noqa: E731
+    ecol = F.col("embedding")
+    scored = assigned.select(
+        "vec_id",
+        "cluster_id",
+        F.transform(ecol, lambda x: x.cast("double") / norm(ecol)).alias("u"),
+        F.round(
+            dot(F.transform(ecol, lambda x: x.cast("double")), F.col("cvec"))
+            / (norm(ecol) * norm(F.col("cvec"))),
+            6,
+        ).alias("cent_cos"),
+    )
+    a = scored.select(
+        F.col("vec_id").alias("vec_a"),
+        "cluster_id",
+        F.col("u").alias("ua"),
+        F.col("cent_cos").alias("cc_a"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("vec_b"),
+        "cluster_id",
+        F.col("u").alias("ub"),
+        F.col("cent_cos").alias("cc_b"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(dot(F.col("ua"), F.col("ub")), 4))
+        .filter(F.col("cos") >= tau)
+        .select(
+            "cluster_id",
+            "vec_a",
+            "vec_b",
+            # drop the member CLOSER to the centroid (higher cent_cos);
+            # ties drop the higher vec_id
+            F.when(
+                (F.col("cc_a") > F.col("cc_b"))
+                | ((F.col("cc_a") == F.col("cc_b")) & (F.col("vec_a") > F.col("vec_b"))),
+                F.col("vec_a"),
+            )
+            .otherwise(F.col("vec_b"))
+            .alias("loser"),
+        )
+    )
+    base = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    pair_agg = pairs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+        F.count_distinct("loser").cast("bigint").alias("n_dropped"),
+    )
+    return (
+        base.join(pair_agg, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup(fan_out(load_table(spark, sf_dir, "embeddings")))
+
+
+SEMDEDUP_SQL = rf"""
+WITH long AS (
+  SELECT label,
+    unnest(range(0, len(embedding))) AS pos,
+    unnest(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS v
+  FROM embeddings
+),
+cent_long AS (
+  SELECT label, pos, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+  FROM long GROUP BY label, pos
+),
+cents AS (
+  SELECT label AS cluster_id, list(c ORDER BY pos) AS cvec
+  FROM cent_long GROUP BY label
+),
+cand AS (
+  SELECT e.vec_id, e.embedding, c.cluster_id, c.cvec,
+    round(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), 'sum'), 6) AS d2
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cluster_id, embedding, cvec
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn FROM cand)
+  WHERE rn = 1
+),
+scored AS (
+  SELECT vec_id, cluster_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)
+      / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS u,
+    round(
+      list_aggregate(list_transform(range(1, len(embedding) + 1),
+        i -> CAST(embedding[i] AS DOUBLE) * cvec[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))
+         * sqrt(list_aggregate(list_transform(cvec, y -> y * y), 'sum'))), 6) AS cent_cos
+  FROM assigned
+),
+pairs AS (
+  SELECT a.cluster_id,
+    CASE WHEN (a.cent_cos > b.cent_cos)
+           OR (a.cent_cos = b.cent_cos AND a.vec_id > b.vec_id)
+         THEN a.vec_id ELSE b.vec_id END AS loser
+  FROM scored a JOIN scored b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round(list_aggregate(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]), 'sum'), 4) >= {SEMDEDUP_TAU}
+),
+base AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY 1),
+pagg AS (
+  SELECT cluster_id,
+    CAST(count(*) AS BIGINT) AS n_dup_pairs,
+    CAST(count(DISTINCT loser) AS BIGINT) AS n_dropped
+  FROM pairs GROUP BY 1
+)
+SELECT base.cluster_id, n_vecs,
+  CAST(coalesce(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+  CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(n_vecs - coalesce(n_dropped, 0) AS BIGINT) AS n_kept
+FROM base LEFT JOIN pagg USING (cluster_id)
+ORDER BY cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def ccnet_ppl_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's head/middle/tail split, per source: rank documents by the
+    corpus-self-scored bigram LM logprob (text.bigram_logprob — CCNet
+    uses a wiki-trained KenLM; the self-scored bigram model is the
+    tokenizer-free stand-in with identical plumbing) and cut each source
+    at exact tertiles — head = the best-scoring third.  Output is one
+    row per (source, bucket): doc count, total bigrams, and the score
+    range (min/max of the already-rounded per-doc scores — order
+    statistics, no re-aggregated floats).
+
+    Tertile cuts are exact integer arithmetic: ascending rank rn over
+    (avg_logprob, doc_id), tail = rn <= (cnt+2) div 3, middle up to
+    (2·cnt+2) div 3 — engine-identical BIGINT expressions.
+
+    Scale: the per-source rank uses rank_distributed(partition_cols=
+    [source]) — the adaptive_length_filter discipline — so no source's
+    documents ever sit in one task; the tertile thresholds ride the
+    O(sources) broadcast count table.  Docs with <2 tokens have no
+    bigram score and are out of scope (consistent with
+    text_bigram_logprob)."""
+    from realparse_spark.operators.text import bigram_logprob
+
+    scores = bigram_logprob(docs)
+    per = scores.join(docs.select("doc_id", "source"), "doc_id")
+    ranked = rank_distributed(
+        per, ["avg_logprob", "doc_id"], rank_col="rn", partition_cols=["source"]
+    )
+    counts = per.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    joined = ranked.join(F.broadcast(counts), "source")
+    bucket = (
+        F.when(F.col("rn") <= F.expr("(cnt + 2) div 3"), F.lit("tail"))
+        .when(F.col("rn") <= F.expr("(2 * cnt + 2) div 3"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return (
+        joined.select("source", bucket.alias("bucket"), "n_bigrams", "avg_logprob")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.min("avg_logprob").alias("min_lp"),
+            F.max("avg_logprob").alias("max_lp"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ccnet_ppl_buckets(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+CCNET_PPL_BUCKETS_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM tk
+),
+tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+cbg AS (SELECT bg, sum(tf) AS cnt_bg FROM tf GROUP BY 1),
+cw1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(tf) AS cnt_w1 FROM tf GROUP BY 1),
+scores AS (
+  SELECT doc_id,
+    CAST(sum(tf) AS BIGINT) AS n_bigrams,
+    round(sum(tf * ln(CAST(cnt_bg AS DOUBLE) / cnt_w1)) / sum(tf), 6) AS avg_logprob
+  FROM tf
+  JOIN cbg USING (bg)
+  JOIN cw1 ON string_split(tf.bg, ' ')[1] = cw1.w1
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.source, s.n_bigrams, s.avg_logprob,
+    row_number() OVER (PARTITION BY d.source ORDER BY s.avg_logprob, s.doc_id) AS rn,
+    count(*) OVER (PARTITION BY d.source) AS cnt
+  FROM scores s JOIN documents d USING (doc_id)
+),
+bucketed AS (
+  SELECT source,
+    CASE WHEN rn <= (cnt + 2) // 3 THEN 'tail'
+         WHEN rn <= (2 * cnt + 2) // 3 THEN 'middle'
+         ELSE 'head' END AS bucket,
+    n_bigrams, avg_logprob
+  FROM ranked
+)
+SELECT source, bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+  min(avg_logprob) AS min_lp,
+  max(avg_logprob) AS max_lp
+FROM bucketed
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
+QUERIES = {
+    "dsir_importance": q_dsir_importance,
+    "semdedup": q_semdedup,
+    "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+}
+
+ORACLES = {
+    "dsir_importance": DSIR_IMPORTANCE_SQL,
+    "semdedup": SEMDEDUP_SQL,
+    "ccnet_ppl_buckets": CCNET_PPL_BUCKETS_SQL,
+}

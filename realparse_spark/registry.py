@@ -36,6 +36,7 @@ _MODULES = (
     "realparse_spark.operators.graph",
     "realparse_spark.operators.layout",
     "realparse_spark.operators.corpus_quality",
+    "realparse_spark.operators.selection",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so
@@ -68,7 +69,10 @@ _MODULES = (
 #     every session, so deferring them loses the least signal.
 # Post-window additions register AFTER these 50 names; never-sampled
 # backlog stays <= one round's driver capacity (the rule that took the
-# backlog 60 -> 10 -> 7 -> 0 this round).
+# backlog 60 -> 10 -> 7 -> 0 this round).  Round-9 growth: the selection
+# module (dsir_importance, semdedup, ccnet_ppl_buckets — all oracled,
+# tri-scale green in-repo) queues behind the window for the round-10
+# rotation, keeping the backlog at 3.
 _PRIORITY = (
     # --- (a) the r8 red row, re-earned first ---
     "clamped_balance",

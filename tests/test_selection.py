@@ -1,0 +1,121 @@
+"""Behavioral gates for the selection family (selection.py) — the oracle
+parity itself runs in test_oracle_parity.py like every registered query;
+these pin the semantics the oracle can't see."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from realparse_spark.operators.selection import (
+    SEMDEDUP_TAU,
+    ccnet_ppl_buckets,
+    dsir_importance,
+    q_semdedup,
+    semdedup,
+)
+from realparse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dsir_target_scores_above_raw(spark):
+    """The whole point of importance weights: target-domain documents
+    must score higher on average than the raw pool (they ARE the target
+    distribution the ratio was fit to)."""
+    docs = load_table(spark, SF, "documents")
+    scored = dsir_importance(docs)
+    rows = scored.groupBy(F.col("source") == "src0").agg(
+        F.avg("score").alias("m")
+    ).collect()
+    means = {r[0]: r[1] for r in rows}
+    # clear separation, not just ordering: the gap is the signal
+    # resampling uses (add-1 smoothing over 5% target mass biases both
+    # means slightly negative, so sign itself is not meaningful)
+    assert means[True] > means[False] + 0.1
+
+
+def test_dsir_deterministic(spark):
+    docs = load_table(spark, SF, "documents")
+    a = sorted(map(tuple, dsir_importance(docs).collect()))
+    b = sorted(map(tuple, dsir_importance(docs).collect()))
+    assert a == b
+
+
+def test_semdedup_counts_consistent(spark):
+    """n_dropped <= n_dup_pairs (each pair names one loser), n_kept +
+    n_dropped == n_vecs, and every vector lands in exactly one cluster."""
+    emb = load_table(spark, SF, "embeddings")
+    out = semdedup(emb).collect()
+    assert sum(r.n_vecs for r in out) == emb.count()
+    for r in out:
+        assert r.n_kept + r.n_dropped == r.n_vecs
+        assert r.n_dropped <= r.n_dup_pairs or r.n_dup_pairs == 0
+        assert r.n_dropped <= max(r.n_vecs - 1, 0)
+
+
+def test_semdedup_keep_rule_planted(spark):
+    """Planted near-identical pair: the member closer to the cluster
+    centroid is dropped, the farther one kept (SemDeDup's keep rule).
+    Vectors 1/2 are near-duplicates pointing along +x with different
+    magnitude-irrelevant direction tweaks; vector 3 anchors the centroid
+    so vec 2 (closer to centroid) must lose."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.30], 0),
+        (2, [1.0, 0.0, 0.0, 0.28], 0),  # near-dup of 1
+        (3, [1.0, 0.0, 0.0, 0.29], 0),  # centroid anchor ~ vec 2's direction
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.cluster_id: r for r in semdedup(emb, tau=0.99).collect()}
+    c0 = out[0]
+    assert c0.n_vecs == 3
+    assert c0.n_dup_pairs >= 1
+    assert c0.n_dropped >= 1
+    assert c0.n_kept >= 1
+
+
+def test_semdedup_tau_monotone(spark):
+    """Raising tau can only shrink the dup set."""
+    emb = load_table(spark, SF, "embeddings")
+    lo = sum(r.n_dup_pairs for r in semdedup(emb, tau=SEMDEDUP_TAU).collect())
+    hi = sum(r.n_dup_pairs for r in semdedup(emb, tau=0.9).collect())
+    assert hi <= lo
+
+
+def test_ccnet_buckets_partition_each_source(spark):
+    """Per source: the three buckets cover every scored doc, tertile
+    sizes differ by at most 1, and head's score range sits at or above
+    tail's (head = best-scoring third)."""
+    docs = load_table(spark, SF, "documents")
+    out = ccnet_ppl_buckets(docs).collect()
+    by_src: dict[str, dict[str, object]] = {}
+    for r in out:
+        by_src.setdefault(r.source, {})[r.bucket] = r
+    for src, buckets in by_src.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        sizes = [b.n_docs for b in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)
+        if "head" in buckets and "tail" in buckets:
+            assert buckets["head"].min_lp >= buckets["tail"].max_lp, src
+
+
+def test_selection_plans_are_scale_clean(spark, queries=None):
+    """Module-specific pins beyond the blanket gate: dsir's top-K is a
+    TakeOrdered (no global sort of the vocabulary), and semdedup's
+    centroid join broadcasts (never a shuffled nested loop)."""
+    from realparse_spark.operators.selection import q_dsir_importance
+    from realparse_spark.plans import explain as X
+
+    plan = X.executed_plan(q_dsir_importance(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    plan2 = X.executed_plan(q_semdedup(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan2 or "BroadcastHashJoin" in plan2
+    assert "CartesianProduct" not in plan2
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
