@@ -172,6 +172,9 @@ EXTRA = [
     "adaptive_length_filter",  # per-source Tukey fences via dist. rank
     "doc_cdc_dedup",        # content-defined chunk partial-dup report
     "dedup_phash",          # DCT perceptual-hash image near-dup pairs
+    "dsir_importance",      # target-vs-raw log-ratio importance weights
+    "semdedup",             # cluster-blocked semantic dedup audit
+    "ccnet_ppl_buckets",    # per-source LM-score tertile split
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -225,6 +225,9 @@ def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     dot = lambda a, b: fold(F.zip_with(a, b, lambda x, y: x * y))  # noqa: E731
     norm = lambda a: F.sqrt(fold(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))  # noqa: E731
     ecol = F.col("embedding")
+    # ONE materialization shared by both sides of the pair self-join and
+    # the base counts (the rank_distributed discipline, distrank.py:73):
+    # without it the crossJoin+argmin assignment re-evaluates per consumer
     scored = assigned.select(
         "vec_id",
         "cluster_id",
@@ -234,7 +237,7 @@ def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
             / (norm(ecol) * norm(F.col("cvec"))),
             6,
         ).alias("cent_cos"),
-    )
+    ).localCheckpoint(eager=False)
     a = scored.select(
         F.col("vec_id").alias("vec_a"),
         "cluster_id",
@@ -267,7 +270,7 @@ def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
             .alias("loser"),
         )
     )
-    base = assigned.groupBy("cluster_id").agg(
+    base = scored.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")
     )
     pair_agg = pairs.groupBy("cluster_id").agg(
