@@ -175,30 +175,16 @@ GROUP BY tf.doc_id, tf.source
 SEMDEDUP_TAU = 0.35  # fixture-calibrated like dedup_embedding (dedup.py:900)
 
 
-def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
-    """SemDeDup over an embedding table: (1) centroids from the coarse
-    `label` prior (exact-decimal mean per dimension — the emb_centroids
-    discipline, advanced.py:1151), (2) ONE Lloyd reassignment step —
-    each vector moves to its nearest centroid by L2, so the blocking key
-    is COMPUTED, not given, (3) within each cluster, pairs with cosine
-    ≥ tau are near-duplicates and the member CLOSER to the centroid is
-    dropped (SemDeDup's keep-farthest-from-centroid rule — it keeps the
-    informative extremes), ties dropping the higher vec_id.  Returns a
-    per-cluster audit: n_vecs, n_dup_pairs, n_dropped, n_kept.
-
-    Determinism: centroid components round to 6; L2 distances round to
-    6 with (d2, cluster_id) lexicographic argmin; pair cosines round to
-    4 (dedup_embedding convention); centroid-cosines round to 6 before
-    the keep comparison.  All folds are sequential left folds —
-    bit-stable across engines.
-
-    Scale: the centroid table is O(clusters · dim) and broadcasts; the
-    assignment is a broadcast nested-loop over K centroids (linear in
-    corpus, never quadratic); pairwise work is Σ|cluster|² — the same
-    blocked bound as every banded sketch join here, with IVF splitting
-    (similarity.py) the escape hatch if one cluster dominates."""
+def _assign_and_score(emb: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, u, cent_cos): label-prior centroids, one
+    Lloyd reassignment by L2 argmin over the broadcast centroid table,
+    unit vectors, and the rounded centroid-cosine for the keep rule.
+    Split out (pre-localCheckpoint) so plan gates can see the broadcast
+    assignment join — the checkpoint in `semdedup` truncates it."""
     dim_sq = lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)  # noqa: E731
     fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    dot = lambda a, b: fold(F.zip_with(a, b, lambda x, y: x * y))  # noqa: E731
+    norm = lambda a: F.sqrt(fold(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))  # noqa: E731
 
     long = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent_long = long.groupBy("label", "pos").agg(
@@ -222,13 +208,8 @@ def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "embedding", "cvec")
     )
-    dot = lambda a, b: fold(F.zip_with(a, b, lambda x, y: x * y))  # noqa: E731
-    norm = lambda a: F.sqrt(fold(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))  # noqa: E731
     ecol = F.col("embedding")
-    # ONE materialization shared by both sides of the pair self-join and
-    # the base counts (the rank_distributed discipline, distrank.py:73):
-    # without it the crossJoin+argmin assignment re-evaluates per consumer
-    scored = assigned.select(
+    return assigned.select(
         "vec_id",
         "cluster_id",
         F.transform(ecol, lambda x: x.cast("double") / norm(ecol)).alias("u"),
@@ -237,7 +218,38 @@ def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
             / (norm(ecol) * norm(F.col("cvec"))),
             6,
         ).alias("cent_cos"),
-    ).localCheckpoint(eager=False)
+    )
+
+
+def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup over an embedding table: (1) centroids from the coarse
+    `label` prior (exact-decimal mean per dimension — the emb_centroids
+    discipline, advanced.py:1151), (2) ONE Lloyd reassignment step —
+    each vector moves to its nearest centroid by L2, so the blocking key
+    is COMPUTED, not given, (3) within each cluster, pairs with cosine
+    ≥ tau are near-duplicates and the member CLOSER to the centroid is
+    dropped (SemDeDup's keep-farthest-from-centroid rule — it keeps the
+    informative extremes), ties dropping the higher vec_id.  Returns a
+    per-cluster audit: n_vecs, n_dup_pairs, n_dropped, n_kept.
+
+    Determinism: centroid components round to 6; L2 distances round to
+    6 with (d2, cluster_id) lexicographic argmin; pair cosines round to
+    4 (dedup_embedding convention); centroid-cosines round to 6 before
+    the keep comparison.  All folds are sequential left folds —
+    bit-stable across engines.
+
+    Scale: the centroid table is O(clusters · dim) and broadcasts; the
+    assignment is a broadcast nested-loop over K centroids (linear in
+    corpus, never quadratic); pairwise work is Σ|cluster|² — the same
+    blocked bound as every banded sketch join here, with IVF splitting
+    (similarity.py) the escape hatch if one cluster dominates."""
+    # ONE materialization shared by both sides of the pair self-join and
+    # the base counts (the rank_distributed discipline, distrank.py:73):
+    # without it the crossJoin+argmin assignment re-evaluates per consumer
+    scored = _assign_and_score(emb).localCheckpoint(eager=False)
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
     a = scored.select(
         F.col("vec_id").alias("vec_a"),
         "cluster_id",

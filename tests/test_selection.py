@@ -107,14 +107,22 @@ def test_selection_plans_are_scale_clean(spark, queries=None):
     """Module-specific pins beyond the blanket gate: dsir's top-K is a
     TakeOrdered (no global sort of the vocabulary), and semdedup's
     centroid join broadcasts (never a shuffled nested loop)."""
-    from realparse_spark.operators.selection import q_dsir_importance
+    from realparse_spark.operators.selection import (
+        _assign_and_score,
+        q_dsir_importance,
+    )
     from realparse_spark.plans import explain as X
 
     plan = X.executed_plan(q_dsir_importance(spark, SF))
     assert "TakeOrderedAndProject" in plan
-    plan2 = X.executed_plan(q_semdedup(spark, SF))
+    # the assignment stage pre-checkpoint: centroid join must broadcast
+    emb = load_table(spark, SF, "embeddings")
+    plan2 = X.executed_plan(_assign_and_score(emb))
     assert "BroadcastNestedLoopJoin" in plan2 or "BroadcastHashJoin" in plan2
     assert "CartesianProduct" not in plan2
+    # the full query may not reintroduce a cartesian after the checkpoint
+    plan3 = X.executed_plan(q_semdedup(spark, SF))
+    assert "CartesianProduct" not in plan3
 
 
 if __name__ == "__main__":
