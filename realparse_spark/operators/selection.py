@@ -77,14 +77,24 @@ def dsir_importance(
     before multiplying — one rounding each — or sums in DECIMAL(38,0).)
     Per-doc scores round to 6 (the text.py logprob discipline).
 
-    Scale shape: ONE bigram explode; the vocabulary aggregate is a
-    map-side-combined groupBy(bg); top-K is ORDER BY + LIMIT
+    Fit/score split (the paper's shape): `dsir_fit` estimates the K-row
+    log-ratio table from a corpus; `dsir_score` applies a (broadcast)
+    ratio table to any corpus.  Production fits on held-out target/raw
+    SAMPLES and scores the full 100 TB corpus against the frozen table;
+    the driver query self-fits for a deterministic single-table oracle.
+
+    Scale shape: ONE bigram explode per phase; the vocabulary aggregate
+    is a map-side-combined groupBy(bg); top-K is ORDER BY + LIMIT
     (TakeOrdered — per-partition heaps, no global sort); the K-row
     log-ratio table and the 1-row totals broadcast; the score is one
     groupBy(doc_id).  Documents whose bigrams are all out-of-vocabulary
     (or that have <2 tokens) carry no evidence either way and are
     omitted — deterministic in both engines."""
-    tf = (
+    return dsir_score(docs, dsir_fit(docs, target_source, top_k))
+
+
+def _bigram_tf(docs: DataFrame) -> DataFrame:
+    return (
         docs.select(
             "doc_id",
             "source",
@@ -93,6 +103,16 @@ def dsir_importance(
         .groupBy("doc_id", "source", "bg")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def dsir_fit(
+    docs: DataFrame,
+    target_source: str = DSIR_TARGET_SOURCE,
+    top_k: int = DSIR_TOP_K,
+) -> DataFrame:
+    """(bg, llr): the smoothed target-vs-raw log-ratio over the top-K
+    shared vocabulary — the frozen scorer table."""
+    tf = _bigram_tf(docs)
     is_t = F.col("source") == target_source
     vocab = tf.groupBy("bg").agg(
         F.sum(F.when(is_t, F.col("tf")).otherwise(0)).cast("bigint").alias("cnt_t"),
@@ -105,15 +125,21 @@ def dsir_importance(
         F.sum("cnt_r").cast("bigint").alias("r_tot"),
     )
     k = F.lit(top_k).cast("bigint")
-    ratio = topk.crossJoin(F.broadcast(totals)).select(
+    return topk.crossJoin(F.broadcast(totals)).select(
         "bg",
         F.log(
             ((F.col("cnt_t") + 1) * (F.col("r_tot") + k)).cast("double")
             / ((F.col("cnt_r") + 1) * (F.col("t_tot") + k))
         ).alias("llr"),
     )
+
+
+def dsir_score(docs: DataFrame, ratio: DataFrame) -> DataFrame:
+    """Apply a fitted (bg, llr) ratio table to a corpus: per-doc average
+    llr over in-vocabulary bigram occurrences, rounded to 6."""
     return (
-        tf.join(F.broadcast(ratio), "bg")
+        _bigram_tf(docs)
+        .join(F.broadcast(ratio), "bg")
         .groupBy("doc_id", "source")
         .agg(
             F.sum("tf").cast("bigint").alias("n_feats"),

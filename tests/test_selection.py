@@ -35,6 +35,46 @@ def test_dsir_target_scores_above_raw(spark):
     assert means[True] > means[False] + 0.1
 
 
+def test_dsir_edit_response(spark):
+    """Against a FROZEN ratio table (the production fit/score split),
+    injecting target-domain text into a raw document must raise that
+    document's importance score — the edit-response property resampling
+    relies on.  (Self-refitting on the edited corpus would confound the
+    test: the injected occurrences inflate the raw counts of exactly the
+    injected features.)"""
+    from realparse_spark.operators.selection import dsir_fit, dsir_score
+
+    docs = load_table(spark, SF, "documents")
+    ratio = dsir_fit(docs)
+    target_text = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.concat_ws(" ", F.collect_list("text")).alias("t"))
+        .collect()[0][0]
+    )
+    probe_src = "src1"
+    base = {
+        r.doc_id: r.score
+        for r in dsir_score(docs, ratio).filter(F.col("source") == probe_src).collect()
+    }
+    edited = docs.withColumn(
+        "text",
+        F.when(
+            F.col("source") == probe_src,
+            F.concat(F.col("text"), F.lit(" " + target_text[:2000])),
+        ).otherwise(F.col("text")),
+    )
+    after = {
+        r.doc_id: r.score
+        for r in dsir_score(edited, ratio)
+        .filter(F.col("source") == probe_src)
+        .collect()
+    }
+    common = set(base) & set(after)
+    assert len(common) >= 20
+    raised = sum(1 for d in common if after[d] > base[d])
+    assert raised >= 0.9 * len(common), (raised, len(common))
+
+
 def test_dsir_deterministic(spark):
     docs = load_table(spark, SF, "documents")
     a = sorted(map(tuple, dsir_importance(docs).collect()))
