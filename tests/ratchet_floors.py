@@ -1,0 +1,83 @@
+"""Ratchet bench floors DOWN from a clean-host run.
+
+Usage: python tests/ratchet_floors.py [bench_out.json]
+
+Reads the bench output (default: repo bench_out.json), refuses unless the
+run is floor-eligible — agg_ratio green (<= 1.25), zero regressions, and
+effective_cores >= 80% of nominal (a starved-host run would bake the
+co-tenant's tax into the floors) — then rewrites bench_baseline.json:
+
+- existing floors: min(committed, this run)  (floors only ratchet down)
+- queries benched for the first time: floor = this run's warm time
+- never deletes a floor (a query dropped from EXTRA keeps its history;
+  bench.py's missing-query gate decides what absence means)
+
+Prints one line per change and a summary; appends a provenance note to
+the baseline's extra_source field.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "bench_out.json")
+    base_path = os.path.join(REPO, "bench_baseline.json")
+    run = json.load(open(out_path))
+    base = json.load(open(base_path))
+
+    n_cpu = os.cpu_count() or 1
+    agg = run.get("agg_ratio")
+    eff = run.get("effective_cores")
+    if run.get("regressions"):
+        print(f"REFUSE: run has regressions: {run['regressions']}")
+        return 1
+    if agg is not None and agg > 1.25:
+        print(f"REFUSE: agg_ratio {agg} > 1.25 — not a green run")
+        return 1
+    if eff is not None and eff < 0.8 * n_cpu:
+        print(f"REFUSE: effective_cores {eff} < 80% of {n_cpu} — starved host")
+        return 1
+    if run.get("sf") != base.get("sf"):
+        print(f"REFUSE: run sf {run.get('sf')} != baseline sf {base.get('sf')}")
+        return 1
+
+    changes = []
+    for section_run, section_base in (
+        ("queries_warm", "warm"),
+        ("queries_extra_warm", "extra_warm"),
+    ):
+        got = run.get(section_run) or {}
+        floors = base.setdefault(section_base, {})
+        for name, t in sorted(got.items()):
+            old = floors.get(name)
+            if old is None:
+                floors[name] = round(t, 3)
+                changes.append(f"  + {section_base}.{name}: new floor {t:.3f}")
+            elif t < old:
+                floors[name] = round(t, 3)
+                changes.append(f"  v {section_base}.{name}: {old:.3f} -> {t:.3f}")
+
+    if not changes:
+        print("no floors to ratchet (run >= committed floors everywhere)")
+        return 0
+    note = (
+        f" Round-9 ratchet script run (agg_ratio {agg}, effective_cores {eff}):"
+        f" {len(changes)} floor(s) lowered/added."
+    )
+    base["extra_source"] = base.get("extra_source", "") + note
+    with open(base_path, "w") as f:
+        json.dump(base, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print("\n".join(changes))
+    print(f"ratcheted {len(changes)} floors; baseline updated")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
