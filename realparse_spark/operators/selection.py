@@ -89,8 +89,11 @@ def dsir_importance(
     log-ratio table and the 1-row totals broadcast; the score is one
     groupBy(doc_id).  Documents whose bigrams are all out-of-vocabulary
     (or that have <2 tokens) carry no evidence either way and are
-    omitted — deterministic in both engines."""
-    return dsir_score(docs, dsir_fit(docs, target_source, top_k))
+    omitted — deterministic in both engines.  Self-fit shares ONE
+    materialized tf table between the fit and the score (the explode
+    subtree would otherwise re-evaluate per consumer)."""
+    tf = _bigram_tf(docs).localCheckpoint(eager=False)
+    return _score_tf(tf, _fit_tf(tf, target_source, top_k))
 
 
 def _bigram_tf(docs: DataFrame) -> DataFrame:
@@ -112,7 +115,10 @@ def dsir_fit(
 ) -> DataFrame:
     """(bg, llr): the smoothed target-vs-raw log-ratio over the top-K
     shared vocabulary — the frozen scorer table."""
-    tf = _bigram_tf(docs)
+    return _fit_tf(_bigram_tf(docs), target_source, top_k)
+
+
+def _fit_tf(tf: DataFrame, target_source: str, top_k: int) -> DataFrame:
     is_t = F.col("source") == target_source
     vocab = tf.groupBy("bg").agg(
         F.sum(F.when(is_t, F.col("tf")).otherwise(0)).cast("bigint").alias("cnt_t"),
@@ -137,9 +143,12 @@ def dsir_fit(
 def dsir_score(docs: DataFrame, ratio: DataFrame) -> DataFrame:
     """Apply a fitted (bg, llr) ratio table to a corpus: per-doc average
     llr over in-vocabulary bigram occurrences, rounded to 6."""
+    return _score_tf(_bigram_tf(docs), ratio)
+
+
+def _score_tf(tf: DataFrame, ratio: DataFrame) -> DataFrame:
     return (
-        _bigram_tf(docs)
-        .join(F.broadcast(ratio), "bg")
+        tf.join(F.broadcast(ratio), "bg")
         .groupBy("doc_id", "source")
         .agg(
             F.sum("tf").cast("bigint").alias("n_feats"),
