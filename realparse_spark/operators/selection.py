@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realparse_spark.operators.distrank import rank_distributed
-from realparse_spark.operators.text import ws_tokens
+from realparse_spark.operators.text import bigram_array
 from realparse_spark.sources.tables import fan_out, load_table
 
 # ---------------------------------------------------------------------------
@@ -41,21 +41,6 @@ from realparse_spark.sources.tables import fan_out, load_table
 
 DSIR_TOP_K = 2000
 DSIR_TARGET_SOURCE = "src0"
-
-
-def _bigram_array(text_col):
-    """Consecutive word-bigram array — the bigram_logprob convention
-    (text.py): whitespace tokens joined by a single space."""
-    toks = ws_tokens(text_col)
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def dsir_importance(
@@ -101,7 +86,7 @@ def _bigram_tf(docs: DataFrame) -> DataFrame:
         docs.select(
             "doc_id",
             "source",
-            F.explode(_bigram_array(F.col("text"))).alias("bg"),
+            F.explode(bigram_array(F.col("text"))).alias("bg"),
         )
         .groupBy("doc_id", "source", "bg")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -256,6 +241,45 @@ def _assign_and_score(emb: DataFrame) -> DataFrame:
     )
 
 
+def semdedup_pairs(scored: DataFrame, tau: float) -> DataFrame:
+    """(cluster_id, vec_a, vec_b, loser) near-dup pairs over a
+    (vec_id, cluster_id, u, cent_cos) table from `_assign_and_score`.
+    The loser is the member CLOSER to the centroid (higher cent_cos) —
+    SemDeDup keeps the informative extremes; a cent_cos tie drops vec_b,
+    which is always the higher vec_id under the vec_a < vec_b pair
+    orientation.  Exposed so tests can assert loser IDENTITY, not just
+    counts."""
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    a = scored.select(
+        F.col("vec_id").alias("vec_a"),
+        "cluster_id",
+        F.col("u").alias("ua"),
+        F.col("cent_cos").alias("cc_a"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("vec_b"),
+        "cluster_id",
+        F.col("u").alias("ub"),
+        F.col("cent_cos").alias("cc_b"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(dot(F.col("ua"), F.col("ub")), 4))
+        .filter(F.col("cos") >= tau)
+        .select(
+            "cluster_id",
+            "vec_a",
+            "vec_b",
+            F.when(F.col("cc_a") > F.col("cc_b"), F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("loser"),
+        )
+    )
+
+
 def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     """SemDeDup over an embedding table: (1) centroids from the coarse
     `label` prior (exact-decimal mean per dimension — the emb_centroids
@@ -282,41 +306,7 @@ def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     # the base counts (the rank_distributed discipline, distrank.py:73):
     # without it the crossJoin+argmin assignment re-evaluates per consumer
     scored = _assign_and_score(emb).localCheckpoint(eager=False)
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    a = scored.select(
-        F.col("vec_id").alias("vec_a"),
-        "cluster_id",
-        F.col("u").alias("ua"),
-        F.col("cent_cos").alias("cc_a"),
-    )
-    b = scored.select(
-        F.col("vec_id").alias("vec_b"),
-        "cluster_id",
-        F.col("u").alias("ub"),
-        F.col("cent_cos").alias("cc_b"),
-    )
-    pairs = (
-        a.join(b, "cluster_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(dot(F.col("ua"), F.col("ub")), 4))
-        .filter(F.col("cos") >= tau)
-        .select(
-            "cluster_id",
-            "vec_a",
-            "vec_b",
-            # drop the member CLOSER to the centroid (higher cent_cos);
-            # ties drop the higher vec_id
-            F.when(
-                (F.col("cc_a") > F.col("cc_b"))
-                | ((F.col("cc_a") == F.col("cc_b")) & (F.col("vec_a") > F.col("vec_b"))),
-                F.col("vec_a"),
-            )
-            .otherwise(F.col("vec_b"))
-            .alias("loser"),
-        )
-    )
+    pairs = semdedup_pairs(scored, tau)
     base = scored.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")
     )
@@ -381,10 +371,10 @@ scored AS (
   FROM assigned
 ),
 pairs AS (
+  -- loser = member closer to the centroid; a tie drops b.vec_id, the
+  -- higher id under the a.vec_id < b.vec_id orientation
   SELECT a.cluster_id,
-    CASE WHEN (a.cent_cos > b.cent_cos)
-           OR (a.cent_cos = b.cent_cos AND a.vec_id > b.vec_id)
-         THEN a.vec_id ELSE b.vec_id END AS loser
+    CASE WHEN a.cent_cos > b.cent_cos THEN a.vec_id ELSE b.vec_id END AS loser
   FROM scored a JOIN scored b
     ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
   WHERE round(list_aggregate(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]), 'sum'), 4) >= {SEMDEDUP_TAU}

@@ -497,6 +497,24 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def bigram_array(text_col: Column) -> Column:
+    """Consecutive word-bigram array — the SHARED bigram identity
+    convention (whitespace tokens joined by a single space; tokens are
+    whitespace-free by construction so 'w1 w2' is unambiguous).  Used by
+    `bigram_logprob` here and DSIR in selection.py — one definition so
+    the LM features and the importance features cannot drift apart."""
+    toks = ws_tokens(text_col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bigram_logprob(docs: DataFrame) -> DataFrame:
     """Corpus-self-scored bigram LM quality metric: per document, the
     mean log of p(w2|w1) = count(w1 w2) / count(w1 ·) under the corpus's
@@ -511,20 +529,8 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     the explode).  Four key-partitioned shuffles, nothing quadratic."""
     from pyspark.sql import Window
 
-    toks = ws_tokens(F.col("text"))
-    # NON-distinct consecutive pairs; token strings are whitespace-free by
-    # construction, so "w1 w2" is an unambiguous pair identity
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     tf = (
-        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        docs.select("doc_id", F.explode(bigram_array(F.col("text"))).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -1,11 +1,14 @@
 """Ratchet bench floors DOWN from a clean-host run.
 
-Usage: python tests/ratchet_floors.py [bench_out.json]
+Usage: python tests/ratchet_floors.py [BENCH_DETAIL.json]
 
-Reads the bench output (default: repo bench_out.json), refuses unless the
-run is floor-eligible — agg_ratio green (<= 1.25), zero regressions, and
+Reads the bench DETAIL output (default: repo BENCH_DETAIL.json — the
+stdout summary/bench_out.json lacks `queries_extra_warm`, so extra floors
+could never ratchet from it), refuses unless the run is PROVABLY
+floor-eligible — agg_ratio green (<= 1.25), zero regressions, and
 effective_cores >= 80% of nominal (a starved-host run would bake the
-co-tenant's tax into the floors) — then rewrites bench_baseline.json:
+co-tenant's tax into the floors); a run MISSING any of those fields is
+refused too, never waved through — then rewrites bench_baseline.json:
 
 - existing floors: min(committed, this run)  (floors only ratchet down)
 - queries benched for the first time: floor = this run's warm time
@@ -26,21 +29,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "bench_out.json")
+    out_path = (
+        sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_DETAIL.json")
+    )
     base_path = os.path.join(REPO, "bench_baseline.json")
     run = json.load(open(out_path))
     base = json.load(open(base_path))
 
     n_cpu = os.cpu_count() or 1
-    agg = run.get("agg_ratio")
-    eff = run.get("effective_cores")
-    if run.get("regressions"):
+    # absent evidence is refused, not waved through: a run that can't
+    # show its agg_ratio / probe / regressions list is not floor-eligible
+    for field in ("agg_ratio", "effective_cores", "regressions"):
+        if field not in run or run[field] is None:
+            print(f"REFUSE: run lacks {field} — not a gate-evaluated capture")
+            return 1
+    if "queries_extra_warm" not in run:
+        print("REFUSE: no queries_extra_warm — pass BENCH_DETAIL.json, not the summary")
+        return 1
+    agg = run["agg_ratio"]
+    eff = run["effective_cores"]
+    if run["regressions"]:
         print(f"REFUSE: run has regressions: {run['regressions']}")
         return 1
-    if agg is not None and agg > 1.25:
+    if agg > 1.25:
         print(f"REFUSE: agg_ratio {agg} > 1.25 — not a green run")
         return 1
-    if eff is not None and eff < 0.8 * n_cpu:
+    if eff < 0.8 * n_cpu:
         print(f"REFUSE: effective_cores {eff} < 80% of {n_cpu} — starved host")
         return 1
     if run.get("sf") != base.get("sf"):

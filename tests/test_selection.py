@@ -95,11 +95,16 @@ def test_semdedup_counts_consistent(spark):
 
 
 def test_semdedup_keep_rule_planted(spark):
-    """Planted near-identical pair: the member closer to the cluster
-    centroid is dropped, the farther one kept (SemDeDup's keep rule).
-    Vectors 1/2 are near-duplicates pointing along +x with different
-    magnitude-irrelevant direction tweaks; vector 3 anchors the centroid
-    so vec 2 (closer to centroid) must lose."""
+    """Planted near-identical pair: the member CLOSER to the cluster
+    centroid must be the one dropped, the farther one kept (SemDeDup's
+    keep-the-extremes rule) — asserted by LOSER IDENTITY via the
+    semdedup_pairs seam, not by counts (counts stay green under an
+    inverted rule)."""
+    from realparse_spark.operators.selection import (
+        _assign_and_score,
+        semdedup_pairs,
+    )
+
     rows = [
         (1, [1.0, 0.0, 0.0, 0.30], 0),
         (2, [1.0, 0.0, 0.0, 0.28], 0),  # near-dup of 1
@@ -110,12 +115,22 @@ def test_semdedup_keep_rule_planted(spark):
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
+    scored = _assign_and_score(emb)
+    cc = {r.vec_id: r.cent_cos for r in scored.collect()}
+    pairs = semdedup_pairs(scored, tau=0.99).collect()
+    assert pairs, "planted near-dups produced no pair"
+    for p in pairs:
+        expected = p.vec_a if cc[p.vec_a] > cc[p.vec_b] else p.vec_b
+        assert p.loser == expected, (p, cc[p.vec_a], cc[p.vec_b])
+        # and the kept member is at least as far from the centroid
+        kept = p.vec_b if p.loser == p.vec_a else p.vec_a
+        assert cc[kept] <= cc[p.loser]
+    # the aggregate view stays consistent with the pair-level drops
     out = {r.cluster_id: r for r in semdedup(emb, tau=0.99).collect()}
     c0 = out[0]
-    assert c0.n_vecs == 3
-    assert c0.n_dup_pairs >= 1
-    assert c0.n_dropped >= 1
-    assert c0.n_kept >= 1
+    losers = {p.loser for p in pairs if p.cluster_id == 0}
+    assert c0.n_dropped == len(losers)
+    assert c0.n_kept == c0.n_vecs - len(losers)
 
 
 def test_semdedup_tau_monotone(spark):
@@ -143,7 +158,7 @@ def test_ccnet_buckets_partition_each_source(spark):
             assert buckets["head"].min_lp >= buckets["tail"].max_lp, src
 
 
-def test_selection_plans_are_scale_clean(spark, queries=None):
+def test_selection_plans_are_scale_clean(spark):
     """Module-specific pins beyond the blanket gate: dsir's top-K is a
     TakeOrdered (no global sort of the vocabulary), and semdedup's
     centroid join broadcasts (never a shuffled nested loop)."""
