@@ -150,7 +150,9 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(fan_out(load_table(spark, sf_dir, "documents")))
 
 
-DSIR_IMPORTANCE_SQL = rf"""
+# shared CTE chain ending in `scored` — DSIR_IMPORTANCE_SQL selects it
+# directly; DSIR_RESAMPLE_SQL extends it with the Gumbel-key top-n
+_DSIR_SCORED_CTES = rf"""
 WITH tk AS (
   SELECT doc_id, source,
     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
@@ -179,13 +181,71 @@ ratio AS (
     ln(CAST((cnt_t + 1) * (r_tot + {DSIR_TOP_K}) AS DOUBLE)
        / ((cnt_r + 1) * (t_tot + {DSIR_TOP_K}))) AS llr
   FROM topk CROSS JOIN tot
+),
+scored AS (
+  SELECT tf.doc_id, tf.source,
+    CAST(sum(tf) AS BIGINT) AS n_feats,
+    round(sum(tf * llr) / sum(tf), 6) AS score
+  FROM tf JOIN ratio USING (bg)
+  GROUP BY tf.doc_id, tf.source
+)"""
+
+DSIR_IMPORTANCE_SQL = (
+    _DSIR_SCORED_CTES + "\nSELECT doc_id, source, n_feats, score FROM scored\n"
 )
-SELECT tf.doc_id, tf.source,
-  CAST(sum(tf) AS BIGINT) AS n_feats,
-  round(sum(tf * llr) / sum(tf), 6) AS score
-FROM tf JOIN ratio USING (bg)
-GROUP BY tf.doc_id, tf.source
+
+
+DSIR_RESAMPLE_N = 100
+
+
+def dsir_resample(scored: DataFrame, n: int = DSIR_RESAMPLE_N) -> DataFrame:
+    """The DSIR paper's third step: sample `n` documents WITHOUT
+    replacement with probability ∝ exp(score) via Gumbel-top-k (Vieira
+    2014; Kool et al. 2019, arXiv:1903.06059): key = score + Gumbel
+    noise, take the top-n keys.  The Gumbel draw is DETERMINISTIC — the
+    doc_split md5 discipline (pipeline_ops.py:34): u = (md5-bucket + 1)
+    / (2^32 + 1) ∈ (0,1), g = -ln(-ln(u)) — so reruns, retries and the
+    DuckDB oracle reproduce the identical sample (a pipeline re-entry
+    must not silently swap the training set).
+
+    Scale: one narrow projection over the scored table + TakeOrdered
+    per-partition heaps for the top-n — no global sort, no shuffle
+    beyond the final n-row gather."""
+    b = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (b + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    key = F.round(F.col("score") + -F.log(-F.log(u)), 6)
+    return (
+        scored.select("doc_id", "source", "score", key.alias("sel_key"))
+        .orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(n)
+    )
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return dsir_resample(dsir_importance(docs))
+
+
+DSIR_RESAMPLE_SQL = (
+    _DSIR_SCORED_CTES
+    + rf""",
+keyed AS (
+  SELECT doc_id, source, score,
+    round(score + -ln(-ln(
+      (CAST('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+      / 4294967297.0)), 6) AS sel_key
+  FROM scored
+)
+SELECT doc_id, source, score, sel_key
+FROM keyed ORDER BY sel_key DESC, doc_id LIMIT {DSIR_RESAMPLE_N}
 """
+)
 
 
 # ---------------------------------------------------------------------------
@@ -500,12 +560,14 @@ ORDER BY source, bucket
 
 QUERIES = {
     "dsir_importance": q_dsir_importance,
+    "dsir_resample": q_dsir_resample,
     "semdedup": q_semdedup,
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
 }
 
 ORACLES = {
     "dsir_importance": DSIR_IMPORTANCE_SQL,
+    "dsir_resample": DSIR_RESAMPLE_SQL,
     "semdedup": SEMDEDUP_SQL,
     "ccnet_ppl_buckets": CCNET_PPL_BUCKETS_SQL,
 }

@@ -70,9 +70,9 @@ _MODULES = (
 # Post-window additions register AFTER these 50 names; never-sampled
 # backlog stays <= one round's driver capacity (the rule that took the
 # backlog 60 -> 10 -> 7 -> 0 this round).  Round-9 growth: the selection
-# module (dsir_importance, semdedup, ccnet_ppl_buckets — all oracled,
-# tri-scale green in-repo) queues behind the window for the round-10
-# rotation, keeping the backlog at 3.
+# module (dsir_importance, dsir_resample, semdedup, ccnet_ppl_buckets —
+# all oracled, tri-scale green in-repo) queues behind the window for the
+# round-10 rotation, keeping the backlog at 4.
 _PRIORITY = (
     # --- (a) the r8 red row, re-earned first ---
     "clamped_balance",

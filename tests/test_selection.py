@@ -82,6 +82,37 @@ def test_dsir_deterministic(spark):
     assert a == b
 
 
+def test_dsir_resample_biased_and_deterministic(spark):
+    """Gumbel-top-k must (a) bias the sample toward high scores — the
+    sample's mean score exceeds the corpus mean — and (b) reproduce the
+    identical sample on re-run (deterministic md5 Gumbel draws)."""
+    from realparse_spark.operators.selection import dsir_importance, dsir_resample
+
+    docs = load_table(spark, SF, "documents")
+    scored = dsir_importance(docs)
+    s1 = dsir_resample(scored, n=100).collect()
+    s2 = dsir_resample(scored, n=100).collect()
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
+    # exp(score) weighting must not collapse to argmax: the sample is
+    # stochastic-shaped, so it cannot be exactly the top-100 by score
+    top100 = {
+        r.doc_id
+        for r in scored.orderBy(F.col("score").desc(), "doc_id").limit(100).collect()
+    }
+    assert {r.doc_id for r in s1} != top100
+    # bias mechanism, on controlled scores (the fixture's ~0.45 score
+    # spread is below the Gumbel sigma ~1.28, so realized tilt there is
+    # legitimately ~0): docs at score 3 carry e^3 ~ 20x the weight of
+    # docs at score 0 and must dominate the sample
+    synth = spark.createDataFrame(
+        [(i, "hi" if i < 200 else "lo", 3.0 if i < 200 else 0.0) for i in range(500)],
+        "doc_id long, source string, score double",
+    )
+    picked = dsir_resample(synth, n=100).collect()
+    n_hi = sum(1 for r in picked if r.source == "hi")
+    assert n_hi >= 80, n_hi
+
+
 def test_semdedup_counts_consistent(spark):
     """n_dropped <= n_dup_pairs (each pair names one loser), n_kept +
     n_dropped == n_vecs, and every vector lands in exactly one cluster."""
