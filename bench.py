@@ -175,6 +175,10 @@ EXTRA = [
     "dsir_importance",      # target-vs-raw log-ratio importance weights
     "semdedup",             # cluster-blocked semantic dedup audit
     "ccnet_ppl_buckets",    # per-source LM-score tertile split
+    "doc_dup_spans",        # ExactSubstr dup-span report (gram join + islands)
+    "dup_span_profile",     # per-source duplicated-text rollup
+    "bpe_train",            # 8 BPE merges (iterate-over-aggregates loop)
+    "mannwhitney_u",        # tie-corrected rank test (distributed avg ranks)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

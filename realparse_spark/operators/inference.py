@@ -679,6 +679,115 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-based two-sample test)
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_u(
+    events: DataFrame, group_a: str = "purchase", group_b: str = "click"
+) -> DataFrame:
+    """Tie-corrected Mann-Whitney U test comparing ``value`` between two
+    event types — the nonparametric complement to `ab_test`'s two-
+    proportion z (means can mislead on the heavy-tailed metrics event
+    streams carry; rank tests don't).
+
+    Distributed shape: global average ranks WITHOUT a global window —
+    `rank_distributed` assigns unique row numbers over (value, event_id)
+    (two bounded shuffles, no single-partition sort), and because a tie
+    block's row numbers are contiguous regardless of tie-break,
+    ``min(rn)+max(rn)`` over the value-partitioned window is exactly
+    twice the average rank — integer arithmetic end to end, so Spark and
+    DuckDB agree bit-for-bit.  Tie correction sum(t³−t) is one groupBy.
+    The only doubles are the final closed-form z (identical expression
+    order in the oracle).  At petabyte row counts the n₁·n₂ products
+    exceed int64 — the production variant computes the z in DOUBLE from
+    the start (one rounding per factor); exact bigint is kept here
+    because it is strictly stronger at test scale."""
+    ev = events.filter(F.col("event_type").isin(group_a, group_b)).select(
+        "event_id",
+        "value",
+        (F.col("event_type") == group_a).cast("long").alias("is_a"),
+    )
+    from realparse_spark.operators.distrank import rank_distributed
+
+    ranked = rank_distributed(ev, ["value", "event_id"], rank_col="rn")
+    w_val = Window.partitionBy("value")
+    r2 = ranked.withColumn(
+        "rn2", (F.min("rn").over(w_val) + F.max("rn").over(w_val)).cast("long")
+    )
+    ties = (
+        ranked.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    s = r2.agg(
+        F.sum("is_a").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("rn2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("r1_twice"),
+    )
+    j = s.crossJoin(ties)  # 1-row × 1-row scalar join
+    n = F.col("n1") + F.col("n2")
+    u1 = (F.col("r1_twice") - F.col("n1") * (F.col("n1") + 1)) / F.lit(2.0)
+    mu = F.col("n1") * F.col("n2") / F.lit(2.0)
+    var = (F.col("n1") * F.col("n2") / F.lit(12.0)) * (
+        (n + 1).cast("double") - F.col("tsum") / (n * (n - 1)).cast("double")
+    )
+    return j.select(
+        "n1",
+        "n2",
+        u1.alias("u_stat"),
+        F.round((u1 - mu) / F.sqrt(var), 4).alias("z_score"),
+    )
+
+
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mann_whitney_u(fan_out(load_table(spark, sf_dir, "events")))
+
+
+MANNWHITNEY_U_SQL = """
+WITH ev AS (
+  SELECT event_id, value,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+ranked AS (
+  SELECT is_a, value, row_number() OVER (ORDER BY value, event_id) AS rn
+  FROM ev
+),
+r2 AS (
+  SELECT is_a,
+    CAST(min(rn) OVER (PARTITION BY value)
+       + max(rn) OVER (PARTITION BY value) AS BIGINT) AS rn2
+  FROM ranked
+),
+ties AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+  FROM (SELECT count(*) AS t FROM ev GROUP BY value)
+),
+s AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS n1,
+         CAST(count(*) - sum(is_a) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN is_a = 1 THEN rn2 ELSE 0 END) AS BIGINT) AS r1_twice
+  FROM r2
+)
+SELECT n1, n2,
+  (r1_twice - n1 * (n1 + 1)) / 2.0 AS u_stat,
+  round(((r1_twice - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+        / sqrt((n1 * n2 / 12.0)
+               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                  - tsum / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 4)
+    AS z_score
+FROM s, ties
+"""
+
+
 QUERIES = {
     "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
     "ab_test": q_ab_test,
@@ -686,6 +795,7 @@ QUERIES = {
     "linear_attribution": q_linear_attribution,
     "seasonal_dow": q_seasonal_dow,
     "error_budget": q_error_budget,
+    "mannwhitney_u": q_mannwhitney_u,
 }
 ORACLES = {
     "poisson_bootstrap_ci": _poisson_bootstrap_sql(),
@@ -694,4 +804,5 @@ ORACLES = {
     "linear_attribution": LINEAR_ATTRIBUTION_SQL,
     "seasonal_dow": SEASONAL_DOW_SQL,
     "error_budget": ERROR_BUDGET_SQL,
+    "mannwhitney_u": MANNWHITNEY_U_SQL,
 }

@@ -1,0 +1,343 @@
+"""Exact duplicate-SPAN analysis and subword (BPE) tokenizer training.
+
+Extends the dedup family (document-level: `dedup.py`) down to the
+sub-document level a pretraining pipeline needs:
+
+- ``dup_span_report`` / ``dup_span_profile`` — the ExactSubstr shape of
+  Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  Better", arXiv:2107.06499): find every word k-gram that occurs >= 2
+  times ANYWHERE in the corpus (across documents or repeated inside
+  one), then merge overlapping/adjacent hits into maximal duplicated
+  spans per document.  The reference repo's content filters operate on
+  whole lines (`real_parse.pl:117-129`); this is the corpus-curation
+  generalization: a span report is what decides whether to drop a
+  document, clip the span, or keep it.
+- ``bpe_train`` — byte-pair-encoding merge training (Sennrich et al.
+  2016) as a driver-loop over Spark aggregates: the per-iteration pair
+  count is the distributed part, the argmax/merge bookkeeping is O(1)
+  driver state per step (the `pagerank_parts` iterate-over-aggregates
+  discipline).  One step of this loop is the already-oracled
+  `bpe_pair_counts` (text.py:1149).
+
+Scale design (100 TB): the gram inverted count is ONE map-side-combined
+groupBy on a compact md5 key; the duplicate-flag join back to positions
+is LINEAR in gram occurrences (never pairwise — we need positions, not
+pairs); ultra-hot boilerplate grams make a skewed join key, which AQE
+skew-join splitting handles (the flag side is tiny per key: just the
+key itself).  The island merge windows are partitioned BY DOCUMENT, so
+no task ever sees more rows than one document's gram count.  BPE
+collapses the corpus to the distinct-word table first — the Zipf head
+makes every subsequent iteration O(vocab), independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realparse_spark.operators.text import ws_tokens
+from realparse_spark.sources.tables import load_table
+
+SPAN_K = 8  # words per gram: long enough that English text rarely collides
+
+# ---------------------------------------------------------------------------
+# duplicate spans (ExactSubstr shape)
+# ---------------------------------------------------------------------------
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        "doc_id", "source", ws_tokens(F.lower(F.col(text_col))).alias("tk")
+    )
+
+
+def _dup_gram_hits(base: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) of every k-gram occurrence whose gram appears >= 2
+    times corpus-wide.  Positions are 0-based token offsets."""
+    # md5 of the joined gram: a compact, engine-portable join key — the
+    # shuffle moves 32-byte digests, never k-word strings
+    grams_arr = F.when(
+        F.size("tk") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - k),
+            lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("doc_id", F.posexplode(grams_arr).alias("pos", "gkey"))
+    dup = (
+        grams.groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("gkey")
+    )
+    # linear in occurrences: grams ⋉ dup-keys; hot boilerplate keys are
+    # split by AQE skew-join (the dup side carries one row per key)
+    return grams.join(dup, "gkey").select("doc_id", "pos")
+
+
+def _merged_spans(hits: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of [pos, pos+k) hit intervals per document:
+    overlapping OR adjacent hits fuse into one maximal duplicated span.
+    All-integer arithmetic; windows are doc-partitioned (bounded by the
+    longest single document, never the corpus)."""
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = hits.withColumn(
+        "new_isl",
+        (
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + k).over(w_prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("island", F.sum("new_isl").over(w_run))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k).alias("e")
+    )
+
+
+def dup_span_report(
+    docs: DataFrame, k: int = SPAN_K, text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-span report: how many maximal duplicated
+    spans each document carries, how many tokens they cover, and the
+    duplicated fraction — the table an ExactSubstr-style cleaner (clip
+    spans / drop docs over a threshold) consumes."""
+    base = _doc_tokens(docs, text_col)
+    spans = _merged_spans(_dup_gram_hits(base, k), k)
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_tokens"),
+    )
+    ntok = base.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens"))
+    return (
+        perdoc.join(ntok, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_span_profile(
+    docs: DataFrame, k: int = SPAN_K, text_col: str = "text"
+) -> DataFrame:
+    """Per-source rollup of the span report: which sources are flooding
+    the corpus with repeated text — the drift metric a curation pipeline
+    tracks per crawl snapshot."""
+    base = _doc_tokens(docs, text_col)
+    spans = _merged_spans(_dup_gram_hits(base, k), k)
+    perdoc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_tokens")
+    )
+    per_source = base.join(perdoc, "doc_id", "left").select(
+        "source",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+    )
+    return (
+        per_source.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("dup_tokens") > 0).cast("long")).alias("docs_hit"),
+            F.sum("dup_tokens").alias("dup_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("dup_tokens") / F.sum("n_tokens"), 4).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realparse_spark.sources.tables import fan_out
+
+    # fan_out: the gram explode is the heavy stage and single-row-group
+    # fixtures would serialize it into one task
+    return dup_span_report(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realparse_spark.sources.tables import fan_out
+
+    return dup_span_profile(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+_SPAN_GRAMS_CTE = rf"""
+toks AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    unnest(range(1, greatest(len(tk) - {SPAN_K}, -1) + 2)) - 1 AS pos,
+    unnest(list_transform(range(1, greatest(len(tk) - {SPAN_K}, -1) + 2),
+           i -> md5(array_to_string(tk[i:i+{SPAN_K - 1}], ' ')))) AS gkey
+  FROM toks
+),
+dup AS (SELECT gkey FROM grams GROUP BY gkey HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gkey)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + {SPAN_K}) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos, sum(new_isl) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_K} AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)"""
+
+DOC_DUP_SPANS_SQL = rf"""
+WITH {_SPAN_GRAMS_CTE}
+SELECT p.doc_id, p.n_spans, p.dup_tokens,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       round(p.dup_tokens / CAST(len(t.tk) AS BIGINT), 4) AS dup_frac
+FROM perdoc p JOIN toks t USING (doc_id)
+ORDER BY doc_id
+"""
+
+DUP_SPAN_PROFILE_SQL = rf"""
+WITH {_SPAN_GRAMS_CTE}
+SELECT t.source,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN coalesce(p.dup_tokens, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_hit,
+  CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+  CAST(sum(len(t.tk)) AS BIGINT) AS total_tokens,
+  round(sum(coalesce(p.dup_tokens, 0)) / sum(len(t.tk)), 4) AS dup_frac
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (iterative)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Train the first ``n_merges`` BPE merges over the corpus vocabulary
+    (Sennrich et al. 2016, arXiv:1508.07909): start from characters,
+    repeatedly count adjacent symbol pairs weighted by word frequency,
+    merge the most frequent pair (ties broken lexicographically), and
+    apply the merge greedily left-to-right inside every word.
+
+    Returns the merge table ``(step, left, right, pair_freq)`` —
+    deterministic given the corpus.  Iterative, hence no SQL oracle; the
+    pure-Python reference parity test is tests/test_spans.py.
+
+    Scale: the corpus collapses ONCE to the distinct-word table (map-side
+    combined groupBy); every iteration then runs over O(vocab) rows — a
+    pair explode bounded by word length, one aggregation, a TakeOrdered(1)
+    argmax (single-row collect, the `pagerank_parts` discipline), and the
+    merge applied as a pure fold expression (zero Python row work).
+    localCheckpoint per step cuts the growing lineage.  Production merge
+    counts (30k+) batch several non-overlapping merges per round instead
+    of one — same plan per round, fewer rounds."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    syms = words.select(
+        "wc",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = syms.filter(F.size("syms") >= 2).select(
+            "wc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, freq = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((step, left, right, freq))
+        merged = left + right
+        # greedy left-to-right merge as a fold: keep appending symbols,
+        # but when the running tail is `left` and the next symbol is
+        # `right`, replace the tail with the merged symbol.  Replacing
+        # the TAIL reproduces greedy pairing exactly (e.g. merging (a,a)
+        # over "aaaa" yields [aa, aa], not [aa, a, a]).
+        syms = syms.withColumn(
+            "syms",
+            F.aggregate(
+                F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+                F.slice(F.col("syms"), 1, 1),
+                lambda acc, x: F.when(
+                    (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, schema="step int, left string, right string, pair_freq bigint"
+    )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realparse_spark.sources.tables import fan_out
+
+    return bpe_train(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+QUERIES = {
+    "doc_dup_spans": q_doc_dup_spans,
+    "dup_span_profile": q_dup_span_profile,
+    "bpe_train": q_bpe_train,  # iterative — rows-only, Python-parity gated
+}
+ORACLES = {
+    "doc_dup_spans": DOC_DUP_SPANS_SQL,
+    "dup_span_profile": DUP_SPAN_PROFILE_SQL,
+}

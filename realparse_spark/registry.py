@@ -37,6 +37,7 @@ _MODULES = (
     "realparse_spark.operators.layout",
     "realparse_spark.operators.corpus_quality",
     "realparse_spark.operators.selection",
+    "realparse_spark.operators.spans",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so
@@ -71,8 +72,11 @@ _MODULES = (
 # backlog stays <= one round's driver capacity (the rule that took the
 # backlog 60 -> 10 -> 7 -> 0 this round).  Round-9 growth: the selection
 # module (dsir_importance, dsir_resample, semdedup, ccnet_ppl_buckets —
-# all oracled, tri-scale green in-repo) queues behind the window for the
-# round-10 rotation, keeping the backlog at 4.
+# all oracled, tri-scale green in-repo), the spans module (doc_dup_spans,
+# dup_span_profile — oracled; bpe_train — iterative, rows-only,
+# Python-parity gated) and inference's mannwhitney_u (oracled) queue
+# behind the window for the round-10 rotation: backlog 8, well under one
+# round's 50-row capacity.
 _PRIORITY = (
     # --- (a) the r8 red row, re-earned first ---
     "clamped_balance",
