@@ -179,6 +179,7 @@ EXTRA = [
     "dup_span_profile",     # per-source duplicated-text rollup
     "bpe_train",            # 8 BPE merges (iterate-over-aggregates loop)
     "mannwhitney_u",        # tie-corrected rank test (distributed avg ranks)
+    "theil_sen_trend",      # slope-median robust trend over the daily rollup
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

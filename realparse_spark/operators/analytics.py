@@ -726,6 +726,104 @@ ORDER BY event_type
 """
 
 
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Per-type Theil-Sen trend: the MEDIAN of all pairwise daily slopes —
+    the robust complement to `trend_slopes`' least squares (one corrupt
+    day moves an OLS slope arbitrarily; it moves the slope median not at
+    all).  Sen (1968) / Theil (1950).
+
+    Scale shape: the corpus first collapses to the per-(type, day) daily
+    rollup — O(types x days), bounded by CALENDAR TIME, not data volume —
+    so the quadratic pair stage runs over a dimension-sized table: the
+    rollup is broadcast against itself (BroadcastHashJoin on type, never
+    a shuffled self-join), and the median window partitions by type over
+    O(days^2) rows.  Daily sums accumulate in exact DECIMAL (associative
+    — the `trend_slopes` discipline); each slope becomes DOUBLE via one
+    cast per endpoint, and the median picks order statistics by
+    row_number — no percentile interpolation for engines to disagree
+    on."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("s").alias("s1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("s").alias("s2")
+    )
+    slope = (
+        F.col("s2").cast("double") - F.col("s1").cast("double")
+    ) / F.datediff("d2", "d1").cast("double")
+    pairs = (
+        a.join(F.broadcast(b), "event_type")
+        .filter(F.col("d2") > F.col("d1"))
+        .select("event_type", slope.alias("slope"), "d1", "d2")
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    r = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    # median = the ((cnt+1) div 2)-th and ((cnt+2) div 2)-th order stats
+    # (identical when cnt is odd); avg of <= 2 doubles is engine-stable
+    med = (
+        r.filter(
+            (F.col("rn") == F.expr("(cnt + 1) div 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("cnt").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("ts_slope_per_day"),
+        )
+    )
+    ndays = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        med.join(ndays, "event_type")
+        .select("event_type", "n_days", "n_pairs", "ts_slope_per_day")
+        .orderBy("event_type")
+    )
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theil_sen_trend(load_table(spark, sf_dir, "events"))
+
+
+THEIL_SEN_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         sum(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pairs AS (
+  SELECT a.event_type,
+    (CAST(b.s AS DOUBLE) - CAST(a.s AS DOUBLE))
+      / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope,
+    a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b USING (event_type)
+  WHERE b.d > a.d
+),
+r AS (
+  SELECT event_type, slope,
+    row_number() OVER (PARTITION BY event_type ORDER BY slope, d1, d2) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM pairs
+),
+med AS (
+  SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_pairs,
+         round(avg(slope), 6) AS ts_slope_per_day
+  FROM r
+  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+  GROUP BY event_type
+),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY event_type)
+SELECT m.event_type, nd.n_days, m.n_pairs, m.ts_slope_per_day
+FROM med m JOIN nd USING (event_type)
+ORDER BY m.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # time-series gap filling: dense hour grid + forward fill
 # ---------------------------------------------------------------------------
@@ -2630,6 +2728,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "rollup_merge": q_rollup_merge,
     "trend_slopes": q_trend_slopes,
+    "theil_sen_trend": q_theil_sen_trend,
     "gap_fill": q_gap_fill,
     "event_zscore": q_event_zscore,
     "q3_shipping_priority": q_q3_shipping_priority,
@@ -2667,6 +2766,7 @@ ORACLES = {
     "daily_new_users": DAILY_NEW_USERS_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
     "trend_slopes": TREND_SLOPES_SQL,
+    "theil_sen_trend": THEIL_SEN_TREND_SQL,
     "gap_fill": GAP_FILL_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,

@@ -507,3 +507,55 @@ def test_daily_autocorr_matches_numpy(spark):
         assert n_pairs == len(xs)
         want = float(np.corrcoef(xs, ys)[0, 1])
         assert abs(acf - want) < 1e-5, (lag, acf, want)
+
+
+def test_theil_sen_robust_to_outlier_day(spark):
+    """The estimator's reason to exist: corrupt ONE day of a clean linear
+    series and the slope median must not move (OLS demonstrably does)."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.analytics import theil_sen_trend, trend_slopes
+
+    clean = [("t", f"2024-01-{d:02d} 00:00:00", float(d)) for d in range(1, 16)]
+    # corrupt a day near the END of the range (an outlier at the center
+    # x-bar would leave even OLS untouched — zero leverage)
+    corrupt = [r if r[1][8:10] != "14" else (r[0], r[1], 1000.0) for r in clean]
+
+    def run(rows):
+        ev = spark.createDataFrame(
+            rows, "event_type string, ts string, value double"
+        ).select("event_type", F.to_timestamp("ts").alias("ts"), "value")
+        ts = theil_sen_trend(ev).collect()[0]
+        ols = trend_slopes(ev).collect()[0]
+        return ts, ols
+
+    ts_clean, ols_clean = run(clean)
+    ts_bad, ols_bad = run(corrupt)
+    assert ts_clean.ts_slope_per_day == 1.0
+    assert ts_bad.ts_slope_per_day == 1.0  # median unmoved by the outlier
+    # per-second OLS on the same corruption moves by orders of magnitude
+    assert abs(ols_bad.slope_per_sec) > 5 * abs(ols_clean.slope_per_sec)
+    assert ts_clean.n_days == 15 and ts_clean.n_pairs == 105
+
+
+def test_theil_sen_even_pair_count_median(spark):
+    """Even n_pairs: the median must average the two middle order stats
+    (2 days -> 1 pair; 3 days -> 3 pairs; 4 days -> 6 pairs, even)."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.analytics import theil_sen_trend
+
+    # days 1,2,3,5 with values 1,2,3,9: slopes [1, 1, 2, 1, 7/3, 3] ->
+    # sorted [1, 1, 1, 2, 7/3, 3], median = (1+2)/2 = 1.5
+    rows = [
+        ("t", "2024-01-01 00:00:00", 1.0),
+        ("t", "2024-01-02 00:00:00", 2.0),
+        ("t", "2024-01-03 00:00:00", 3.0),
+        ("t", "2024-01-05 00:00:00", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).select("event_type", F.to_timestamp("ts").alias("ts"), "value")
+    r = theil_sen_trend(ev).collect()[0]
+    assert r.n_pairs == 6
+    assert r.ts_slope_per_day == 1.5
