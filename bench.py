@@ -180,6 +180,7 @@ EXTRA = [
     "bpe_train",            # 8 BPE merges (iterate-over-aggregates loop)
     "mannwhitney_u",        # tie-corrected rank test (distributed avg ranks)
     "theil_sen_trend",      # slope-median robust trend over the daily rollup
+    "quality_filter_report",  # C4/Gopher rule ensemble (scan-speed features)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

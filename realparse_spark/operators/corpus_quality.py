@@ -534,12 +534,163 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# rule-ensemble quality filter (C4 / Gopher style)
+# ---------------------------------------------------------------------------
+
+# Published-pipeline-shaped defaults, calibrated down to the fixture's
+# range (Gopher uses 50-100k tokens and 0.2-0.6 repetition caps on web
+# text; the synthetic corpus runs 10-99 tokens).  All are parameters of
+# quality_filter_report — a deployment sets its own.
+FILTER_MIN_TOKENS = 25
+FILTER_MAX_DUP_WORD = 0.55
+FILTER_MAX_TOP_BIGRAM = 0.125
+FILTER_WORD_LEN = (3.0, 10.0)
+FILTER_MIN_STOPWORD = 0.02
+
+
+def quality_filter_report(
+    docs: DataFrame,
+    min_tokens: int = FILTER_MIN_TOKENS,
+    max_dup_word: float = FILTER_MAX_DUP_WORD,
+    max_top_bigram: float = FILTER_MAX_TOP_BIGRAM,
+    word_len: tuple[float, float] = FILTER_WORD_LEN,
+    min_stopword: float = FILTER_MIN_STOPWORD,
+) -> DataFrame:
+    """Rule-ensemble document filter in the C4 (Raffel et al. 2020) /
+    Gopher (Rae et al. 2021) style: each document is tested against the
+    full rule set, every firing is COUNTED (not short-circuited), and
+    the per-source report shows which rules do the dropping — the table
+    a curation run reads before committing a filter config, since a
+    source where one rule removes 40% deserves a look before the tokens
+    are gone.
+
+    Rules: too short (token count), repeated-word fraction, dominant
+    bigram share (boilerplate), mean word length outside a band (code /
+    minified junk), stopword ratio below a floor (non-linguistic text).
+
+    Scale: every feature is a per-row expression at scan speed — the
+    bigram dominance reuses the sorted-run trick (text.py's
+    top_bigram_count_expr, zero shuffles) — and the only shuffle is the
+    final map-side-combined groupBy(source).  O(sources) output."""
+    from realparse_spark.operators.text import stopword_hits, top_bigram_count_expr
+
+    t = F.col("text")
+    toks = ws_tokens(t)
+    n_tok = F.size(toks)
+    n_tok1 = F.greatest(n_tok, F.lit(1))
+    n_chars = F.length(t)
+    n_ws = F.size(F.regexp_extract_all(t, F.lit(r"\s"), 0))
+    mean_wl = (n_chars - n_ws).cast("double") / n_tok1
+    dup_word = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tok1
+    stop_ratio = stopword_hits(t, "en").cast("double") / n_tok1
+    top_bigram = top_bigram_count_expr(toks).cast("double") / F.greatest(
+        n_tok - 1, F.lit(1)
+    )
+
+    r_short = (n_tok < min_tokens).cast("long")
+    r_repeat = (dup_word > max_dup_word).cast("long")
+    # sub-2-token docs have no bigrams: the rule cannot fire
+    r_bigram = ((n_tok >= 2) & (top_bigram > max_top_bigram)).cast("long")
+    r_wordlen = ((mean_wl < word_len[0]) | (mean_wl > word_len[1])).cast("long")
+    r_stopword = (stop_ratio < min_stopword).cast("long")
+    kept = (
+        (r_short + r_repeat + r_bigram + r_wordlen + r_stopword) == 0
+    ).cast("long")
+
+    per_doc = docs.select(
+        "source",
+        r_short.alias("r_short"),
+        r_repeat.alias("r_repeat"),
+        r_bigram.alias("r_bigram"),
+        r_wordlen.alias("r_wordlen"),
+        r_stopword.alias("r_stopword"),
+        kept.alias("kept"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum("r_short").alias("r_short"),
+            F.sum("r_repeat").alias("r_repeat"),
+            F.sum("r_bigram").alias("r_bigram"),
+            F.sum("r_wordlen").alias("r_wordlen"),
+            F.sum("r_stopword").alias("r_stopword"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realparse_spark.sources.tables import fan_out
+
+    # fan_out: the per-row feature expressions are the heavy stage on
+    # single-row-group fixtures
+    return quality_filter_report(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+QUALITY_FILTER_REPORT_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source, text,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '\s')) AS n_ws,
+    len(list_filter(string_split_regex(text, '\s+'),
+        x -> list_contains(['the','and','of','to','in','is','that','for','with','on'], x)))
+      AS n_stop
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, max(c) AS top_cnt FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 2),
+          i -> t[i] || ' ' || t[i+1])) AS g
+      FROM tok WHERE len(t) >= 2
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+feat AS (
+  SELECT tok.source,
+    CASE WHEN len(t) < {FILTER_MIN_TOKENS} THEN 1 ELSE 0 END AS r_short,
+    CASE WHEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)
+              > {FILTER_MAX_DUP_WORD} THEN 1 ELSE 0 END AS r_repeat,
+    CASE WHEN len(t) >= 2 AND CAST(bg.top_cnt AS DOUBLE) / greatest(len(t) - 1, 1)
+              > {FILTER_MAX_TOP_BIGRAM} THEN 1 ELSE 0 END AS r_bigram,
+    CASE WHEN CAST(n_chars - n_ws AS DOUBLE) / greatest(len(t), 1) < {FILTER_WORD_LEN[0]}
+           OR CAST(n_chars - n_ws AS DOUBLE) / greatest(len(t), 1) > {FILTER_WORD_LEN[1]}
+         THEN 1 ELSE 0 END AS r_wordlen,
+    CASE WHEN CAST(n_stop AS DOUBLE) / greatest(len(t), 1) < {FILTER_MIN_STOPWORD}
+         THEN 1 ELSE 0 END AS r_stopword
+  FROM tok LEFT JOIN bg USING (doc_id)
+)
+SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN r_short + r_repeat + r_bigram + r_wordlen + r_stopword = 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(r_short) AS BIGINT) AS r_short,
+  CAST(sum(r_repeat) AS BIGINT) AS r_repeat,
+  CAST(sum(r_bigram) AS BIGINT) AS r_bigram,
+  CAST(sum(r_wordlen) AS BIGINT) AS r_wordlen,
+  CAST(sum(r_stopword) AS BIGINT) AS r_stopword,
+  round(CAST(sum(CASE WHEN r_short + r_repeat + r_bigram + r_wordlen + r_stopword = 0
+              THEN 1 ELSE 0 END) AS BIGINT)
+        * 1.0 / count(*), 4) AS keep_rate
+FROM feat
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "pii_density": q_pii_density,
     "vocab_zipf_slope": q_vocab_zipf_slope,
     "ngram_novelty": q_ngram_novelty,
     "adaptive_length_filter": q_adaptive_length_filter,
     "doc_cdc_dedup": q_doc_cdc_dedup,
+    "quality_filter_report": q_quality_filter_report,
 }
 
 ORACLES = {
@@ -548,4 +699,5 @@ ORACLES = {
     "ngram_novelty": NGRAM_NOVELTY_SQL,
     "adaptive_length_filter": ADAPTIVE_LENGTH_FILTER_SQL,
     "doc_cdc_dedup": DOC_CDC_DEDUP_SQL,
+    "quality_filter_report": QUALITY_FILTER_REPORT_SQL,
 }

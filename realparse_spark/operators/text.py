@@ -363,21 +363,15 @@ HAVING count(*) >= 3""",
 )
 
 
-def repetition_features(docs: DataFrame) -> DataFrame:
-    """Gopher-style within-document repetition metrics: duplicate-word
-    fraction and the most-repeated word bigram's share of all bigrams.
-    High values mark boilerplate/spam that length or punctuation filters
-    miss (Rae et al. 2021 'repetition' filters).
-
-    Shape: a pure narrow projection — zero shuffles.  The most-repeated
-    bigram's count equals the longest run in the SORTED bigram array, so
-    it is computed per-row with array_sort + aggregate (JVM higher-order
-    functions) instead of explode + two hash aggregations + a join back;
-    and the bigram total is just n_tokens - 1.  Bigram identity is an
-    xxhash64 of the token pair (sorting longs, not concatenated strings —
-    ~4x cheaper; a 64-bit collision within one document would be needed
-    to change a count).  Docs with fewer than 2 tokens are excluded."""
-    toks = ws_tokens(F.col("text"))
+def top_bigram_count_expr(toks: Column) -> Column:
+    """Count of the most-repeated adjacent word bigram, per-row (zero
+    shuffles): the max count equals the longest run in the SORTED bigram
+    array, computed with array_sort + aggregate (JVM higher-order
+    functions) instead of explode + two hash aggregations + a join back.
+    Bigram identity is an xxhash64 of the token pair (sorting longs, not
+    concatenated strings — ~4x cheaper; a 64-bit collision within one
+    document would be needed to change a count).  Meaningful only for
+    inputs with >= 2 tokens — callers gate shorter docs."""
     # NON-distinct bigram identities (word_ngrams dedups, repetition must
     # not): hash adjacent pairs via zip_with against the shifted array,
     # then drop the final (token, null) pad element
@@ -394,7 +388,7 @@ def repetition_features(docs: DataFrame) -> DataFrame:
             F.greatest(st["best"], new_run.cast("long")).alias("best"),
         )
 
-    top_cnt = F.aggregate(
+    return F.aggregate(
         F.array_sort(bigrams),
         F.struct(
             F.lit(None).cast("long").alias("prev"),
@@ -404,6 +398,24 @@ def repetition_features(docs: DataFrame) -> DataFrame:
         _run,
         lambda st: st["best"],
     )
+
+
+def repetition_features(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition metrics: duplicate-word
+    fraction and the most-repeated word bigram's share of all bigrams.
+    High values mark boilerplate/spam that length or punctuation filters
+    miss (Rae et al. 2021 'repetition' filters).
+
+    Shape: a pure narrow projection — zero shuffles.  The most-repeated
+    bigram's count equals the longest run in the SORTED bigram array, so
+    it is computed per-row with array_sort + aggregate (JVM higher-order
+    functions) instead of explode + two hash aggregations + a join back;
+    and the bigram total is just n_tokens - 1.  Bigram identity is an
+    xxhash64 of the token pair (sorting longs, not concatenated strings —
+    ~4x cheaper; a 64-bit collision within one document would be needed
+    to change a count).  Docs with fewer than 2 tokens are excluded."""
+    toks = ws_tokens(F.col("text"))
+    top_cnt = top_bigram_count_expr(toks)
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),

@@ -183,3 +183,48 @@ def test_pii_density_counts_planted_pii(spark):
     assert rep["dirty"].docs_with_pii == 1 and rep["dirty"].total_pii == 2
     assert rep["clean"].docs_with_pii == 0 and rep["clean"].total_pii == 0
     assert rep["dirty"].avg_density_kb == pytest.approx(2 * 1000 / 47, abs=1e-3)
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    """Each rule must fire on a document constructed to violate exactly
+    that rule (and the clean doc must pass all five)."""
+    from realparse_spark.operators.corpus_quality import quality_filter_report
+
+    stop_pad = "the and of to in is that for with on"  # 10 stopwords
+    # word lengths chosen so mean_word_len sits inside [3, 10] except for
+    # the longwords doc (the fixture that must trip that one rule)
+    clean = (stop_pad + " ") * 3 + " ".join(f"word{i:02d}" for i in range(30))
+    short = stop_pad + " word1 word2"  # 12 tokens < 25, stopword-rich
+    repeat = (
+        (stop_pad + " ") * 2
+        + ("dupdup " * 40)
+        + " ".join(f"word{i:02d}" for i in range(8))
+    )
+    # bigram spam without tripping dup-word: one hot PAIR inside
+    # otherwise-distinct tokens (16/111 = 0.144 > 0.125; dup 0.446 < 0.55)
+    bigram = (
+        (stop_pad + " ") * 3
+        + ("hotly paired " * 16)
+        + " ".join(f"unique{i:02d}" for i in range(50))
+    )
+    longwords = (stop_pad + " ") * 3 + " ".join(
+        "x" * 40 + str(i) for i in range(30)
+    )
+    nostop = " ".join(f"vword{i:02d}" for i in range(60))
+
+    rows = [
+        (1, clean, "en", "s", len(clean)),
+        (2, short, "en", "s", len(short)),
+        (3, repeat, "en", "s", len(repeat)),
+        (4, bigram, "en", "s", len(bigram)),
+        (5, longwords, "en", "s", len(longwords)),
+        (6, nostop, "en", "s", len(nostop)),
+    ]
+    r = quality_filter_report(_docs(spark, rows)).collect()[0]
+    assert r.n_docs == 6
+    assert r.n_kept == 1  # only the clean doc
+    assert r.r_short == 1
+    assert r.r_repeat == 1  # the dupdup doc (also fires r_bigram — counted, not short-circuited)
+    assert r.r_bigram == 2  # the hot-pair doc + the dupdup run
+    assert r.r_wordlen == 1  # only the 40-char-word doc
+    assert r.r_stopword == 1  # only the no-stopword doc
