@@ -177,7 +177,8 @@ EXTRA = [
     "ccnet_ppl_buckets",    # per-source LM-score tertile split
     "doc_dup_spans",        # ExactSubstr dup-span report (gram join + islands)
     "dup_span_profile",     # per-source duplicated-text rollup
-    "bpe_train",            # 8 BPE merges (iterate-over-aggregates loop)
+    "bpe_train",            # 8 BPE merges (iterative; snapshot-cached artifact)
+    "bpe_apply",            # subword segmentation + compression report
     "mannwhitney_u",        # tie-corrected rank test (distributed avg ranks)
     "theil_sen_trend",      # slope-median robust trend over the daily rollup
     "quality_filter_report",  # C4/Gopher rule ensemble (scan-speed features)

@@ -53,5 +53,7 @@ def test_all_queries_have_oracle_or_reason():
         # recall/precision/determinism gates in test_multimodal
         "bpe_train",  # iterative driver loop; pure-Python BPE parity
         # gate in test_spans
+        "bpe_apply",  # rides the trained artifact; pure-Python
+        # segmentation parity gate in test_spans
     }
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"

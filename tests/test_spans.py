@@ -167,3 +167,56 @@ def test_mannwhitney_matches_pairwise_definition(spark):
     assert (got.n1, got.n2) == (n1, n2)
     assert got.u_stat == u1
     assert got.z_score == z
+
+
+def test_bpe_apply_matches_python_segmentation(spark):
+    """The chained merge-fold segmentation must reproduce the pure-Python
+    apply (same greedy contract as the trainer) aggregated per source on
+    the real sf0.001 corpus."""
+    from collections import defaultdict
+
+    from realparse_spark.operators.spans import bpe_apply_report, bpe_train
+    from realparse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = [(r.left, r.right) for r in bpe_train(docs, 8).collect()]
+
+    def segment(word: str) -> int:
+        s = list(word)
+        for left, right in merges:
+            if len(s) < 2:
+                break
+            out = [s[0]]
+            for x in s[1:]:
+                if out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            s = out
+        return len(s)
+
+    con = duckdb.connect()
+    rows = con.execute(
+        rf"""
+        SELECT source, word, count(*) FROM (
+          SELECT source, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t <> '')) AS word
+          FROM '{SF_DIR}/documents.parquet')
+        GROUP BY source, word
+        """
+    ).fetchall()
+    con.close()
+    expect: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for source, word, wc in rows:
+        e = expect[source]
+        e[0] += wc
+        e[1] += wc * len(word)
+        e[2] += wc * segment(word)
+
+    got = {
+        r.source: (r.n_words, r.n_chars, r.n_subwords, r.chars_per_token)
+        for r in bpe_apply_report(docs, merges).collect()
+    }
+    assert set(got) == set(expect)
+    for source, (nw, nc, ns) in expect.items():
+        assert got[source] == (nw, nc, ns, round(nc / ns, 4)), source
