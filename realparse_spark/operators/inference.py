@@ -739,11 +739,14 @@ def mann_whitney_u(
     var = (F.col("n1") * F.col("n2") / F.lit(12.0)) * (
         (n + 1).cast("double") - F.col("tsum") / (n * (n - 1)).cast("double")
     )
+    # degenerate inputs (one group empty, or every value identical) have
+    # var = 0: NULL z, never an Inf/NaN whose cross-engine hashing is
+    # undefined (the trend_slopes guard)
     return j.select(
         "n1",
         "n2",
         u1.alias("u_stat"),
-        F.round((u1 - mu) / F.sqrt(var), 4).alias("z_score"),
+        F.when(var > 0.0, F.round((u1 - mu) / F.sqrt(var), 4)).alias("z_score"),
     )
 
 
@@ -779,11 +782,14 @@ s AS (
 )
 SELECT n1, n2,
   (r1_twice - n1 * (n1 + 1)) / 2.0 AS u_stat,
-  round(((r1_twice - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
-        / sqrt((n1 * n2 / 12.0)
-               * (CAST(n1 + n2 + 1 AS DOUBLE)
-                  - tsum / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 4)
-    AS z_score
+  CASE WHEN (n1 * n2 / 12.0)
+            * (CAST(n1 + n2 + 1 AS DOUBLE)
+               - tsum / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) > 0.0
+    THEN round(((r1_twice - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+          / sqrt((n1 * n2 / 12.0)
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - tsum / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 4)
+  END AS z_score
 FROM s, ties
 """
 

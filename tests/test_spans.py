@@ -220,3 +220,17 @@ def test_bpe_apply_matches_python_segmentation(spark):
     assert set(got) == set(expect)
     for source, (nw, nc, ns) in expect.items():
         assert got[source] == (nw, nc, ns, round(nc / ns, 4)), source
+
+
+def test_mannwhitney_degenerate_yields_null_z(spark):
+    """All-identical values: tie-corrected variance is exactly zero; the
+    z must be NULL, never an Inf/NaN whose hashing differs across
+    engines (the trend_slopes degenerate-guard discipline)."""
+    rows = [(i, "purchase", 5.0) for i in range(4)] + [
+        (100 + i, "click", 5.0) for i in range(3)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = mann_whitney_u(ev).collect()[0]
+    assert (got.n1, got.n2) == (4, 3)
+    assert got.u_stat == 6.0  # all ties: U1 = n1*n2/2
+    assert got.z_score is None
