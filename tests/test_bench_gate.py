@@ -121,3 +121,17 @@ def test_aggregate_retry_reuses_per_query_min_of_3():
     assert calls == [("a", 3), ("b", 1)]
     assert rem["a"] == {"first": 9.0, "retry_min": 2.4}
     assert ratio == round((2.4 + 1.2) / 2.0, 3)
+
+
+def test_driver_window_integrity():
+    """The driver's CORRECTNESS run hard-caps at the first 50 registered
+    queries, so the _PRIORITY window must be exactly 50 unique,
+    registered names emitted FIRST — a typo would silently shrink the
+    verified window."""
+    from realparse_spark.registry import _PRIORITY, all_queries
+
+    q = all_queries()
+    assert len(_PRIORITY) == 50
+    assert len(set(_PRIORITY)) == 50
+    assert all(name in q for name in _PRIORITY)
+    assert list(q)[:50] == list(_PRIORITY)
