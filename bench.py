@@ -182,6 +182,8 @@ EXTRA = [
     "mannwhitney_u",        # tie-corrected rank test (distributed avg ranks)
     "theil_sen_trend",      # slope-median robust trend over the daily rollup
     "quality_filter_report",  # C4/Gopher rule ensemble (scan-speed features)
+    "doc_span_clip",        # keep-first ExactSubstr clip accounting
+    "winsorize_values",     # exact-order-stat clamped means per type
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -824,6 +824,108 @@ ORDER BY m.event_type
 """
 
 
+def winsorize_values(events: DataFrame) -> DataFrame:
+    """Per-type winsorized mean of `value`: clamp at the exact discrete
+    p05/p95 order statistics (element at ceil(n*p) of the sorted group —
+    the adaptive_length_filter quantile convention), then average the
+    clamped values.  The robust-mean companion to `event_mad_outliers`:
+    heavy-tailed event metrics make raw means meaningless, and a
+    percentile AGGREGATE would materialize each group in one task.
+
+    Scale: order statistics via the shared two-phase distributed rank
+    partitioned by type (no per-group in-memory sort); the O(types)
+    fence table broadcasts back; the clamped mean accumulates in BIGINT
+    1e-4 units (floor of double*10000 — identical op on both engines),
+    ONE double division at the end."""
+    from realparse_spark.operators.distrank import rank_distributed
+
+    base = events.select("event_type", "value", "event_id")
+    ranked = rank_distributed(
+        base, ["value", "event_id"], rank_col="rn", partition_cols=["event_type"]
+    )
+    counts = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    pos = counts.select(
+        "event_type",
+        "cnt",
+        F.greatest(F.ceil(F.col("cnt") * F.lit(0.05)), F.lit(1)).alias("plo"),
+        F.ceil(F.col("cnt") * F.lit(0.95)).alias("phi"),
+    )
+    fences = (
+        ranked.join(F.broadcast(pos), "event_type")
+        .filter((F.col("rn") == F.col("plo")) | (F.col("rn") == F.col("phi")))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("plo"), F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("rn") == F.col("phi"), F.col("value"))).alias("hi"),
+        )
+    )
+    clamped = base.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.floor(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            * F.lit(10000.0)
+        )
+        .cast("long")
+        .alias("v_units"),
+    )
+    return (
+        clamped.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum("v_units").cast("double") / 10000.0 / F.count(F.lit(1)), 4
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("lo", 4).alias("p05"),
+            F.round("hi", 4).alias("p95"),
+            "winsorized_mean",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorize_values(load_table(spark, sf_dir, "events"))
+
+
+WINSORIZE_VALUES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+),
+fences AS (
+  SELECT event_type,
+    max(CASE WHEN rn = greatest(CAST(ceil(cnt * 0.05) AS BIGINT), 1)
+        THEN value END) AS lo,
+    max(CASE WHEN rn = CAST(ceil(cnt * 0.95) AS BIGINT) THEN value END) AS hi
+  FROM ranked
+  WHERE rn = greatest(CAST(ceil(cnt * 0.05) AS BIGINT), 1)
+     OR rn = CAST(ceil(cnt * 0.95) AS BIGINT)
+  GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type, f.lo, f.hi,
+    CAST(floor(least(greatest(e.value, f.lo), f.hi) * 10000.0) AS BIGINT) AS v_units
+  FROM events e JOIN fences f USING (event_type)
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(lo, 4) AS p05,
+  round(hi, 4) AS p95,
+  round(CAST(sum(v_units) AS DOUBLE) / 10000.0 / count(*), 4) AS winsorized_mean
+FROM clamped
+GROUP BY event_type, lo, hi
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # time-series gap filling: dense hour grid + forward fill
 # ---------------------------------------------------------------------------
@@ -2729,6 +2831,7 @@ QUERIES = {
     "rollup_merge": q_rollup_merge,
     "trend_slopes": q_trend_slopes,
     "theil_sen_trend": q_theil_sen_trend,
+    "winsorize_values": q_winsorize_values,
     "gap_fill": q_gap_fill,
     "event_zscore": q_event_zscore,
     "q3_shipping_priority": q_q3_shipping_priority,
@@ -2767,6 +2870,7 @@ ORACLES = {
     "rfm_segments": RFM_SEGMENTS_SQL,
     "trend_slopes": TREND_SLOPES_SQL,
     "theil_sen_trend": THEIL_SEN_TREND_SQL,
+    "winsorize_values": WINSORIZE_VALUES_SQL,
     "gap_fill": GAP_FILL_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "rolling_active_users": ROLLING_ACTIVE_USERS_SQL,

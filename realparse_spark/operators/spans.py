@@ -234,6 +234,127 @@ ORDER BY t.source
 """
 
 
+def dup_span_clip(
+    docs: DataFrame, k: int = SPAN_K, text_col: str = "text"
+) -> DataFrame:
+    """Per-source accounting for the ExactSubstr CLEANING step: keep the
+    corpus-FIRST occurrence of every duplicated k-gram (minimal
+    (doc_id, pos)) and clip every later occurrence's merged span.  The
+    report says how many tokens the clip would remove per source — run
+    after `dup_span_report` says a source is worth cleaning.
+
+    Scale: same linear gram machinery as the report; the canonical-first
+    choice is ONE row_number per gram key (keyed window — a hot
+    boilerplate gram concentrates its occurrences in one task, the same
+    skew AQE handles at the flag join; the window state is O(occurrences
+    of that gram), never corpus-sized).  Island merge stays
+    doc-partitioned."""
+    base = _doc_tokens(docs, text_col)
+    grams_arr = F.when(
+        F.size("tk") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - k),
+            lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("doc_id", F.posexplode(grams_arr).alias("pos", "gkey"))
+    w_g = Window.partitionBy("gkey").orderBy("doc_id", "pos")
+    w_cnt = Window.partitionBy("gkey")
+    marked = grams.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(w_g).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("occ"),
+    )
+    # clip every occurrence AFTER the corpus-first one
+    hits = marked.filter((F.col("occ") >= 2) & (F.col("rn") >= 2)).select(
+        "doc_id", "pos"
+    )
+    spans = _merged_spans(hits, k)
+    perdoc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("clip_tokens")
+    )
+    per_source = base.join(perdoc, "doc_id", "left").select(
+        "source",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("clip_tokens"), F.lit(0)).alias("clip_tokens"),
+    )
+    return (
+        per_source.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("clip_tokens") > 0).cast("long")).alias("docs_clipped"),
+            F.sum("clip_tokens").alias("clip_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.lit(1.0) - F.sum("clip_tokens") / F.sum("n_tokens"), 4
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_doc_span_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realparse_spark.sources.tables import fan_out
+
+    return dup_span_clip(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+DOC_SPAN_CLIP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    unnest(range(1, greatest(len(tk) - {SPAN_K}, -1) + 2)) - 1 AS pos,
+    unnest(list_transform(range(1, greatest(len(tk) - {SPAN_K}, -1) + 2),
+           i -> md5(array_to_string(tk[i:i+{SPAN_K - 1}], ' ')))) AS gkey
+  FROM toks
+),
+marked AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY gkey ORDER BY doc_id, pos) AS rn,
+    count(*) OVER (PARTITION BY gkey) AS occ
+  FROM grams
+),
+hits AS (SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn >= 2),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + {SPAN_K}) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos, sum(new_isl) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_K} AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+perdoc AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS clip_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.source,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN coalesce(p.clip_tokens, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_clipped,
+  CAST(sum(coalesce(p.clip_tokens, 0)) AS BIGINT) AS clip_tokens,
+  CAST(sum(len(t.tk)) AS BIGINT) AS total_tokens,
+  round(1.0 - sum(coalesce(p.clip_tokens, 0)) / sum(len(t.tk)), 4) AS kept_frac
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training (iterative)
 # ---------------------------------------------------------------------------
@@ -456,10 +577,12 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "doc_dup_spans": q_doc_dup_spans,
     "dup_span_profile": q_dup_span_profile,
+    "doc_span_clip": q_doc_span_clip,
     "bpe_train": q_bpe_train,  # iterative — rows-only, Python-parity gated
     "bpe_apply": q_bpe_apply,  # rides the trainer — rows-only, parity gated
 }
 ORACLES = {
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "dup_span_profile": DUP_SPAN_PROFILE_SQL,
+    "doc_span_clip": DOC_SPAN_CLIP_SQL,
 }

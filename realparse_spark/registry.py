@@ -74,11 +74,12 @@ _MODULES = (
 # module (dsir_importance, dsir_resample, semdedup, ccnet_ppl_buckets —
 # all oracled, tri-scale green in-repo), the spans module (doc_dup_spans,
 # dup_span_profile — oracled; bpe_train — iterative, rows-only,
-# Python-parity gated; bpe_apply rides the snapshot-cached artifact),
-# inference's mannwhitney_u (oracled), analytics' theil_sen_trend
-# (oracled) and corpus_quality's quality_filter_report (oracled) queue
-# behind the window for the round-10 rotation: backlog 11, well under
-# one round's 50-row capacity.
+# Python-parity gated; bpe_apply rides the snapshot-cached artifact;
+# doc_span_clip oracled), inference's mannwhitney_u (oracled),
+# analytics' theil_sen_trend + winsorize_values (oracled) and
+# corpus_quality's quality_filter_report (oracled) queue behind the
+# window for the round-10 rotation: backlog 13, well under one round's
+# 50-row capacity.
 _PRIORITY = (
     # --- (a) the r8 red row, re-earned first ---
     "clamped_balance",

@@ -234,3 +234,43 @@ def test_mannwhitney_degenerate_yields_null_z(spark):
     assert (got.n1, got.n2) == (4, 3)
     assert got.u_stat == 6.0  # all ties: U1 = n1*n2/2
     assert got.z_score is None
+
+
+def test_span_clip_keeps_corpus_first_occurrence(spark):
+    """The clip accounting must charge every occurrence EXCEPT the
+    minimal (doc_id, pos) one: doc 1 (first) keeps its tokens, doc 2
+    loses the shared span; a within-doc repeat keeps only its first
+    position's span."""
+    from realparse_spark.operators.spans import dup_span_clip
+
+    rows = [
+        (1, "a b c d e", "en", "s1", 9),      # owns gram a-b-c (pos 0) first
+        (2, "x a b c y", "en", "s2", 9),      # same gram at pos 1 -> clipped
+        (3, "m m m m", "en", "s3", 7),        # m-m-m at pos 0 (kept), 1 (clipped)
+    ]
+    out = {
+        r.source: (r.n_docs, r.docs_clipped, r.clip_tokens, r.total_tokens)
+        for r in dup_span_clip(_docs(spark, rows), k=3).collect()
+    }
+    assert out["s1"] == (1, 0, 0, 5)   # first occurrence: nothing clipped
+    assert out["s2"] == (1, 1, 3, 5)   # span [1,4) clipped
+    # within-doc: positions 0 kept, 1 clipped -> span [1,4) = 3 tokens
+    assert out["s3"] == (1, 1, 3, 4)
+
+
+def test_winsorize_ignores_extreme_outlier(spark):
+    """One absurd outlier must not move the winsorized mean: clamping at
+    the p95 order statistic caps its contribution."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.analytics import winsorize_values
+
+    vals = [float(v) for v in range(1, 100)] + [1_000_000.0]
+    rows = [(i, "t", v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = winsorize_values(ev).collect()[0]
+    assert r.n_events == 100
+    assert r.p05 == 5.0 and r.p95 == 95.0  # ceil(100*.05)=5th, ceil(100*.95)=95th
+    # clamped series: [5,5,5,5,5,6..94,95,95,95,95,95,95]
+    clamped = [min(max(v, 5.0), 95.0) for v in vals]
+    assert r.winsorized_mean == round(sum(clamped) / 100, 4)
