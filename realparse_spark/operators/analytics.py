@@ -742,9 +742,15 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
     cast per endpoint, and the median picks order statistics by
     row_number — no percentile interpolation for engines to disagree
     on."""
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+    # ONE materialization: daily has three consumers (both pair-join
+    # sides and the n_days rollup) and the broadcast branch defeats
+    # ReuseExchange — without the cut, the corpus-wide aggregation (the
+    # only data-sized stage here) would run three times
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
     a = daily.select(
         "event_type", F.col("d").alias("d1"), F.col("s").alias("s1")
     )

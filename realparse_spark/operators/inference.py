@@ -696,14 +696,18 @@ def mann_whitney_u(
     `rank_distributed` assigns unique row numbers over (value, event_id)
     (two bounded shuffles, no single-partition sort), and because a tie
     block's row numbers are contiguous regardless of tie-break,
-    ``min(rn)+max(rn)`` over the value-partitioned window is exactly
-    twice the average rank — integer arithmetic end to end, so Spark and
-    DuckDB agree bit-for-bit.  Tie correction sum(t³−t) is one groupBy.
-    The only doubles are the final closed-form z (identical expression
-    order in the oracle).  At petabyte row counts the n₁·n₂ products
-    exceed int64 — the production variant computes the z in DOUBLE from
-    the start (one rounding per factor); exact bigint is kept here
-    because it is strictly stronger at test scale."""
+    ``min(rn)+max(rn)`` per value is exactly twice the average rank.
+    The per-value collapse is ONE map-side-combined hash aggregate —
+    never a value-partitioned window, which would buffer an entire tie
+    block (think zero-inflated metrics: 40% of rows one value) in a
+    single task.  Everything (rank sums, tie correction sum(t³−t)) then
+    reduces in the same aggregate; integer arithmetic end to end, so
+    Spark and DuckDB agree bit-for-bit.  The only doubles are the final
+    closed-form z (identical expression order in the oracle).  At
+    petabyte row counts the n₁·n₂ products exceed int64 — the
+    production variant computes the z in DOUBLE from the start (one
+    rounding per factor); exact bigint is kept here because it is
+    strictly stronger at test scale."""
     ev = events.filter(F.col("event_type").isin(group_a, group_b)).select(
         "event_id",
         "value",
@@ -712,27 +716,21 @@ def mann_whitney_u(
     from realparse_spark.operators.distrank import rank_distributed
 
     ranked = rank_distributed(ev, ["value", "event_id"], rank_col="rn")
-    w_val = Window.partitionBy("value")
-    r2 = ranked.withColumn(
-        "rn2", (F.min("rn").over(w_val) + F.max("rn").over(w_val)).cast("long")
+    # per tie block: size t, group-A members n_a, and min+max row number
+    # (= 2x the average rank of every member)
+    per_val = ranked.groupBy("value").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("is_a").alias("n_a"),
+        (F.min("rn") + F.max("rn")).cast("long").alias("rn2"),
     )
-    ties = (
-        ranked.groupBy("value")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-            .cast("long")
-            .alias("tsum")
-        )
-    )
-    s = r2.agg(
-        F.sum("is_a").cast("long").alias("n1"),
-        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n2"),
-        F.sum(F.when(F.col("is_a") == 1, F.col("rn2")).otherwise(F.lit(0)))
+    j = per_val.agg(
+        F.sum("n_a").cast("long").alias("n1"),
+        (F.sum("t") - F.sum("n_a")).cast("long").alias("n2"),
+        F.sum(F.col("n_a") * F.col("rn2")).cast("long").alias("r1_twice"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
         .cast("long")
-        .alias("r1_twice"),
+        .alias("tsum"),
     )
-    j = s.crossJoin(ties)  # 1-row × 1-row scalar join
     n = F.col("n1") + F.col("n2")
     u1 = (F.col("r1_twice") - F.col("n1") * (F.col("n1") + 1)) / F.lit(2.0)
     mu = F.col("n1") * F.col("n2") / F.lit(2.0)

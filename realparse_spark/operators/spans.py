@@ -51,11 +51,12 @@ def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _dup_gram_hits(base: DataFrame, k: int) -> DataFrame:
-    """(doc_id, pos) of every k-gram occurrence whose gram appears >= 2
-    times corpus-wide.  Positions are 0-based token offsets."""
-    # md5 of the joined gram: a compact, engine-portable join key — the
-    # shuffle moves 32-byte digests, never k-word strings
+def _gram_positions(base: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gkey) for every k-gram occurrence.  Positions are
+    0-based token offsets; the key is an md5 of the joined gram — a
+    compact, engine-portable join key (the shuffle moves 32-byte
+    digests, never k-word strings).  Shared by the report, profile and
+    clip queries so a gram-key change cannot desynchronize them."""
     grams_arr = F.when(
         F.size("tk") >= k,
         F.transform(
@@ -63,7 +64,13 @@ def _dup_gram_hits(base: DataFrame, k: int) -> DataFrame:
             lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i + 1, k), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = base.select("doc_id", F.posexplode(grams_arr).alias("pos", "gkey"))
+    return base.select("doc_id", F.posexplode(grams_arr).alias("pos", "gkey"))
+
+
+def _dup_gram_hits(base: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) of every k-gram occurrence whose gram appears >= 2
+    times corpus-wide."""
+    grams = _gram_positions(base, k)
     dup = (
         grams.groupBy("gkey")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -172,7 +179,9 @@ def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_profile(fan_out(load_table(spark, sf_dir, "documents")))
 
 
-_SPAN_GRAMS_CTE = rf"""
+# toks/grams: the single SQL home of the tokenization + gram-key text,
+# mirroring _gram_positions — every span oracle builds on it
+_TOKS_GRAMS_CTE = rf"""
 toks AS (
   SELECT doc_id, source,
     list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
@@ -184,7 +193,9 @@ grams AS (
     unnest(list_transform(range(1, greatest(len(tk) - {SPAN_K}, -1) + 2),
            i -> md5(array_to_string(tk[i:i+{SPAN_K - 1}], ' ')))) AS gkey
   FROM toks
-),
+)"""
+
+_SPAN_GRAMS_CTE = rf"""{_TOKS_GRAMS_CTE},
 dup AS (SELECT gkey FROM grams GROUP BY gkey HAVING count(*) >= 2),
 hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gkey)),
 isl AS (
@@ -239,40 +250,44 @@ def dup_span_clip(
 ) -> DataFrame:
     """Per-source accounting for the ExactSubstr CLEANING step: keep the
     corpus-FIRST occurrence of every duplicated k-gram (minimal
-    (doc_id, pos)) and clip every later occurrence's merged span.  The
-    report says how many tokens the clip would remove per source — run
-    after `dup_span_report` says a source is worth cleaning.
+    (doc_id, pos)) and clip every later occurrence.  A token is clipped
+    only if it is covered by SOME later occurrence and by NO kept one —
+    without that difference, a boilerplate run longer than k (whose
+    kept first gram overlaps its own clipped repeats) would charge
+    tokens the clean text actually retains.  The report says how many
+    tokens the clip would remove per source — run after
+    `dup_span_report` says a source is worth cleaning.
 
     Scale: same linear gram machinery as the report; the canonical-first
     choice is ONE row_number per gram key (keyed window — a hot
     boilerplate gram concentrates its occurrences in one task, the same
     skew AQE handles at the flag join; the window state is O(occurrences
-    of that gram), never corpus-sized).  Island merge stays
-    doc-partitioned."""
+    of that gram), never corpus-sized).  The coverage difference
+    explodes each dup hit to its k token positions — k x dup-hits rows,
+    still occurrence-linear — and resolves per (doc, position) with one
+    doc-keyed aggregate."""
     base = _doc_tokens(docs, text_col)
-    grams_arr = F.when(
-        F.size("tk") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("tk") - k),
-            lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i + 1, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = base.select("doc_id", F.posexplode(grams_arr).alias("pos", "gkey"))
+    grams = _gram_positions(base, k)
     w_g = Window.partitionBy("gkey").orderBy("doc_id", "pos")
     w_cnt = Window.partitionBy("gkey")
     marked = grams.select(
         "doc_id",
         "pos",
-        F.row_number().over(w_g).alias("rn"),
+        (F.row_number().over(w_g) >= 2).cast("int").alias("clipped"),
         F.count(F.lit(1)).over(w_cnt).alias("occ"),
+    ).filter(F.col("occ") >= 2)
+    # token-level coverage: a position is removed iff covered by a
+    # clipped hit and by no kept hit in the same document
+    tokens = marked.select(
+        "doc_id",
+        "clipped",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("tpos"),
     )
-    # clip every occurrence AFTER the corpus-first one
-    hits = marked.filter((F.col("occ") >= 2) & (F.col("rn") >= 2)).select(
-        "doc_id", "pos"
-    )
-    spans = _merged_spans(hits, k)
-    perdoc = spans.groupBy("doc_id").agg(
-        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("clip_tokens")
+    perdoc = (
+        tokens.groupBy("doc_id", "tpos")
+        .agg(F.min("clipped").alias("all_clipped"))
+        .groupBy("doc_id")
+        .agg(F.sum("all_clipped").cast("bigint").alias("clip_tokens"))
     )
     per_source = base.join(perdoc, "doc_id", "left").select(
         "source",
@@ -301,46 +316,23 @@ def q_doc_span_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_SPAN_CLIP_SQL = rf"""
-WITH toks AS (
-  SELECT doc_id, source,
-    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
-  FROM documents
-),
-grams AS (
-  SELECT doc_id,
-    unnest(range(1, greatest(len(tk) - {SPAN_K}, -1) + 2)) - 1 AS pos,
-    unnest(list_transform(range(1, greatest(len(tk) - {SPAN_K}, -1) + 2),
-           i -> md5(array_to_string(tk[i:i+{SPAN_K - 1}], ' ')))) AS gkey
-  FROM toks
-),
+WITH {_TOKS_GRAMS_CTE},
 marked AS (
   SELECT doc_id, pos,
-    row_number() OVER (PARTITION BY gkey ORDER BY doc_id, pos) AS rn,
+    CASE WHEN row_number() OVER (PARTITION BY gkey ORDER BY doc_id, pos) >= 2
+      THEN 1 ELSE 0 END AS clipped,
     count(*) OVER (PARTITION BY gkey) AS occ
   FROM grams
 ),
-hits AS (SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn >= 2),
-isl AS (
-  SELECT doc_id, pos,
-    CASE WHEN pos > coalesce(max(pos + {SPAN_K}) OVER (
-        PARTITION BY doc_id ORDER BY pos
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-      THEN 1 ELSE 0 END AS new_isl
-  FROM hits
-),
-isl2 AS (
-  SELECT doc_id, pos, sum(new_isl) OVER (
-      PARTITION BY doc_id ORDER BY pos
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM isl
-),
-spans AS (
-  SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_K} AS e
-  FROM isl2 GROUP BY doc_id, island
+tokens AS (
+  SELECT doc_id, clipped, unnest(range(pos, pos + {SPAN_K})) AS tpos
+  FROM marked WHERE occ >= 2
 ),
 perdoc AS (
-  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS clip_tokens
-  FROM spans GROUP BY doc_id
+  SELECT doc_id, CAST(sum(all_clipped) AS BIGINT) AS clip_tokens
+  FROM (SELECT doc_id, tpos, min(clipped) AS all_clipped
+        FROM tokens GROUP BY doc_id, tpos)
+  GROUP BY doc_id
 )
 SELECT t.source,
   count(*) AS n_docs,
@@ -360,6 +352,33 @@ ORDER BY t.source
 # ---------------------------------------------------------------------------
 
 BPE_MERGES = 8
+
+
+def _merge_fold(col, left: str, right: str):
+    """One greedy left-to-right merge pass as a fold expression: keep
+    appending symbols, but when the running tail equals `left` and the
+    next symbol equals `right`, replace the tail with the merged symbol.
+    Replacing the TAIL reproduces greedy pairing exactly (merging (a,a)
+    over "aaaa" yields [aa, aa], never [aa, a, a]).  The single home of
+    the pairing semantics — shared by the trainer loop and the apply
+    report."""
+    merged = left + right
+    return F.when(
+        F.size(col) < 2,
+        col,
+    ).otherwise(
+        F.aggregate(
+            F.slice(col, F.lit(2), F.size(col) - 1),
+            F.slice(col, 1, 1),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    )
 
 
 def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
@@ -421,25 +440,11 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             break
         left, right, freq = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((step, left, right, freq))
-        merged = left + right
-        # greedy left-to-right merge as a fold: keep appending symbols,
-        # but when the running tail is `left` and the next symbol is
-        # `right`, replace the tail with the merged symbol.  Replacing
-        # the TAIL reproduces greedy pairing exactly (e.g. merging (a,a)
-        # over "aaaa" yields [aa, aa], not [aa, a, a]).
+        # the greedy tail-replacement fold lives ONCE in _merge_fold
+        # (shared with bpe_apply_report, so trainer and apply can never
+        # disagree on pairing semantics)
         syms = syms.withColumn(
-            "syms",
-            F.aggregate(
-                F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
-                F.slice(F.col("syms"), 1, 1),
-                lambda acc, x: F.when(
-                    (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
-                    F.concat(
-                        F.slice(acc, F.lit(1), F.size(acc) - 1),
-                        F.array(F.lit(merged)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ),
+            "syms", _merge_fold(F.col("syms"), left, right)
         ).localCheckpoint(eager=True)
 
     return spark.createDataFrame(
@@ -474,28 +479,6 @@ def _merges_for(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _merges_for(spark, sf_dir).orderBy("step")
-
-
-def _merge_fold(col, left: str, right: str):
-    """One greedy left-to-right merge pass as a fold expression (the
-    trainer's apply step, reused at inference time)."""
-    merged = left + right
-    return F.when(
-        F.size(col) < 2,
-        col,
-    ).otherwise(
-        F.aggregate(
-            F.slice(col, F.lit(2), F.size(col) - 1),
-            F.slice(col, 1, 1),
-            lambda acc, x: F.when(
-                (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-    )
 
 
 def bpe_apply_report(

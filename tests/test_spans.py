@@ -237,10 +237,10 @@ def test_mannwhitney_degenerate_yields_null_z(spark):
 
 
 def test_span_clip_keeps_corpus_first_occurrence(spark):
-    """The clip accounting must charge every occurrence EXCEPT the
-    minimal (doc_id, pos) one: doc 1 (first) keeps its tokens, doc 2
-    loses the shared span; a within-doc repeat keeps only its first
-    position's span."""
+    """The clip accounting must charge a token only when NO kept (first)
+    occurrence covers it: doc 1 keeps its tokens, doc 2 loses the whole
+    shared span; a self-overlapping within-doc run loses only the tail
+    its kept first gram does not cover."""
     from realparse_spark.operators.spans import dup_span_clip
 
     rows = [
@@ -253,9 +253,10 @@ def test_span_clip_keeps_corpus_first_occurrence(spark):
         for r in dup_span_clip(_docs(spark, rows), k=3).collect()
     }
     assert out["s1"] == (1, 0, 0, 5)   # first occurrence: nothing clipped
-    assert out["s2"] == (1, 1, 3, 5)   # span [1,4) clipped
-    # within-doc: positions 0 kept, 1 clipped -> span [1,4) = 3 tokens
-    assert out["s3"] == (1, 1, 3, 4)
+    assert out["s2"] == (1, 1, 3, 5)   # positions {1,2,3} covered only clipped
+    # within-doc self-overlap: kept [0,3) covers {0,1,2}; the clipped hit
+    # at pos 1 covers {1,2,3} -> only token 3 is actually removable
+    assert out["s3"] == (1, 1, 1, 4)
 
 
 def test_winsorize_ignores_extreme_outlier(spark):
