@@ -184,6 +184,7 @@ EXTRA = [
     "quality_filter_report",  # C4/Gopher rule ensemble (scan-speed features)
     "doc_span_clip",        # keep-first ExactSubstr clip accounting
     "winsorize_values",     # exact-order-stat clamped means per type
+    "emb_matryoshka_eval",  # truncated-width recall curve vs full ground truth
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -958,6 +958,125 @@ def q_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 64)  # prefix dims to evaluate; last = full width
+MRL_QUERY_MOD = 100  # vec_id % mod == 0 picks the deterministic eval set
+MRL_K = 10
+
+
+def matryoshka_eval(
+    emb: DataFrame,
+    dims: tuple[int, ...] = MRL_DIMS,
+    k: int = MRL_K,
+    query_mod: int = MRL_QUERY_MOD,
+) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022,
+    arXiv:2205.13147): recall@k of brute-force retrieval using only the
+    FIRST d embedding components (renormalized) against full-width
+    ground truth, per candidate width.  The table that decides how far
+    an MRL-style index can truncate vectors before recall pays — the
+    storage/recall dial for a 100 TB vector corpus.
+
+    Shape: the eval set (vec_id % query_mod == 0) is a bounded broadcast;
+    ONE corpus scan scores every (query, width) pair via an in-row
+    explode over the width list (never one scan per width); per-(query,
+    width) ranking is a keyed window over the corpus — the brute-force
+    eval baseline, priced per eval query, matching `topk_cosine`.  A
+    production run at full corpus scale evaluates against IVF/LSH
+    candidate sets instead (the indexes above); this operator is the
+    exact yardstick those evals compare to."""
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.select("vec_id", "embedding").join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim"),
+        "embedding",
+        "qe",
+    ).select(
+        "qid",
+        "vec_id",
+        "dim",
+        F.round(
+            cosine(
+                F.slice(F.col("embedding"), F.lit(1), F.col("dim")),
+                F.slice(F.col("qe"), F.lit(1), F.col("dim")),
+            ),
+            4,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("qid", "dim").orderBy(
+        F.col("cos").desc_nulls_last(), "vec_id"
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "dim", "vec_id")
+    )
+    gt = topk.filter(F.col("dim") == dims[-1]).select(
+        "qid", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        topk.join(gt, ["qid", "vec_id"], "left")
+        .groupBy("dim")
+        .agg(
+            F.count_distinct("qid").cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("avg_recall"),
+        )
+        .orderBy("dim")
+    )
+
+
+def q_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matryoshka_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+EMB_MATRYOSHKA_SQL = rf"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % {MRL_QUERY_MOD} = 0
+),
+dims AS (SELECT unnest([{", ".join(str(d) for d in MRL_DIMS)}]) AS dim),
+scored AS (
+  SELECT q.qid, e.vec_id, d.dim,
+    round(
+      list_aggregate(list_transform(range(1, d.dim + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(range(1, d.dim + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+         * sqrt(list_aggregate(list_transform(range(1, d.dim + 1),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum'))), 4) AS cos
+  FROM embeddings e, q, dims d
+  WHERE e.vec_id <> q.qid
+),
+topk AS (
+  SELECT qid, dim, vec_id FROM (
+    SELECT qid, dim, vec_id,
+      row_number() OVER (PARTITION BY qid, dim
+                         ORDER BY cos DESC NULLS LAST, vec_id) AS rn
+    FROM scored)
+  WHERE rn <= {MRL_K}
+),
+gt AS (SELECT qid, vec_id FROM topk WHERE dim = {MRL_DIMS[-1]})
+SELECT t.dim,
+  CAST(count(DISTINCT t.qid) AS BIGINT) AS n_queries,
+  round(CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        / count(*), 4) AS avg_recall
+FROM topk t LEFT JOIN gt g ON t.qid = g.qid AND t.vec_id = g.vec_id
+GROUP BY t.dim
+ORDER BY t.dim
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk,
     "sim_topk_cosine_arrow": q_sim_topk_arrow,
@@ -969,6 +1088,7 @@ QUERIES = {
     "emb_pq": q_emb_pq,
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+    "emb_matryoshka_eval": q_emb_matryoshka,
 }
 
 ORACLES = {
@@ -978,4 +1098,5 @@ ORACLES = {
     # sim_ann_lsh is approximate by design -> rows-only driver check;
     # recall vs brute force asserted in tests/test_similarity.py.
     "emb_knn_join": EMB_KNN_JOIN_SQL,
+    "emb_matryoshka_eval": EMB_MATRYOSHKA_SQL,
 }

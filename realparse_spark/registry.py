@@ -77,9 +77,10 @@ _MODULES = (
 # Python-parity gated; bpe_apply rides the snapshot-cached artifact;
 # doc_span_clip oracled), inference's mannwhitney_u (oracled),
 # analytics' theil_sen_trend + winsorize_values (oracled) and
-# corpus_quality's quality_filter_report (oracled) queue behind the
-# window for the round-10 rotation: backlog 13, well under one round's
-# 50-row capacity.
+# corpus_quality's quality_filter_report (oracled) and similarity's
+# emb_matryoshka_eval (oracled) queue behind the window for the
+# round-10 rotation: backlog 14, well under one round's 50-row
+# capacity.
 _PRIORITY = (
     # --- (a) the r8 red row, re-earned first ---
     "clamped_balance",

@@ -367,3 +367,36 @@ def test_pq_driver_queries_match_golden_snapshot(spark, sf_dir):
             f"{name} shifted vs the committed golden snapshot; if the "
             "kernel change was intentional run tests/regen_pq_golden.py"
         )
+
+
+def test_matryoshka_lossless_truncation_perfect_recall(spark):
+    """If every component beyond the smallest evaluated width is zero,
+    truncation loses nothing: recall@k must be exactly 1.0 at EVERY
+    width (and the full-width row is 1.0 by construction always)."""
+    from realparse_spark.operators.similarity import matryoshka_eval
+
+    rows = []
+    for i in range(40):
+        head = [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]
+        rows.append((i, head + [0.0] * 56, i % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.dim: r.avg_recall for r in matryoshka_eval(emb).collect()}
+    assert out == {8: 1.0, 16: 1.0, 64: 1.0}
+
+
+def test_matryoshka_fixture_full_width_is_ground_truth(spark):
+    """On the real fixture the full-width row must be exactly 1.0 and
+    narrower widths in [0, 1] — the eval's internal consistency."""
+    from realparse_spark.operators.similarity import matryoshka_eval
+    from realparse_spark.sources.tables import load_table
+
+    out = {
+        r.dim: r.avg_recall
+        for r in matryoshka_eval(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        ).collect()
+    }
+    assert out[64] == 1.0
+    assert all(0.0 <= out[d] <= 1.0 for d in (8, 16))
