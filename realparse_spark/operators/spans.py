@@ -8,10 +8,10 @@ sub-document level a pretraining pipeline needs:
   Better", arXiv:2107.06499): find every word k-gram that occurs >= 2
   times ANYWHERE in the corpus (across documents or repeated inside
   one), then merge overlapping/adjacent hits into maximal duplicated
-  spans per document.  The reference repo's content filters operate on
-  whole lines (`real_parse.pl:117-129`); this is the corpus-curation
-  generalization: a span report is what decides whether to drop a
-  document, clip the span, or keep it.
+  spans per document.  The reference repo filters whole lines by
+  content (the `.wma`/`.wmv` substring gate in `web_parse.pl`); this is
+  the corpus-curation generalization: a span report is what decides
+  whether to drop a document, clip the span, or keep it.
 - ``bpe_train`` — byte-pair-encoding merge training (Sennrich et al.
   2016) as a driver-loop over Spark aggregates: the per-iteration pair
   count is the distributed part, the argmax/merge bookkeeping is O(1)
@@ -159,7 +159,11 @@ def dup_span_profile(
             F.sum((F.col("dup_tokens") > 0).cast("long")).alias("docs_hit"),
             F.sum("dup_tokens").alias("dup_tokens"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.sum("dup_tokens") / F.sum("n_tokens"), 4).alias("dup_frac"),
+            # greatest(..., 1): a source whose docs all tokenize empty
+            # must not divide by zero (ANSI Spark throws, DuckDB NULLs)
+            F.round(
+                F.sum("dup_tokens") / F.greatest(F.sum("n_tokens"), F.lit(1)), 4
+            ).alias("dup_frac"),
         )
         .orderBy("source")
     )
@@ -238,7 +242,7 @@ SELECT t.source,
     AS docs_hit,
   CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
   CAST(sum(len(t.tk)) AS BIGINT) AS total_tokens,
-  round(sum(coalesce(p.dup_tokens, 0)) / sum(len(t.tk)), 4) AS dup_frac
+  round(sum(coalesce(p.dup_tokens, 0)) / greatest(sum(len(t.tk)), 1), 4) AS dup_frac
 FROM toks t LEFT JOIN perdoc p USING (doc_id)
 GROUP BY t.source
 ORDER BY t.source
@@ -302,7 +306,9 @@ def dup_span_clip(
             F.sum("clip_tokens").alias("clip_tokens"),
             F.sum("n_tokens").alias("total_tokens"),
             F.round(
-                F.lit(1.0) - F.sum("clip_tokens") / F.sum("n_tokens"), 4
+                F.lit(1.0)
+                - F.sum("clip_tokens") / F.greatest(F.sum("n_tokens"), F.lit(1)),
+                4,
             ).alias("kept_frac"),
         )
         .orderBy("source")
@@ -340,7 +346,8 @@ SELECT t.source,
     AS docs_clipped,
   CAST(sum(coalesce(p.clip_tokens, 0)) AS BIGINT) AS clip_tokens,
   CAST(sum(len(t.tk)) AS BIGINT) AS total_tokens,
-  round(1.0 - sum(coalesce(p.clip_tokens, 0)) / sum(len(t.tk)), 4) AS kept_frac
+  round(1.0 - sum(coalesce(p.clip_tokens, 0)) / greatest(sum(len(t.tk)), 1), 4)
+    AS kept_frac
 FROM toks t LEFT JOIN perdoc p USING (doc_id)
 GROUP BY t.source
 ORDER BY t.source

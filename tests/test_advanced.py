@@ -559,3 +559,28 @@ def test_theil_sen_even_pair_count_median(spark):
     r = theil_sen_trend(ev).collect()[0]
     assert r.n_pairs == 6
     assert r.ts_slope_per_day == 1.5
+
+
+def test_theil_sen_single_day_type_kept(spark):
+    """A type whose events all land on ONE day has no slope pairs, but it
+    must still appear in the per-type report (n_pairs=0, NULL slope) —
+    a trend table that silently omits types misleads its reader."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.analytics import theil_sen_trend
+
+    rows = [
+        ("multi", "2024-01-01 00:00:00", 1.0),
+        ("multi", "2024-01-02 00:00:00", 2.0),
+        ("single", "2024-01-01 03:00:00", 5.0),
+        ("single", "2024-01-01 09:00:00", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).select("event_type", F.to_timestamp("ts").alias("ts"), "value")
+    got = {r.event_type: r for r in theil_sen_trend(ev).collect()}
+    assert set(got) == {"multi", "single"}
+    assert got["multi"].n_pairs == 1 and got["multi"].ts_slope_per_day == 1.0
+    assert got["single"].n_days == 1
+    assert got["single"].n_pairs == 0
+    assert got["single"].ts_slope_per_day is None

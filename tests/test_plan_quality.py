@@ -92,6 +92,7 @@ _BOUNDED_WINDOW_OK = {
     "ks_statistic": "analytics.py:2180 — CDF over the O(bins) cell table",
     "emb_threshold_sweep": "dedup.py:912 — cum count over O(bands~20) rows",
     "vocab_build": "text.py:971 — row_number after limit(vocab_size)",
+    "vocab_zipf_slope": "corpus_quality.py:129 — row_number after limit(top_n)",
     "error_budget": "inference.py:524 — 7-day frame over the O(days) rollup",
 }
 

@@ -164,6 +164,60 @@ def test_semdedup_keep_rule_planted(spark):
     assert c0.n_kept == c0.n_vecs - len(losers)
 
 
+def test_semdedup_hot_cluster_star_pairs(spark):
+    """Adversarial skew (the test_scale.py skew-fixture discipline): one
+    cluster owns well over half the corpus as near-identical vectors.
+    Above max_cluster the pair join must emit O(B) STAR pairs against
+    the hub — never B²/2 — while (a) every spoke near the hub is still
+    reported, (b) losers follow the keep rule, and (c) clusters below
+    the cap keep exact all-pairs semantics."""
+    from realparse_spark.operators.selection import (
+        _assign_and_score,
+        semdedup_pairs,
+    )
+
+    B = 40
+    # hot cluster: B near-identical vectors (tiny deterministic jitter
+    # keeps cent_cos distinct so the hub choice is meaningful)
+    rows = [
+        (i, [1.0, 0.0, 0.0, 0.001 * (i % 7)], 0) for i in range(1, B + 1)
+    ]
+    # a small control cluster with a planted near-dup pair
+    rows += [
+        (101, [0.0, 1.0, 0.0, 0.30], 1),
+        (102, [0.0, 1.0, 0.0, 0.29], 1),
+        (103, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    scored = _assign_and_score(emb).cache()
+    cc = {r.vec_id: (r.cluster_id, r.cent_cos) for r in scored.collect()}
+    hot_ids = [v for v, (c, _) in cc.items() if c == 0]
+    hub = max(hot_ids, key=lambda v: (cc[v][1], -v))
+
+    capped = semdedup_pairs(scored, tau=0.99, max_cluster=10).collect()
+    hot_pairs = [p for p in capped if p.cluster_id == 0]
+    # O(B): every hot pair touches the hub; near-identical spokes all pair
+    assert 0 < len(hot_pairs) <= B - 1
+    for p in hot_pairs:
+        assert hub in (p.vec_a, p.vec_b), (p, hub)
+        expected = p.vec_a if cc[p.vec_a][1] > cc[p.vec_b][1] else p.vec_b
+        assert p.loser == expected
+    # clusters below the cap are untouched: exact all-pairs parity with
+    # the uncapped run
+    ctl_capped = sorted(
+        (p.vec_a, p.vec_b, p.loser) for p in capped if p.cluster_id != 0
+    )
+    uncapped = semdedup_pairs(scored, tau=0.99).collect()
+    ctl_uncapped = sorted(
+        (p.vec_a, p.vec_b, p.loser) for p in uncapped if p.cluster_id != 0
+    )
+    assert ctl_capped == ctl_uncapped and (101, 102, 102) in ctl_capped
+    # and the uncapped hot cluster really is quadratic — the cap earns
+    # its keep (near-identical members: all pairs clear tau)
+    assert len([p for p in uncapped if p.cluster_id == 0]) > 10 * len(hot_pairs)
+    scored.unpersist()
+
+
 def test_semdedup_tau_monotone(spark):
     """Raising tau can only shrink the dup set."""
     emb = load_table(spark, SF, "embeddings")
