@@ -173,6 +173,7 @@ EXTRA = [
     "doc_cdc_dedup",        # content-defined chunk partial-dup report
     "dedup_phash",          # DCT perceptual-hash image near-dup pairs
     "dsir_importance",      # target-vs-raw log-ratio importance weights
+    "dsir_resample",        # Gumbel-top-k weighted selection off the weights
     "semdedup",             # cluster-blocked semantic dedup audit
     "ccnet_ppl_buckets",    # per-source LM-score tertile split
     "doc_dup_spans",        # ExactSubstr dup-span report (gram join + islands)
@@ -185,6 +186,10 @@ EXTRA = [
     "doc_span_clip",        # keep-first ExactSubstr clip accounting
     "winsorize_values",     # exact-order-stat clamped means per type
     "emb_matryoshka_eval",  # truncated-width recall curve vs full ground truth
+    "soft_dedup_weights",   # SoftDeDup down-weighting (exact micro-unit mass)
+    "lang_mix_temperature", # mT5 alpha-temperature language resampling rates
+    "group_safe_split",     # leakage-safe dup-group-disjoint split audit
+    "kmeans_train",         # 3 Lloyd iterations (broadcast assign + decimal means)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

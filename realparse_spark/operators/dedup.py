@@ -110,6 +110,106 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# soft dedup: down-weight duplicates instead of dropping them
+# ---------------------------------------------------------------------------
+
+
+def soft_dedup_weights(docs: DataFrame) -> DataFrame:
+    """Per-source SoftDeDup accounting (He et al. 2024, arXiv:2407.04126
+    'Softdedup: an efficient data reweighting method for speeding up
+    language model pretraining'): instead of DROPPING duplicates, each
+    document is down-weighted by its exact-duplicate multiplicity —
+    weight 1/m for a doc whose normalized text occurs m times — so a
+    group of m copies contributes exactly one document's worth of
+    sampling mass and every copy stays available.  The report gives per
+    source: raw vs effective (weighted) document and token counts — the
+    numbers a sampler feeds into its per-source rates.
+
+    Exactness: weights are rationals with tiny denominators (1/m), so
+    they accumulate in BIGINT MICRO-units (10^6 div m — integral, both
+    engines floor identically) and convert to a fraction with ONE
+    terminal double division per output row (the clamped_balance
+    discipline — no order-dependent float summation for engines to
+    disagree on).
+
+    Scale: multiplicity is ONE map-side-combined groupBy on the md5
+    fingerprint; the count joins back on the same key (shuffle reuse),
+    then ONE groupBy(source) with O(sources) output.  No pairwise work
+    anywhere — this is the linear companion to `dedup_exact`."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("fp"),
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    mult = base.groupBy("fp").agg(F.count(F.lit(1)).alias("m"))
+    weighted = base.join(mult, "fp").select(
+        "source",
+        "n_tokens",
+        (F.col("m") > 1).cast("long").alias("is_dup"),
+        # exact integer micro-weights: 10^6 div m, and token-mass
+        # micro-units n_tokens * 10^6 div m (n_tokens ~ 1e4 keeps the
+        # product far inside int64)
+        F.expr("1000000 div m").cast("bigint").alias("w_u"),
+        F.expr("n_tokens * 1000000 div m").cast("bigint").alias("tw_u"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("w_u").cast("bigint").alias("eff_docs_u"),
+            F.sum("tw_u").cast("bigint").alias("eff_tokens_u"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "n_tokens",
+            F.round(F.col("eff_docs_u") / 1000000.0, 4).alias("eff_docs"),
+            F.round(F.col("eff_tokens_u") / 1000000.0, 4).alias("eff_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realparse_spark.sources.tables import fan_out
+
+    return soft_dedup_weights(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+SOFT_DEDUP_WEIGHTS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+),
+mult AS (SELECT fp, count(*) AS m FROM base GROUP BY fp),
+weighted AS (
+  SELECT source, n_tokens,
+    CASE WHEN m > 1 THEN 1 ELSE 0 END AS is_dup,
+    CAST(1000000 // m AS BIGINT) AS w_u,
+    CAST(n_tokens * 1000000 // m AS BIGINT) AS tw_u
+  FROM base JOIN mult USING (fp)
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  round(CAST(sum(w_u) AS BIGINT) / 1000000.0, 4) AS eff_docs,
+  round(CAST(sum(tw_u) AS BIGINT) / 1000000.0, 4) AS eff_tokens
+FROM weighted
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact, inverted-index candidate join)
 # ---------------------------------------------------------------------------
 
@@ -1347,6 +1447,7 @@ QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
+    "soft_dedup_weights": q_soft_dedup_weights,
 }
 
 ORACLES = {
@@ -1362,4 +1463,5 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "soft_dedup_weights": SOFT_DEDUP_WEIGHTS_SQL,
 }

@@ -526,6 +526,192 @@ FROM per, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# temperature-scaled language mixture (mT5-style alpha sampling)
+# ---------------------------------------------------------------------------
+
+LANG_MIX_ALPHA = 0.3
+
+
+def lang_mix_temperature(docs: DataFrame, alpha: float = LANG_MIX_ALPHA) -> DataFrame:
+    """Temperature-scaled language sampling rates: q_l ∝ p_l^alpha over
+    the per-language token shares — the mT5/XLM-R recipe (Xue et al.
+    2021, arXiv:2010.11934 §3.1; alpha=0.3) that boosts low-resource
+    languages without flattening the mixture entirely.  Emits the raw
+    share, the temperature share, and the boost factor (q/p — the
+    up/down-sampling rate a sampler applies per language).
+
+    Determinism: integer token counts → one division each for p (round
+    6), then pow(p, alpha) and the normalizing sum run over the O(langs)
+    rollup — both engines evaluate pow/round on identical rounded
+    inputs, the dsir log-ratio discipline.
+
+    Scale: ONE map-side-combined groupBy(lang) — O(langs) rows ever
+    after; the normalization is a broadcast 1-row total."""
+    from realparse_spark.operators.text import token_count_ws
+
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("_t"))
+    p = F.round(F.col("n_tokens") / F.col("_t"), 6)
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "n_tokens", p.alias("raw_share"),
+        F.pow(p, F.lit(alpha)).alias("_q_raw"),
+    )
+    qtot = shared.agg(F.sum("_q_raw").alias("_qt"))
+    q = F.col("_q_raw") / F.col("_qt")
+    return (
+        shared.crossJoin(F.broadcast(qtot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "raw_share",
+            F.round(q, 6).alias("temp_share"),
+            F.round(q / F.col("raw_share"), 4).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_lang_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_mix_temperature(load_table(spark, sf_dir, "documents"))
+
+
+LANG_MIX_TEMPERATURE_SQL = rf"""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per),
+shared AS (
+  SELECT lang, n_docs, n_tokens,
+    round(n_tokens / t, 6) AS raw_share,
+    pow(round(n_tokens / t, 6), {LANG_MIX_ALPHA}) AS q_raw
+  FROM per, tot
+),
+qt AS (SELECT sum(q_raw) AS qt FROM shared)
+SELECT lang, n_docs, n_tokens, raw_share,
+  round(q_raw / qt, 6) AS temp_share,
+  round((q_raw / qt) / raw_share, 4) AS boost
+FROM shared, qt
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe (group-disjoint) train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def group_safe_split(
+    docs: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Leakage-safe split audit: the split key is the document's
+    exact-duplicate GROUP fingerprint (md5 of normalized text), not the
+    doc_id — so all copies of a duplicated document land in the SAME
+    split and the eval set can never contain a training near-twin (the
+    classic benchmark-leak a plain hash_split ships at corpus scale;
+    the ExactSubstr paper's motivating failure).  Emits per split:
+    group/doc/token counts plus `leaked_groups`, the number of groups
+    observed in more than one split — structurally ZERO here, published
+    so a pipeline can assert it.
+
+    Scale: one groupBy on the fingerprint (map-side combined), bucket
+    from the group key's md5 (deterministic, the hash_split discipline),
+    ONE O(splits) rollup.  No joins back to the corpus — the group table
+    already carries the counts."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        F.md5(norm).alias("fp"),
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    groups = base.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("fp"))), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = groups.select(split.alias("split"), "n_docs", "n_tokens", "fp")
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    # a group is ONE row here, so it cannot straddle splits — the audit
+    # column proves the property in-band rather than asserting it in prose
+    leaks = (
+        tagged.groupBy("fp")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_groups")
+        )
+    )
+    return (
+        per_split.crossJoin(F.broadcast(leaks))
+        .select("split", "n_groups", "n_docs", "n_tokens", "leaked_groups")
+        .orderBy("split")
+    )
+
+
+def q_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realparse_spark.sources.tables import fan_out
+
+    return group_safe_split(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+GROUP_SAFE_SPLIT_SQL = r"""
+WITH base AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+),
+groups AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM base GROUP BY fp
+),
+tagged AS (
+  SELECT fp, n_docs, n_tokens,
+    CASE
+      WHEN CAST(concat('0x', substring(md5('split:' || fp), 1, 15)) AS BIGINT) % 100 < 80
+        THEN 'train'
+      WHEN CAST(concat('0x', substring(md5('split:' || fp), 1, 15)) AS BIGINT) % 100 < 90
+        THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM groups
+),
+per AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM tagged GROUP BY split
+),
+leaks AS (
+  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_groups
+  FROM (SELECT fp, count(DISTINCT split) AS ns FROM tagged GROUP BY fp)
+)
+SELECT split, n_groups, n_docs, n_tokens, leaked_groups
+FROM per, leaks
+ORDER BY split
+"""
+
+
 def stratified_take(
     docs: DataFrame, stratum_col: str, n_per_stratum: int, key_col: str = "doc_id"
 ) -> DataFrame:
@@ -949,6 +1135,8 @@ QUERIES = {
     "doc_pipeline_e2e": q_doc_pipeline_e2e,
     "doc_source_mix": q_doc_source_mix,
     "doc_chunk": q_doc_chunk,
+    "lang_mix_temperature": q_lang_mix_temperature,
+    "group_safe_split": q_group_safe_split,
 }
 
 ORACLES = {
@@ -966,4 +1154,6 @@ ORACLES = {
     "doc_pipeline_e2e": _doc_pipeline_sql(),
     "doc_source_mix": DOC_SOURCE_MIX_SQL,
     "doc_chunk": DOC_CHUNK_SQL,
+    "lang_mix_temperature": LANG_MIX_TEMPERATURE_SQL,
+    "group_safe_split": GROUP_SAFE_SPLIT_SQL,
 }

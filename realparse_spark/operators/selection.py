@@ -266,19 +266,7 @@ def _assign_and_score(emb: DataFrame) -> DataFrame:
     dot = lambda a, b: fold(F.zip_with(a, b, lambda x, y: x * y))  # noqa: E731
     norm = lambda a: F.sqrt(fold(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))  # noqa: E731
 
-    long = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-    cent_long = long.groupBy("label", "pos").agg(
-        F.round(
-            F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("c")
-    )
-    cents = cent_long.groupBy(F.col("label").alias("cluster_id")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("cvec")
-    )
+    cents = _label_prior_centroids(emb)
     cand = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
     d2 = F.round(fold(F.zip_with(F.col("embedding"), F.col("cvec"), dim_sq)), 6)
     w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
@@ -644,11 +632,167 @@ ORDER BY source, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# k-means training (Lloyd iterations as a fixed unrolled plan)
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 3
+
+
+def _label_prior_centroids(emb: DataFrame) -> DataFrame:
+    """(cluster_id, cvec) from the coarse `label` prior — exact-decimal
+    per-dimension mean rounded to 6 (the emb_centroids discipline);
+    shared by `_assign_and_score`'s one-step path and `kmeans_train`."""
+    long = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent_long = long.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    return cent_long.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+
+
+def kmeans_train(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """`iters` full Lloyd iterations of k-means over the embedding table
+    (Lloyd 1982), centroids seeded from the coarse `label` prior —
+    the multi-step generalization of `semdedup`'s single reassignment,
+    exposed because a pipeline that clusters for curriculum, SemDeDup
+    blocking, or IVF coarse quantizers wants the converged assignment,
+    not one step.  Emits the per-cluster audit after the final
+    assignment: member count and inertia (sum of squared L2 distances —
+    THE k-means objective, so round-over-round runs can assert descent).
+
+    Determinism (the semdedup discipline end-to-end): centroid
+    components are exact-decimal means rounded to 6; distances round to
+    6 with (d2, cluster_id) lexicographic argmin; inertia accumulates in
+    exact DECIMAL(18,6) (associative — no float summation order for
+    engines to disagree on) with ONE terminal double conversion.  A
+    cluster that loses every member simply drops out of the table —
+    identical behavior in both engines, asserted in tests.
+
+    Scale: each iteration is ONE broadcast of the O(K·dim) centroid
+    table against the corpus (linear, never quadratic) and ONE
+    map-side-combined (cluster, dim) mean; the centroid table is
+    localCheckpoint'd per iteration (the pagerank_parts
+    iterate-over-aggregates discipline) so the physical plan stays
+    O(1)-deep per step instead of nesting `iters` scans."""
+    dim_sq = lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)  # noqa: E731
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+
+    cents = _label_prior_centroids(emb).localCheckpoint(eager=False)
+    assigned = None
+    for _ in range(iters):
+        cand = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+        d2 = F.round(fold(F.zip_with(F.col("embedding"), F.col("cvec"), dim_sq)), 6)
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+        assigned = (
+            cand.withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id", "embedding", "d2")
+        )
+        long = assigned.select(
+            "cluster_id", F.posexplode("embedding").alias("pos", "v")
+        )
+        cent_long = long.groupBy("cluster_id", "pos").agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+        cents = cent_long.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        ).localCheckpoint(eager=False)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_train(fan_out(load_table(spark, sf_dir, "embeddings")))
+
+
+def _kmeans_sql(iters: int = KMEANS_ITERS) -> str:
+    """Unrolled DuckDB mirror: one (assign, recenter) CTE pair per Lloyd
+    iteration, same rounding at every seam as the Spark plan."""
+    d2 = (
+        "round(list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), 'sum'), 6)"
+    )
+    parts = [
+        """long0 AS (
+  SELECT label AS cluster_id,
+    unnest(range(0, len(embedding))) AS pos,
+    unnest(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS v
+  FROM embeddings
+),
+cents0 AS (
+  SELECT cluster_id, list(c ORDER BY pos) AS cvec
+  FROM (SELECT cluster_id, pos, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+        FROM long0 GROUP BY cluster_id, pos)
+  GROUP BY cluster_id
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""cand{i} AS (
+  SELECT e.vec_id, e.embedding, c.cluster_id, {d2} AS d2
+  FROM embeddings e CROSS JOIN cents{i - 1} c
+),
+assigned{i} AS (
+  SELECT vec_id, embedding, cluster_id, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+        FROM cand{i})
+  WHERE rn = 1
+),
+cents{i} AS (
+  SELECT cluster_id, list(c ORDER BY pos) AS cvec
+  FROM (SELECT cluster_id, pos, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+        FROM (SELECT cluster_id,
+                unnest(range(0, len(embedding))) AS pos,
+                unnest(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS v
+              FROM assigned{i})
+        GROUP BY cluster_id, pos)
+  GROUP BY cluster_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cluster_id,
+  CAST(count(*) AS BIGINT) AS n_members,
+  round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE), 4) AS inertia
+FROM assigned{iters}
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+    )
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "dsir_resample": q_dsir_resample,
     "semdedup": q_semdedup,
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+    "kmeans_train": q_kmeans_train,
 }
 
 ORACLES = {
@@ -656,4 +800,5 @@ ORACLES = {
     "dsir_resample": DSIR_RESAMPLE_SQL,
     "semdedup": SEMDEDUP_SQL,
     "ccnet_ppl_buckets": CCNET_PPL_BUCKETS_SQL,
+    "kmeans_train": _kmeans_sql(),
 }

@@ -378,3 +378,30 @@ def test_incremental_minhash_matches_batch_cross_pairs(spark):
         for r in q_dedup_incremental_minhash(spark, sf).collect()
     }
     assert got == expect and got, (len(got), len(expect))
+
+
+def test_soft_dedup_weights_exact_mass(spark):
+    """Planted multiplicities: a group of m copies must contribute
+    exactly one document (and one document's tokens) of effective mass,
+    to micro-unit precision — the SoftDeDup invariant that dropping-free
+    reweighting preserves unique content mass."""
+    from realparse_spark.operators.dedup import soft_dedup_weights
+
+    rows = (
+        [(i, "alpha beta gamma", "en", "a", 16) for i in range(4)]      # m=4
+        + [(10 + i, "delta epsilon", "en", "a", 13) for i in range(2)]  # m=2
+        + [(20, "zeta eta theta iota", "en", "b", 19)]                  # unique
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in soft_dedup_weights(docs).collect()}
+    a, b = out["a"], out["b"]
+    assert a.n_docs == 6 and a.n_dup_docs == 6 and b.n_dup_docs == 0
+    # two groups in source a -> exactly 2.0 effective docs; tokens: one
+    # 3-token + one 2-token document's worth
+    assert abs(a.eff_docs - 2.0) < 1e-4
+    assert abs(a.eff_tokens - 5.0) < 1e-4
+    assert b.eff_docs == 1.0 and b.eff_tokens == 4.0
+    # raw token mass is conserved in the raw columns
+    assert a.n_tokens == 4 * 3 + 2 * 2 and b.n_tokens == 4

@@ -267,3 +267,28 @@ def test_selection_plans_are_scale_clean(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_kmeans_train_descends_and_recovers_planted_clusters(spark):
+    """Lloyd's invariant: inertia is non-increasing in the iteration
+    count; and on a corpus whose label prior is WRONG for half the
+    points, three iterations recover the true geometry (every planted
+    tight cluster ends as one k-means cluster)."""
+    from realparse_spark.operators.selection import kmeans_train
+
+    # two tight blobs, but labels deliberately mix them (the prior a
+    # real corpus gives you: noisy)
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + 0.01 * (i % 3), 0.0, 0.0, 0.0], i % 2))
+    for i in range(20, 40):
+        rows.append((i, [0.0, 10.0 + 0.01 * (i % 3), 0.0, 0.0], i % 2))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    one = kmeans_train(emb, iters=1).collect()
+    three = kmeans_train(emb, iters=3).collect()
+    assert sum(r.n_members for r in three) == 40
+    assert sum(r.inertia for r in three) <= sum(r.inertia for r in one) + 1e-6
+    # converged: two clusters of 20, each with tiny within-blob spread
+    sizes = sorted(r.n_members for r in three)
+    assert sizes == [20, 20]
+    assert all(r.inertia < 1.0 for r in three)
