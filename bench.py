@@ -190,6 +190,7 @@ EXTRA = [
     "lang_mix_temperature", # mT5 alpha-temperature language resampling rates
     "group_safe_split",     # leakage-safe dup-group-disjoint split audit
     "kmeans_train",         # 3 Lloyd iterations (broadcast assign + decimal means)
+    "emb_drift",            # epoch-over-epoch centroid shift monitor
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

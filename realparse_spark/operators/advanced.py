@@ -1184,6 +1184,106 @@ FROM ex GROUP BY label, pos
 
 
 # ---------------------------------------------------------------------------
+# embedding drift monitor: epoch-over-epoch centroid shift per label
+# ---------------------------------------------------------------------------
+
+def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label drift between two ingest epochs of the embedding table:
+    centroid cosine (1.0 = no drift), per-epoch member counts, and the
+    count delta — the monitor a pipeline reads when a new encoder
+    version or a crawl shift silently moves a label's embedding cloud
+    (downstream ANN indexes and SemDeDup blocks both assume stability).
+    The fixture has no ingest timestamps, so epochs are the
+    deterministic vec_id parity split; production partitions by load
+    date and compares adjacent snapshots with the same plan.
+
+    Exactness: per-epoch centroids are the emb_centroids discipline
+    (exact decimal sums, one IEEE division, round 6); the cosine runs
+    over the two O(dim) rounded vectors — engine-identical inputs, one
+    fold each for dot and norms.
+
+    Scale: ONE posexplode shuffled on (label, epoch, pos) — map-side
+    combined; everything after is O(labels · dim) then O(labels).  No
+    joins against the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).cast("int").alias("epoch"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    cent = ex.groupBy("label", "epoch", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c"),
+        # per-dimension row count is the member count (same for every
+        # pos of a (label, epoch)); max() collapses it without a join
+        F.count(F.lit(1)).alias("n"),
+    )
+    vecs = cent.groupBy("label", "epoch").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec"),
+        F.max("n").cast("bigint").alias("n_members"),
+    )
+    a = vecs.filter(F.col("epoch") == 0).select(
+        "label", F.col("cvec").alias("ca"), F.col("n_members").alias("n_epoch0")
+    )
+    b = vecs.filter(F.col("epoch") == 1).select(
+        "label", F.col("cvec").alias("cb"), F.col("n_members").alias("n_epoch1")
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)  # noqa: E731
+    dot = fold(F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x * y))
+    na = F.sqrt(fold(F.transform(F.col("ca"), lambda x: x * x)))
+    nb = F.sqrt(fold(F.transform(F.col("cb"), lambda x: x * x)))
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            "n_epoch0",
+            "n_epoch1",
+            (F.col("n_epoch1") - F.col("n_epoch0")).cast("bigint").alias("n_delta"),
+            F.round(dot / (na * nb), 6).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_DRIFT_SQL = """
+WITH ex AS (
+  SELECT label, CAST(vec_id % 2 AS INTEGER) AS epoch,
+    unnest(range(0, len(embedding))) AS pos,
+    unnest(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, epoch, pos,
+    round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c,
+    count(*) AS n
+  FROM ex GROUP BY label, epoch, pos
+),
+vecs AS (
+  SELECT label, epoch, list(c ORDER BY pos) AS cvec,
+         CAST(max(n) AS BIGINT) AS n_members
+  FROM cent GROUP BY label, epoch
+)
+SELECT a.label,
+  a.n_members AS n_epoch0,
+  b.n_members AS n_epoch1,
+  CAST(b.n_members - a.n_members AS BIGINT) AS n_delta,
+  round(
+    list_aggregate(list_transform(range(1, len(a.cvec) + 1), i -> a.cvec[i] * b.cvec[i]), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.cvec, x -> x * x), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.cvec, x -> x * x), 'sum'))), 6
+  ) AS centroid_cos
+FROM (SELECT * FROM vecs WHERE epoch = 0) a
+JOIN (SELECT * FROM vecs WHERE epoch = 1) b USING (label)
+ORDER BY a.label
+"""
+
+
+# ---------------------------------------------------------------------------
 # window-relative filter: parts priced above their brand average
 # ---------------------------------------------------------------------------
 
@@ -1231,6 +1331,7 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "sql_interface": q_sql_interface,
     "emb_centroids": q_emb_centroids,
+    "emb_drift": q_emb_drift,
     "above_avg_parts": q_above_avg_parts,
     "cube_agg": q_cube_agg,
     "grouping_sets_agg": q_grouping_sets,
@@ -1262,6 +1363,7 @@ ORACLES = {
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "sql_interface": _SQL_INTERFACE_TEXT.format(orders="orders", customer="customer"),
     "emb_centroids": EMB_CENTROIDS_SQL,
+    "emb_drift": EMB_DRIFT_SQL,
     "above_avg_parts": ABOVE_AVG_PARTS_SQL,
     "cube_agg": CUBE_AGG_SQL,
     "grouping_sets_agg": GROUPING_SETS_SQL,

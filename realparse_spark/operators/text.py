@@ -363,6 +363,96 @@ HAVING count(*) >= 3""",
 )
 
 
+def source_overlap_matrix(fps: DataFrame, docs: DataFrame) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every source pair, the
+    number of distinct winnowing fingerprints they share and the
+    containment in each direction (shared / fps-in-source) — the
+    "which crawl duplicated which" report that decides source-level
+    dedup order before any per-document pass (a mirror site shows up as
+    containment near 1.0 in one direction).  The per-document companion
+    is `contamination_pairs`; this collapses to source granularity
+    FIRST, so the join fans out per fingerprint by sources-sharing-it,
+    never by documents-sharing-it.
+
+    Scale: (source, fp) distinct is one shuffle; the self-join key is
+    the fingerprint with ≤ |sources|² fan-out per fp — bounded by the
+    SOURCE cardinality, which is what makes the matrix tractable where
+    doc-level all-pairs is not.  With thousands of sources, apply the
+    contamination_pairs fp_cap discipline first.  Output O(sources²)."""
+    sfp = (
+        fps.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+    )
+    counts = sfp.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_fps"))
+    a = sfp.select(F.col("source").alias("source_a"), "fp")
+    b = sfp.select(F.col("source").alias("source_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col("source").alias("source_a"), F.col("n_fps").alias("n_fps_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"), F.col("n_fps").alias("n_fps_b")
+    )
+    return (
+        shared.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_fps_a",
+            "n_fps_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_fps_a"), 6).alias("contain_a"),
+            F.round(F.col("n_shared") / F.col("n_fps_b"), 6).alias("contain_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = spark.read.parquet(_winnow_fp_for(spark, sf_dir))
+    return source_overlap_matrix(fps, load_table(spark, sf_dir, "documents"))
+
+
+# extends the winnow CTE chain: fp rows -> (source, fp) distinct ->
+# source-pair shared counts + directional containment
+SOURCE_OVERLAP_MATRIX_SQL = _sql_splice(
+    TEXT_WINNOW_SQL,
+    "SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM m",
+    """,
+fp_rows AS (
+  SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM m
+),
+sfp AS (
+  SELECT DISTINCT d.source, r.fp
+  FROM fp_rows r JOIN documents d USING (doc_id)
+),
+counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_fps FROM sfp GROUP BY source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b,
+  ca.n_fps AS n_fps_a, cb.n_fps AS n_fps_b, s.n_shared,
+  round(s.n_shared / CAST(ca.n_fps AS DOUBLE), 6) AS contain_a,
+  round(s.n_shared / CAST(cb.n_fps AS DOUBLE), 6) AS contain_b
+FROM shared s
+JOIN counts ca ON ca.source = s.source_a
+JOIN counts cb ON cb.source = s.source_b
+ORDER BY s.source_a, s.source_b""",
+)
+
+
 def top_bigram_count_expr(toks: Column) -> Column:
     """Count of the most-repeated adjacent word bigram, per-row (zero
     shuffles): the max count equals the longest run in the SORTED bigram
@@ -1301,6 +1391,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_winnow": q_text_winnow,
     "text_contamination": q_text_contamination,
+    "source_overlap_matrix": q_source_overlap_matrix,
     "doc_decontaminate": q_doc_decontaminate,
     "bpe_pair_counts": q_bpe_pair_counts,
     "word_pmi": q_word_pmi,
@@ -1321,6 +1412,7 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_winnow": TEXT_WINNOW_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_MATRIX_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "word_pmi": WORD_PMI_SQL,

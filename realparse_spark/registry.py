@@ -74,10 +74,10 @@ _MODULES = (
 # backlog stays <= one round's driver capacity (the rule that took the
 # backlog 60 -> 10 -> 7 -> 0 -> 14 -> 0).  Round-10 growth: the four
 # new LLM-pipeline ops (soft_dedup_weights, lang_mix_temperature,
-# group_safe_split — pipeline_ops/dedup — and kmeans_train in
-# selection, all oracled, all gate-tested) queue behind the window for
-# the round-11 rotation alongside the 23 deferred stale names:
-# round-11 backlog 4 never-sampled + 23 stale, well under capacity.
+# group_safe_split — pipeline_ops/dedup — kmeans_train in selection,
+# and emb_drift in advanced; all oracled, all gate-tested) queue behind
+# the window for the round-11 rotation alongside the 23 deferred stale
+# names: round-11 backlog 5 never-sampled + 23 stale, under capacity.
 _PRIORITY = (
     # --- (a) the r8/r9 red row, re-earned in integer representation ---
     "clamped_balance",

@@ -584,3 +584,29 @@ def test_theil_sen_single_day_type_kept(spark):
     assert got["single"].n_days == 1
     assert got["single"].n_pairs == 0
     assert got["single"].ts_slope_per_day is None
+
+
+def test_emb_drift_identity_and_shift(spark):
+    """No-drift identity: when both epochs hold the same cloud, the
+    centroid cosine is 1.0 and the count delta 0; an injected shift in
+    epoch 1 must pull the cosine strictly below the unshifted label's."""
+    from realparse_spark.operators.advanced import q_emb_drift
+
+    rows = []
+    for i in range(40):  # label 0: identical clouds on both parities
+        rows.append((i * 2, [1.0, 2.0, 3.0, 4.0], 0))
+        rows.append((i * 2 + 1, [1.0, 2.0, 3.0, 4.0], 0))
+    for i in range(40):  # label 1: epoch-1 members (odd vec_id) rotated
+        rows.append((1000 + i * 2, [5.0, 0.0, 0.0, 1.0], 1))
+        rows.append((1000 + i * 2 + 1, [0.0, 5.0, 1.0, 0.0], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = {r.label: r for r in q_emb_drift(spark, td).collect()}
+    assert out[0].centroid_cos == 1.0
+    assert out[0].n_delta == 0 and out[0].n_epoch0 == 40
+    assert out[1].centroid_cos < 0.2  # near-orthogonal planted shift

@@ -228,3 +228,42 @@ def test_quality_filter_rules_fire_individually(spark):
     assert r.r_bigram == 2  # the hot-pair doc + the dupdup run
     assert r.r_wordlen == 1  # only the 40-char-word doc
     assert r.r_stopword == 1  # only the no-stopword doc
+
+
+def test_source_overlap_matrix_mirror_and_disjoint(spark):
+    """Planted mirror: source 'mir' carries exact copies of source
+    'orig' docs, so containment in the mir direction must be 1.0; a
+    character-disjoint source shares nothing.  Counts are checked
+    directionally — the matrix's reason to exist is telling WHICH side
+    is the subset."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.text import (
+        source_overlap_matrix,
+        winnow_fingerprints,
+    )
+
+    orig = [
+        (i, f"the quick brown fox number {i} jumps over the lazy dog", "en", "orig", 50)
+        for i in range(10)
+    ]
+    # mirror copies HALF of orig's docs verbatim (subset relation)
+    mirror = [
+        (100 + i, orig[i][1], "en", "mir", 50) for i in range(5)
+    ]
+    disjoint = [
+        (200 + i, "0123456789" * 5 + str(i), "en", "zzz", 55) for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        orig + mirror + disjoint,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fps = winnow_fingerprints(docs)
+    out = {(r.source_a, r.source_b): r for r in source_overlap_matrix(fps, docs).collect()}
+    m = out[("mir", "orig")]
+    # every mir fingerprint exists in orig -> containment 1.0 on the mir side
+    assert m.contain_a == 1.0
+    assert m.n_shared == m.n_fps_a <= m.n_fps_b
+    # digits-only source vs letters-heavy orig: no shared fingerprints
+    # means the pair row is absent entirely (inner join on shared fps)
+    assert ("orig", "zzz") not in out or out[("orig", "zzz")].n_shared == 0
