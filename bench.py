@@ -191,6 +191,8 @@ EXTRA = [
     "group_safe_split",     # leakage-safe dup-group-disjoint split audit
     "kmeans_train",         # 3 Lloyd iterations (broadcast assign + decimal means)
     "emb_drift",            # epoch-over-epoch centroid shift monitor
+    "source_overlap_matrix",  # source-pair winnow containment matrix
+    "packing_efficiency",   # context-window utilization / waste report
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

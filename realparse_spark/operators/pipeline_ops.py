@@ -257,6 +257,76 @@ FROM p GROUP BY source, pack_id
 """
 
 
+PACK_CTX_LEN = 256
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source batch-efficiency report over `pack_sequences`' greedy
+    packing: pack count, token totals, capacity utilization (integer
+    ppm), and how many packs overflow / underfill the context budget —
+    the number a training pipeline watches because wasted pad tokens are
+    wasted FLOPs, and chronic overflow means documents straddle windows
+    (truncation loss).  All arithmetic integer-exact (ppm by integral
+    division, the oov_rate discipline); O(sources) output off the
+    already-shuffled pack rollup — no second pass over the corpus."""
+    packed = pack_sequences(load_table(spark, sf_dir, "documents"), PACK_CTX_LEN)
+    per_pack = packed.groupBy("source", "pack_id").agg(
+        F.sum("n_tok").cast("bigint").alias("pack_tokens")
+    )
+    return (
+        per_pack.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+            F.sum("pack_tokens").cast("bigint").alias("total_tokens"),
+            F.sum((F.col("pack_tokens") > PACK_CTX_LEN).cast("long"))
+            .cast("bigint")
+            .alias("overflow_packs"),
+            F.sum((F.col("pack_tokens") < PACK_CTX_LEN).cast("long"))
+            .cast("bigint")
+            .alias("underfull_packs"),
+        )
+        .select(
+            "source",
+            "n_packs",
+            "total_tokens",
+            F.expr(f"total_tokens * 1000000 div (n_packs * {PACK_CTX_LEN})").alias(
+                "util_ppm"
+            ),
+            "overflow_packs",
+            "underfull_packs",
+        )
+        .orderBy("source")
+    )
+
+
+PACKING_EFFICIENCY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT source,
+    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // {PACK_CTX_LEN} AS pack_id,
+    n_tok
+  FROM t
+),
+per_pack AS (
+  SELECT source, pack_id, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+  FROM p GROUP BY source, pack_id
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_packs,
+  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(pack_tokens) * 1000000 // (count(*) * {PACK_CTX_LEN}) AS BIGINT) AS util_ppm,
+  CAST(sum(CASE WHEN pack_tokens > {PACK_CTX_LEN} THEN 1 ELSE 0 END) AS BIGINT) AS overflow_packs,
+  CAST(sum(CASE WHEN pack_tokens < {PACK_CTX_LEN} THEN 1 ELSE 0 END) AS BIGINT) AS underfull_packs
+FROM per_pack
+GROUP BY source
+ORDER BY source
+"""
+
+
 # per-source sampling rates for the driver query: crawl-heavy sources
 # downsampled hard, curated ones kept — the classic mixture-rebalance shape
 SAMPLE_RATES = {"src0": 100, "src1": 25, "src2": 10}
@@ -1137,6 +1207,7 @@ QUERIES = {
     "doc_chunk": q_doc_chunk,
     "lang_mix_temperature": q_lang_mix_temperature,
     "group_safe_split": q_group_safe_split,
+    "packing_efficiency": q_packing_efficiency,
 }
 
 ORACLES = {
@@ -1156,4 +1227,5 @@ ORACLES = {
     "doc_chunk": DOC_CHUNK_SQL,
     "lang_mix_temperature": LANG_MIX_TEMPERATURE_SQL,
     "group_safe_split": GROUP_SAFE_SPLIT_SQL,
+    "packing_efficiency": PACKING_EFFICIENCY_SQL,
 }

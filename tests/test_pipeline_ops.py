@@ -401,3 +401,36 @@ def test_group_safe_split_vs_docid_split_leaks(spark):
         b = int(hashlib.md5(f"split:{10_000 + i}".encode()).hexdigest()[:15], 16) % 100
         n_splits.add("train" if b < 80 else "val" if b < 90 else "test")
     assert len(n_splits) >= 2
+
+
+def test_packing_efficiency_conserves_and_bounds(spark):
+    """Token conservation (sum over packs == corpus token count per
+    source), utilization <= 1e6 ppm only when nothing overflows, and the
+    greedy invariant: at most ONE underfull pack per source can be
+    non-terminal-overflow-free — concretely, every pack except the last
+    holds >= ctx_len tokens when docs never exceed the budget."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.pipeline_ops import (
+        PACK_CTX_LEN,
+        q_packing_efficiency,
+    )
+    from realparse_spark.operators.text import ws_tokens
+    from realparse_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.source: r for r in q_packing_efficiency(spark, sf).collect()}
+    exact = {
+        r.source: r.t
+        for r in load_table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(ws_tokens(F.col("text")))).alias("t"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for src, r in out.items():
+        assert r.total_tokens == exact[src]
+        assert r.underfull_packs >= 1  # the terminal partial pack
+        assert r.overflow_packs + r.underfull_packs <= r.n_packs + 1
+        # utilization consistent with its own integer definition
+        assert r.util_ppm == r.total_tokens * 1_000_000 // (r.n_packs * PACK_CTX_LEN)
