@@ -700,8 +700,119 @@ GROUP BY 1 ORDER BY 1
 # The streaming lifecycle's contract is identical to the batch loader's:
 # after both runs every synthesized line is in the warehouse exactly once,
 # so the oracle IS the load_e2e oracle (aggregate the lines directly).
+def q_stream_quality_route_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-GATE router lifecycle (streaming/pipeline.py
+    `stream_quality_route`): two JSON-lines rotations (even doc_ids,
+    then odd) stream through the foreachBatch keep/drop fan-out with a
+    shared checkpoint — the second run must process ONLY the new file
+    (the file-source processed-file log), and every input row must land
+    in EXACTLY one sink.  The report unions both sinks into per
+    (source, route) doc/token counts; the oracle recomputes the same
+    scan-speed rules (token floor, punctuation ceiling) in SQL over the
+    whole corpus, so a double-append, a dropped rotation, or a routing
+    divergence breaks the compare."""
+    from realparse_spark.streaming.pipeline import stream_quality_route
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    if docs.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "source string, route string, n_docs long, n_tokens long"
+        )
+    # the fixture corpus passes the gate everywhere, so PLANT junk docs
+    # (punct-heavy, under the token floor) to force the drop route —
+    # mirrored row-for-row in the oracle (the pii_density discipline)
+    junk = spark.range(30).select(
+        (F.col("id") + 20_000_000).alias("doc_id"),
+        F.lit("junk").alias("source"),
+        F.lit("??? !!! ###").alias("text"),
+    )
+    docs = docs.unionByName(junk)
+
+    def jsonify(df: DataFrame) -> DataFrame:
+        ingest = F.from_unixtime(
+            F.unix_timestamp(F.lit("2003-01-01 00:00:00").cast("timestamp"))
+            + F.col("doc_id") % 300
+        )
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id"),
+                    F.col("source"),
+                    F.col("text"),
+                    F.date_format(ingest, "yyyy-MM-dd HH:mm:ss").alias("ingest_ts"),
+                )
+            ).alias("value")
+        )
+
+    root = tempfile.mkdtemp(prefix="realparse_stream_route_")
+    try:
+        inbox = os.path.join(root, "inbox")
+        os.makedirs(inbox)
+        keep_dir = os.path.join(root, "keep")
+        drop_dir = os.path.join(root, "drop")
+        ck = os.path.join(root, "ck")
+
+        _write_rotation(jsonify(docs.filter(F.col("doc_id") % 2 == 0)), root, inbox, "docs.0001.json")
+        stream_quality_route(spark, inbox, keep_dir, drop_dir, ck).awaitTermination()
+        _write_rotation(jsonify(docs.filter(F.col("doc_id") % 2 == 1)), root, inbox, "docs.0002.json")
+        stream_quality_route(spark, inbox, keep_dir, drop_dir, ck).awaitTermination()
+
+        def read_sink(path: str, route: str) -> DataFrame | None:
+            # a route no document took never creates its directory (or
+            # holds no part files) — skip it instead of failing the read
+            if not os.path.isdir(path) or not any(
+                f.endswith(".parquet") for f in os.listdir(path)
+            ):
+                return None
+            return spark.read.parquet(path).withColumn("route", F.lit(route))
+
+        sinks = [
+            s
+            for s in (read_sink(keep_dir, "keep"), read_sink(drop_dir, "drop"))
+            if s is not None
+        ]
+        both = sinks[0]
+        for s in sinks[1:]:
+            both = both.unionByName(s)
+        res = (
+            both.groupBy("source", "route")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            )
+            .orderBy("source", "route")
+        )
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_QUALITY_ROUTE_E2E_SQL = r"""
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'junk' AS source, '??? !!! ###' AS text FROM range(30)
+),
+scored AS (
+  SELECT source,
+    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tok,
+    CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) >= 5
+          AND len(regexp_extract_all(text, '[^\w\s]')) * 5 < length(text)
+         THEN 'keep' ELSE 'drop' END AS route
+  FROM corpus
+)
+SELECT source, route,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM scored
+GROUP BY source, route
+ORDER BY source, route
+"""
+
+
 QUERIES = {
     "stream_load_e2e": q_stream_load_e2e,
+    "stream_quality_route_e2e": q_stream_quality_route_e2e,
     "stream_enrich_e2e": q_stream_enrich_e2e,
     "stream_window_e2e": q_stream_window_e2e,
     "stream_upsert_e2e": q_stream_upsert_e2e,
@@ -712,6 +823,7 @@ QUERIES = {
 }
 ORACLES = {
     "stream_enrich_e2e": STREAM_ENRICH_E2E_SQL,
+    "stream_quality_route_e2e": STREAM_QUALITY_ROUTE_E2E_SQL,
     "stream_dedup_e2e": STREAM_DEDUP_E2E_SQL,
     "stream_session_e2e": STREAM_SESSION_E2E_SQL,
     "stream_custom_state_e2e": STREAM_CUSTOM_STATE_E2E_SQL,

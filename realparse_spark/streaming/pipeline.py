@@ -299,6 +299,57 @@ def stream_enrich_access(
     )
 
 
+def stream_quality_route(
+    spark: SparkSession,
+    in_dir: str,
+    out_keep: str,
+    out_drop: str,
+    checkpoint_dir: str,
+):
+    """Streaming quality GATE with routed sinks: score each arriving
+    JSON-lines document with scan-speed rules (token floor + punctuation
+    ceiling — the quality_filter_report family) and fan the micro-batch
+    out to keep/ and drop/ parquet sinks via ``foreachBatch`` — the
+    ingest-time filter an LLM pipeline runs so garbage never lands in
+    the training store, while rejects stay inspectable instead of
+    vanishing.  Stateless (no watermark, no state store): per-row
+    routing is a pure function, so the union of both sinks equals the
+    batch-mode score of the same input — the oracle-ability contract.
+
+    Idempotence note: two plain appends inside one foreachBatch are
+    at-least-once under crash-retry; production sinks make the batch
+    idempotent (MERGE on doc_id — upsert.py — or a batch_id audit
+    column deduped downstream).  The lifecycle here proves ROUTING and
+    checkpointed no-reprocessing across rotations, the semantics the
+    availableNow trigger pins deterministically."""
+    from realparse_spark.operators.text import ws_tokens
+
+    schema = "doc_id long, source string, text string, ingest_ts timestamp"
+    docs = spark.readStream.schema(schema).json(in_dir)
+    n_tok = F.size(ws_tokens(F.col("text")))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "ingest_ts",
+        n_tok.cast("bigint").alias("n_tok"),
+        ((n_tok >= 5) & (n_punct * 5 < F.length("text"))).alias("keep"),
+    )
+
+    def route(batch, _bid):
+        batch.persist()
+        batch.filter(F.col("keep")).drop("keep").write.mode("append").parquet(out_keep)
+        batch.filter(~F.col("keep")).drop("keep").write.mode("append").parquet(out_drop)
+        batch.unpersist()
+
+    return (
+        scored.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     log_dir: str,
