@@ -193,6 +193,7 @@ EXTRA = [
     "emb_drift",            # epoch-over-epoch centroid shift monitor
     "source_overlap_matrix",  # source-pair winnow containment matrix
     "packing_efficiency",   # context-window utilization / waste report
+    "doc_language_confusion",  # langid-vs-truth confusion matrix (ppm shares)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

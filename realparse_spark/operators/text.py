@@ -363,6 +363,78 @@ HAVING count(*) >= 3""",
 )
 
 
+def q_doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the stopword-argmax heuristic
+    (`langid`) scored against the corpus's ground-truth `lang` column —
+    (truth, predicted) cells with counts and the within-truth share in
+    integer ppm.  The eval-as-data pattern (emb_matryoshka_eval's
+    discipline): a pipeline doesn't just RUN the classifier, it tracks
+    where it's wrong per crawl snapshot, because a drifting confusion
+    row (say fr→und climbing) is what says the stopword lists need
+    retuning before the mixture math consumes the labels.
+
+    Scale: the langid expressions ride the scan; ONE groupBy on
+    (lang, pred_lang) — O(langs²) output; the within-truth share is a
+    window over that bounded rollup keyed by truth lang (never the
+    corpus).  Integral ppm, no float division."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits, pred = langid_expr(F.col("text"))
+    cells = (
+        docs.select(F.col("lang").alias("truth"), pred.alias("pred_lang"))
+        .groupBy("truth", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("truth")
+    return (
+        cells.select(
+            "truth",
+            "pred_lang",
+            "n_docs",
+            F.expr("n_docs * 1000000").cast("bigint").alias("_num"),
+        )
+        .withColumn("_den", F.sum("n_docs").over(w))
+        .select(
+            "truth",
+            "pred_lang",
+            "n_docs",
+            F.expr("_num div _den").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("truth", "pred_lang")
+    )
+
+
+def _language_confusion_sql() -> str:
+    langs = list(STOPWORDS)
+    hit_exprs = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_exprs.append(
+            f"CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> list_contains([{lst}], x))) AS INTEGER) AS hits_{lang}"
+        )
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN hits_{lang} = best AND best > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH h AS (
+  SELECT lang AS truth, {', '.join(hit_exprs)}
+  FROM documents
+),
+b AS (
+  SELECT *, greatest({', '.join('hits_' + lang for lang in langs)}) AS best FROM h
+),
+cells AS (
+  SELECT truth, {pred} AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM b GROUP BY 1, 2
+)
+SELECT truth, pred_lang, n_docs,
+  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY truth) AS BIGINT) AS share_ppm
+FROM cells
+ORDER BY truth, pred_lang
+"""
+
+
 def source_overlap_matrix(fps: DataFrame, docs: DataFrame) -> DataFrame:
     """Cross-SOURCE contamination matrix: for every source pair, the
     number of distinct winnowing fingerprints they share and the
@@ -1392,6 +1464,7 @@ QUERIES = {
     "text_winnow": q_text_winnow,
     "text_contamination": q_text_contamination,
     "source_overlap_matrix": q_source_overlap_matrix,
+    "doc_language_confusion": q_doc_language_confusion,
     "doc_decontaminate": q_doc_decontaminate,
     "bpe_pair_counts": q_bpe_pair_counts,
     "word_pmi": q_word_pmi,
@@ -1413,6 +1486,7 @@ ORACLES = {
     "text_winnow": TEXT_WINNOW_SQL,
     "text_contamination": TEXT_CONTAMINATION_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_MATRIX_SQL,
+    "doc_language_confusion": _language_confusion_sql(),
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "word_pmi": WORD_PMI_SQL,

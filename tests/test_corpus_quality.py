@@ -267,3 +267,36 @@ def test_source_overlap_matrix_mirror_and_disjoint(spark):
     # digits-only source vs letters-heavy orig: no shared fingerprints
     # means the pair row is absent entirely (inner join on shared fps)
     assert ("orig", "zzz") not in out or out[("orig", "zzz")].n_shared == 0
+
+
+def test_language_confusion_planted_diagonal(spark):
+    """Planted pure-language documents: each must land on the confusion
+    diagonal, a stopword-free doc lands in 'und', and within-truth
+    shares sum to ~1e6 ppm per truth row."""
+    import os
+    import tempfile
+
+    from realparse_spark.operators.text import q_doc_language_confusion
+
+    rows = [
+        (1, "the cat and the dog of the house is that for with on", "en", "s", 50),
+        (2, "el perro y la casa de que un por con los", "es", "s", 40),
+        (3, "der hund und das haus von zu mit den ist im", "de", "s", 43),
+        (4, "qwzx bnmp vcxz qqq", "xx", "s", 18),  # no stopwords -> und
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_doc_language_confusion(spark, td).collect()
+    cells = {(r.truth, r.pred_lang): r for r in out}
+    assert cells[("en", "en")].n_docs == 1
+    assert cells[("es", "es")].n_docs == 1
+    assert cells[("de", "de")].n_docs == 1
+    assert cells[("xx", "und")].n_docs == 1
+    bytruth = {}
+    for r in out:
+        bytruth[r.truth] = bytruth.get(r.truth, 0) + r.share_ppm
+    # integral division floors, so each truth row sums to (1e6 - cells)..1e6
+    assert all(1_000_000 - 4 <= v <= 1_000_000 for v in bytruth.values())
