@@ -255,27 +255,53 @@ FROM keyed ORDER BY sel_key DESC, doc_id LIMIT {DSIR_RESAMPLE_N}
 SEMDEDUP_TAU = 0.35  # fixture-calibrated like dedup_embedding (dedup.py:900)
 
 
+def _argmin_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """MAP-ONLY Lloyd assignment: the O(K·dim) centroid table collapses
+    to ONE row (collect_list of (cluster_id, cvec) structs), broadcasts,
+    and each vector picks its cluster IN-ROW — array_min over
+    (d2, cluster_id, cvec) structs, whose lexicographic struct ordering
+    IS the (d2 round 6, cluster_id) argmin the old per-vector window
+    computed.  Replaces crossJoin(K rows) + row_number window: the
+    window repartitioned the K-times-inflated candidate set by vec_id
+    and sorted it — a corpus-sized shuffle PER ITERATION that a 100 TB
+    assignment step cannot afford; this version is a pure scan (the only
+    join is a 1-row broadcast nested loop).  F.inline evaluates the
+    argmin struct ONCE per row (a 3-field select would re-evaluate the
+    array_min per field after projection collapse).
+
+    Returns (vec_id, embedding, cluster_id, d2, cvec)."""
+    dim_sq = lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)  # noqa: E731
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+
+    packed = cents.agg(F.collect_list(F.struct("cluster_id", "cvec")).alias("cts"))
+    best = F.array_min(
+        F.transform(
+            F.col("cts"),
+            lambda c: F.struct(
+                F.round(
+                    fold(F.zip_with(F.col("embedding"), c["cvec"], dim_sq)), 6
+                ).alias("d2"),
+                c["cluster_id"].alias("cluster_id"),
+                c["cvec"].alias("cvec"),
+            ),
+        )
+    )
+    return emb.select("vec_id", "embedding").crossJoin(F.broadcast(packed)).select(
+        "vec_id", "embedding", F.inline(F.array(best))
+    )
+
+
 def _assign_and_score(emb: DataFrame) -> DataFrame:
     """(vec_id, cluster_id, u, cent_cos): label-prior centroids, one
-    Lloyd reassignment by L2 argmin over the broadcast centroid table,
-    unit vectors, and the rounded centroid-cosine for the keep rule.
-    Split out (pre-localCheckpoint) so plan gates can see the broadcast
-    assignment join — the checkpoint in `semdedup` truncates it."""
-    dim_sq = lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)  # noqa: E731
+    map-only Lloyd reassignment (`_argmin_assign`), unit vectors, and
+    the rounded centroid-cosine for the keep rule.  Split out
+    (pre-localCheckpoint) so plan gates can see the broadcast assignment
+    join — the checkpoint in `semdedup` truncates it."""
     fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
     dot = lambda a, b: fold(F.zip_with(a, b, lambda x, y: x * y))  # noqa: E731
     norm = lambda a: F.sqrt(fold(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))  # noqa: E731
 
-    cents = _label_prior_centroids(emb)
-    cand = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
-    d2 = F.round(fold(F.zip_with(F.col("embedding"), F.col("cvec"), dim_sq)), 6)
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    assigned = (
-        cand.withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id", "embedding", "cvec")
-    )
+    assigned = _argmin_assign(emb, _label_prior_centroids(emb))
     ecol = F.col("embedding")
     return assigned.select(
         "vec_id",
@@ -676,27 +702,17 @@ def kmeans_train(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     cluster that loses every member simply drops out of the table —
     identical behavior in both engines, asserted in tests.
 
-    Scale: each iteration is ONE broadcast of the O(K·dim) centroid
-    table against the corpus (linear, never quadratic) and ONE
+    Scale: each iteration is ONE 1-row broadcast of the packed centroid
+    table against the corpus with the argmin computed IN-ROW
+    (`_argmin_assign` — a pure scan, no per-vector shuffle) and ONE
     map-side-combined (cluster, dim) mean; the centroid table is
     localCheckpoint'd per iteration (the pagerank_parts
     iterate-over-aggregates discipline) so the physical plan stays
     O(1)-deep per step instead of nesting `iters` scans."""
-    dim_sq = lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)  # noqa: E731
-    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
-
     cents = _label_prior_centroids(emb).localCheckpoint(eager=False)
     assigned = None
     for _ in range(iters):
-        cand = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
-        d2 = F.round(fold(F.zip_with(F.col("embedding"), F.col("cvec"), dim_sq)), 6)
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
-        assigned = (
-            cand.withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster_id", "embedding", "d2")
-        )
+        assigned = _argmin_assign(emb, cents)
         long = assigned.select(
             "cluster_id", F.posexplode("embedding").alias("pos", "v")
         )
