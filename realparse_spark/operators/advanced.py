@@ -1244,7 +1244,11 @@ def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_epoch0",
             "n_epoch1",
             (F.col("n_epoch1") - F.col("n_epoch0")).cast("bigint").alias("n_delta"),
-            F.round(dot / (na * nb), 6).alias("centroid_cos"),
+            # an all-zero epoch centroid has no direction: engines
+            # disagree on 0/0 (NaN vs NULL), so the cosine is NULL
+            F.when((na > 0) & (nb > 0), F.round(dot / (na * nb), 6)).alias(
+                "centroid_cos"
+            ),
         )
         .orderBy("label")
     )
@@ -1272,11 +1276,13 @@ SELECT a.label,
   a.n_members AS n_epoch0,
   b.n_members AS n_epoch1,
   CAST(b.n_members - a.n_members AS BIGINT) AS n_delta,
-  round(
+  CASE WHEN sqrt(list_aggregate(list_transform(a.cvec, x -> x * x), 'sum')) > 0
+        AND sqrt(list_aggregate(list_transform(b.cvec, x -> x * x), 'sum')) > 0
+  THEN round(
     list_aggregate(list_transform(range(1, len(a.cvec) + 1), i -> a.cvec[i] * b.cvec[i]), 'sum')
     / (sqrt(list_aggregate(list_transform(a.cvec, x -> x * x), 'sum'))
        * sqrt(list_aggregate(list_transform(b.cvec, x -> x * x), 'sum'))), 6
-  ) AS centroid_cos
+  ) END AS centroid_cos
 FROM (SELECT * FROM vecs WHERE epoch = 0) a
 JOIN (SELECT * FROM vecs WHERE epoch = 1) b USING (label)
 ORDER BY a.label

@@ -731,7 +731,11 @@ def lang_mix_temperature(docs: DataFrame, alpha: float = LANG_MIX_ALPHA) -> Data
             "n_tokens",
             "raw_share",
             F.round(q, 6).alias("temp_share"),
-            F.round(q / F.col("raw_share"), 4).alias("boost"),
+            # a language below ~0.5e-6 token share rounds to raw_share 0;
+            # engines disagree on double/0 (Inf vs NULL), so emit NULL
+            F.when(
+                F.col("raw_share") > 0, F.round(q / F.col("raw_share"), 4)
+            ).alias("boost"),
         )
         .orderBy("lang")
     )
@@ -757,7 +761,7 @@ shared AS (
 qt AS (SELECT sum(q_raw) AS qt FROM shared)
 SELECT lang, n_docs, n_tokens, raw_share,
   round(q_raw / qt, 6) AS temp_share,
-  round((q_raw / qt) / raw_share, 4) AS boost
+  CASE WHEN raw_share > 0 THEN round((q_raw / qt) / raw_share, 4) END AS boost
 FROM shared, qt
 ORDER BY lang
 """
