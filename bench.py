@@ -195,6 +195,7 @@ EXTRA = [
     "packing_efficiency",   # context-window utilization / waste report
     "doc_language_confusion",  # langid-vs-truth confusion matrix (ppm shares)
     "curation_pipeline_e2e",  # gate -> soft-dedup -> group-safe split, one plan
+    "corpus_datasheet",     # per-source datasheet (langs, dup/keep ppm) in one plan
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -120,6 +120,89 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# corpus datasheet: the one-query per-source summary card
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet (Gebru et al. 2021, "Datasheets for
+    Datasets", arXiv:1803.09010 — the composition section as a QUERY):
+    doc/token counts, language spread, exact-duplicate share, quality
+    keep rate (the stream router's rules), and mean document length —
+    the one table a consumer reads before touching a source, assembled
+    in ONE plan instead of five separate report runs.
+
+    Scale: per-doc features ride the scan; duplicate multiplicity is
+    the soft_dedup fp groupBy + same-key join-back; ONE final
+    groupBy(source) with O(sources) output.  Integral ppm everywhere
+    (no float division).  100 TB shape: two shuffles total (fp, then
+    source), both map-side combined."""
+    from realparse_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(ws_tokens(F.col("text")))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        "source",
+        "lang",
+        F.md5(norm).alias("fp"),
+        n_tok.cast("bigint").alias("n_tok"),
+        ((n_tok >= 5) & (n_punct * 5 < F.length("text")))
+        .cast("long")
+        .alias("keep"),
+    )
+    mult = base.groupBy("fp").agg(F.count(F.lit(1)).alias("m"))
+    joined = base.join(mult, "fp")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.sum((F.col("m") > 1).cast("long")).cast("bigint").alias("n_dup_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            F.expr("n_dup_docs * 1000000 div n_docs").cast("bigint").alias("dup_ppm"),
+            F.expr("n_keep * 1000000 div n_docs").cast("bigint").alias("keep_ppm"),
+            F.expr("n_tokens div n_docs").cast("bigint").alias("mean_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_DATASHEET_SQL = r"""
+WITH base AS (
+  SELECT source, lang,
+    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+      AS n_tok,
+    CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) >= 5
+          AND len(regexp_extract_all(text, '[^\w\s]')) * 5 < length(text)
+         THEN 1 ELSE 0 END AS keep
+  FROM documents
+),
+mult AS (SELECT fp, count(*) AS m FROM base GROUP BY fp),
+joined AS (SELECT b.*, m.m FROM base b JOIN mult m USING (fp))
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+  CAST(sum(keep) * 1000000 // count(*) AS BIGINT) AS keep_ppm,
+  CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_doc_tokens
+FROM joined
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Zipf fit over the term-frequency head
 # ---------------------------------------------------------------------------
 
@@ -694,6 +777,7 @@ QUERIES = {
     "adaptive_length_filter": q_adaptive_length_filter,
     "doc_cdc_dedup": q_doc_cdc_dedup,
     "quality_filter_report": q_quality_filter_report,
+    "corpus_datasheet": q_corpus_datasheet,
 }
 
 ORACLES = {
@@ -703,4 +787,5 @@ ORACLES = {
     "adaptive_length_filter": ADAPTIVE_LENGTH_FILTER_SQL,
     "doc_cdc_dedup": DOC_CDC_DEDUP_SQL,
     "quality_filter_report": QUALITY_FILTER_REPORT_SQL,
+    "corpus_datasheet": CORPUS_DATASHEET_SQL,
 }

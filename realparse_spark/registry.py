@@ -72,16 +72,17 @@ _MODULES = (
 #     dedicated pytest coverage.
 # Post-window additions register AFTER these 50 names; never-sampled
 # backlog stays <= one round's driver capacity (the rule that took the
-# backlog 60 -> 10 -> 7 -> 0 -> 14 -> 0).  Round-10 growth: ten new
+# backlog 60 -> 10 -> 7 -> 0 -> 14 -> 0).  Round-10 growth: eleven new
 # LLM-pipeline ops (soft_dedup_weights in dedup; lang_mix_temperature +
 # group_safe_split + packing_efficiency in pipeline_ops; kmeans_train
 # in selection; emb_drift in advanced; source_overlap_matrix +
 # doc_language_confusion in text; stream_quality_route_e2e, the 10th
 # oracled streaming lifecycle; curation_pipeline_e2e, the composed
-# gate→soft-dedup→split lifecycle — all oracled, all gate-tested) queue
-# behind the window for the round-11 rotation alongside the 23 deferred
-# stale names: round-11 backlog 10 never-sampled + 23 stale, under one
-# round's 50-row capacity.
+# gate→soft-dedup→split lifecycle; corpus_datasheet in corpus_quality —
+# all oracled, all gate-tested) queue behind the window for the
+# round-11 rotation alongside the 23 deferred stale names: round-11
+# backlog 11 never-sampled + 23 stale, under one round's 50-row
+# capacity.
 _PRIORITY = (
     # --- (a) the r8/r9 red row, re-earned in integer representation ---
     "clamped_balance",

@@ -300,3 +300,31 @@ def test_language_confusion_planted_diagonal(spark):
         bytruth[r.truth] = bytruth.get(r.truth, 0) + r.share_ppm
     # integral division floors, so each truth row sums to (1e6 - cells)..1e6
     assert all(1_000_000 - 4 <= v <= 1_000_000 for v in bytruth.values())
+
+
+def test_corpus_datasheet_planted_composition(spark):
+    """Planted source with known composition: 2 langs, one duplicated
+    pair (2 of 4 docs in dup groups), one junk doc failing the keep
+    rules — the datasheet must report each number exactly."""
+    import os
+    import tempfile
+
+    from realparse_spark.operators.corpus_quality import q_corpus_datasheet
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon tokens here", "en", "s", 43),
+        (2, "alpha beta gamma delta epsilon tokens here", "en", "s", 43),  # dup of 1
+        (3, "palabras distintas para el documento tres aqui", "es", "s", 46),
+        (4, "!!! ??? ***", "en", "s", 11),  # fails token floor + punct ceiling
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        r = q_corpus_datasheet(spark, td).collect()[0]
+    assert r.n_docs == 4 and r.n_langs == 2
+    assert r.dup_ppm == 2 * 1_000_000 // 4
+    assert r.keep_ppm == 3 * 1_000_000 // 4
+    assert r.n_tokens == 7 + 7 + 7 + 3
+    assert r.mean_doc_tokens == (7 + 7 + 7 + 3) // 4
