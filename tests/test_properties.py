@@ -420,3 +420,35 @@ def test_token_budget_prefix_property(spark, chars, budget):
     else:
         assert len(rows) == 1
         assert (rows[0].n_docs, rows[0].n_chars_kept) == (n_docs, n_kept)
+
+
+@settings(**_SETTINGS)
+@given(
+    mults=st.lists(st.integers(1, 9), min_size=1, max_size=8),
+    n_words=st.integers(1, 12),
+)
+def test_soft_dedup_mass_conservation(spark, mults, n_words):
+    """SoftDeDup invariant under ARBITRARY multiplicities: effective doc
+    mass equals the number of distinct texts and effective token mass
+    equals the distinct texts' token total — each up to the documented
+    1e-6 truncation dust per group (floor(1e6/m)*m <= 1e6), never more,
+    never negative."""
+    from realparse_spark.operators.dedup import soft_dedup_weights
+
+    rows = []
+    doc_id = 0
+    for gi, m in enumerate(mults):
+        text = " ".join(f"g{gi}w{j}" for j in range(n_words))
+        for _ in range(m):
+            rows.append((doc_id, text, "en", "s", len(text)))
+            doc_id += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = soft_dedup_weights(docs).collect()[0]
+    n_groups = len(mults)
+    dust = n_groups * 1e-6 * 9  # <= 9 micro-units lost per group at m<=9
+    assert n_groups - dust <= r.eff_docs <= n_groups
+    assert n_groups * n_words - dust * n_words <= r.eff_tokens <= n_groups * n_words
+    assert r.n_docs == sum(mults)
+    assert r.n_dup_docs == sum(m for m in mults if m > 1)
