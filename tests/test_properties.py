@@ -452,3 +452,30 @@ def test_soft_dedup_mass_conservation(spark, mults, n_words):
     assert n_groups * n_words - dust * n_words <= r.eff_tokens <= n_groups * n_words
     assert r.n_docs == sum(mults)
     assert r.n_dup_docs == sum(m for m in mults if m > 1)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=30), min_size=1, max_size=8
+    ),
+    offset=st.integers(0, 10**6),
+)
+def test_group_safe_split_is_docid_invariant(spark, texts, offset):
+    """The leakage-safety foundation: split assignment is a pure
+    function of the TEXT (its dup-group fingerprint), so remapping every
+    doc_id must leave each split's group/doc/token tallies bit-identical
+    — the property doc_id-keyed hash_split cannot have."""
+    from realparse_spark.operators.pipeline_ops import group_safe_split
+
+    def mk(ids_from: int):
+        rows = [
+            (ids_from + i, t, "en", "s", len(t)) for i, t in enumerate(texts)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    a = sorted(map(tuple, group_safe_split(mk(0)).collect()))
+    b = sorted(map(tuple, group_safe_split(mk(offset)).collect()))
+    assert a == b
