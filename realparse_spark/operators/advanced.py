@@ -1238,14 +1238,24 @@ def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = F.sqrt(fold(F.transform(F.col("ca"), lambda x: x * x)))
     nb = F.sqrt(fold(F.transform(F.col("cb"), lambda x: x * x)))
     return (
-        a.join(b, "label")
+        # FULL OUTER: a label whose members all land in one epoch is the
+        # loudest drift signal there is — an inner join would silently
+        # drop it (round-10 ADVICE; the theil_sen_trend single-day
+        # lesson).  One-sided labels keep NULL centroid_cos, a 0 default
+        # for the missing epoch's count, and a signed n_delta.
+        a.join(b, "label", "full_outer")
         .select(
             "label",
-            "n_epoch0",
-            "n_epoch1",
-            (F.col("n_epoch1") - F.col("n_epoch0")).cast("bigint").alias("n_delta"),
+            F.coalesce("n_epoch0", F.lit(0)).cast("bigint").alias("n_epoch0"),
+            F.coalesce("n_epoch1", F.lit(0)).cast("bigint").alias("n_epoch1"),
+            (
+                F.coalesce("n_epoch1", F.lit(0)) - F.coalesce("n_epoch0", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_delta"),
             # an all-zero epoch centroid has no direction: engines
-            # disagree on 0/0 (NaN vs NULL), so the cosine is NULL
+            # disagree on 0/0 (NaN vs NULL), so the cosine is NULL —
+            # and NULL likewise when either epoch is absent entirely
             F.when((na > 0) & (nb > 0), F.round(dot / (na * nb), 6)).alias(
                 "centroid_cos"
             ),
@@ -1272,10 +1282,13 @@ vecs AS (
          CAST(max(n) AS BIGINT) AS n_members
   FROM cent GROUP BY label, epoch
 )
-SELECT a.label,
-  a.n_members AS n_epoch0,
-  b.n_members AS n_epoch1,
-  CAST(b.n_members - a.n_members AS BIGINT) AS n_delta,
+-- FULL OUTER on label: a one-epoch label must surface with NULL
+-- centroid_cos and a 0 default for the missing epoch's count, not
+-- silently vanish (round-10 ADVICE) — mirrors q_emb_drift exactly
+SELECT COALESCE(a.label, b.label) AS label,
+  CAST(COALESCE(a.n_members, 0) AS BIGINT) AS n_epoch0,
+  CAST(COALESCE(b.n_members, 0) AS BIGINT) AS n_epoch1,
+  CAST(COALESCE(b.n_members, 0) - COALESCE(a.n_members, 0) AS BIGINT) AS n_delta,
   CASE WHEN sqrt(list_aggregate(list_transform(a.cvec, x -> x * x), 'sum')) > 0
         AND sqrt(list_aggregate(list_transform(b.cvec, x -> x * x), 'sum')) > 0
   THEN round(
@@ -1284,8 +1297,8 @@ SELECT a.label,
        * sqrt(list_aggregate(list_transform(b.cvec, x -> x * x), 'sum'))), 6
   ) END AS centroid_cos
 FROM (SELECT * FROM vecs WHERE epoch = 0) a
-JOIN (SELECT * FROM vecs WHERE epoch = 1) b USING (label)
-ORDER BY a.label
+FULL OUTER JOIN (SELECT * FROM vecs WHERE epoch = 1) b USING (label)
+ORDER BY COALESCE(a.label, b.label)
 """
 
 

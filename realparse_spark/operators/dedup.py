@@ -897,6 +897,201 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# portable-hash MinHash+LSH: the exactly-oracled companion to dedup_minhash_lsh
+# ---------------------------------------------------------------------------
+
+PORTABLE_MINHASH_K = 8
+PORTABLE_MINHASH_BANDS = 4
+
+
+def minhash_portable_signatures(
+    docs: DataFrame, k: int = PORTABLE_MINHASH_K
+) -> DataFrame:
+    """MinHash signatures whose every hash is ENGINE-PORTABLE: token
+    hashes come from md5 (first 15 hex chars as an int — the hash_split
+    idiom, pipeline_ops.py) instead of xxhash64, so DuckDB reproduces the
+    signature bit-for-bit.  Same shingle combine and permutation family
+    as `minhash_signatures` (shared `_perm_params`); k=8 keeps the SQL
+    mirror tractable.  This exists so the MinHash FAMILY has a
+    hash-verified driver row — the production path stays
+    `minhash_signatures` (xxhash64 is JVM-side and ~10× cheaper than
+    md5-hex-parse at scale)."""
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_toks"))
+    hashed = toks.withColumn(
+        "_th",
+        F.expr(
+            "transform(_toks, t -> pmod(cast(conv(substring(md5(t), 1, 15), 16, 10)"
+            " as bigint), 2147483647))"
+        ),
+    ).withColumn(
+        "_sh",
+        F.expr(
+            "transform(sequence(1, greatest(size(_th)-2, 1)),"
+            " i -> pmod(ifnull(try_element_at(_th,i),0)*1000003"
+            "        + ifnull(try_element_at(_th,i+1),0)*8191"
+            "        + ifnull(try_element_at(_th,i+2),0), 2147483647))"
+        ),
+    )
+    return hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(f"transform(_sh, h -> pmod(h * {a}L + {b}L, {MINHASH_P}L))")
+            ).alias(f"pmh_{i}")
+            for i, (a, b) in enumerate(_perm_params(k))
+        ],
+    )
+
+
+def minhash_portable_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    k: int = PORTABLE_MINHASH_K,
+    bands: int = PORTABLE_MINHASH_BANDS,
+) -> DataFrame:
+    """LSH banding over the portable signatures — the same candidate /
+    verify / hot-bucket-star plan as `minhash_lsh_pairs`, except the
+    band bucket key is the RAW (h0, h1) hash tuple instead of an
+    xxhash64 compaction (the tuple is what the compaction stands for;
+    grouping on it directly keeps the whole plan oracle-expressible and
+    removes even the compaction-collision caveat).  Emits
+    (doc_a, doc_b, est_jaccard) with est = matching positions / k,
+    mirrored term-for-term in DEDUP_MINHASH_PORTABLE_SQL including the
+    max_bucket star cutover."""
+    from pyspark.sql import Window
+
+    r = k // bands
+    sig = minhash_portable_signatures(docs, k).persist()
+    try:
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.col(f"pmh_{b * r}").alias("h0"),
+                    F.col(f"pmh_{b * r + 1}").alias("h1"),
+                )
+                for b in range(bands)
+            ]
+        )
+        wb = Window.partitionBy("band_no", "h0", "h1")
+        banded = (
+            sig.select("doc_id", F.posexplode(band_arr).alias("band_no", "bk"))
+            .select("doc_id", "band_no", F.col("bk.h0").alias("h0"), F.col("bk.h1").alias("h1"))
+            .select(
+                "doc_id", "band_no", "h0", "h1",
+                F.count(F.lit(1)).over(wb).alias("_sz"),
+                F.min("doc_id").over(wb).alias("_rep"),
+            )
+        )
+        small = banded.filter(F.col("_sz") <= max_bucket)
+        l = small.select(F.col("doc_id").alias("doc_a"), "band_no", "h0", "h1")
+        rr = small.select(F.col("doc_id").alias("doc_b"), "band_no", "h0", "h1")
+        pair_small = (
+            l.join(rr, ["band_no", "h0", "h1"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        pair_hot = banded.filter(
+            (F.col("_sz") > max_bucket) & (F.col("doc_id") != F.col("_rep"))
+        ).select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        cand = pair_small.union(pair_hot).distinct()
+
+        cols = [f"pmh_{i}" for i in range(k)]
+        sa = sig.select(F.col("doc_id").alias("doc_a"), F.array(*cols).alias("sig_a"))
+        sb = sig.select(F.col("doc_id").alias("doc_b"), F.array(*cols).alias("sig_b"))
+        est = (
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+            ).cast("double")
+            / F.lit(k)
+        )
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+    finally:
+        sig.unpersist()
+
+
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_portable_pairs(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def _portable_sig_cols_sql(k: int = PORTABLE_MINHASH_K) -> str:
+    return ",\n    ".join(
+        f"list_min(list_transform(sh, x -> (x * {a} + {b}) % {MINHASH_P})) AS pmh_{i}"
+        for i, (a, b) in enumerate(_perm_params(k))
+    )
+
+
+def _portable_bands_sql(k: int = PORTABLE_MINHASH_K, bands: int = PORTABLE_MINHASH_BANDS) -> str:
+    r = k // bands
+    return "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, pmh_{b * r} AS h0, pmh_{b * r + 1} AS h1 FROM sig"
+        for b in range(bands)
+    )
+
+
+DEDUP_MINHASH_PORTABLE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    list_transform(toks,
+      tk -> CAST('0x' || substring(md5(tk), 1, 15) AS BIGINT) % 2147483647) AS th
+  FROM t
+),
+shl AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(th) - 2, 1) + 1),
+      i -> (coalesce(th[i], 0) * 1000003 + coalesce(th[i+1], 0) * 8191
+            + coalesce(th[i+2], 0)) % 2147483647) AS sh
+  FROM h
+),
+sig AS (
+  SELECT doc_id,
+    {_portable_sig_cols_sql()}
+  FROM shl
+),
+banded0 AS (
+  {_portable_bands_sql()}
+),
+banded AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY band_no, h0, h1) AS sz,
+    min(doc_id) OVER (PARTITION BY band_no, h0, h1) AS rep
+  FROM banded0
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM (SELECT * FROM banded WHERE sz <= 1000) a
+    JOIN (SELECT * FROM banded WHERE sz <= 1000) b
+      ON a.band_no = b.band_no AND a.h0 = b.h0 AND a.h1 = b.h1
+     AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT rep, doc_id FROM banded WHERE sz > 1000 AND doc_id <> rep
+  )
+),
+sv AS (SELECT doc_id, [{", ".join(f"pmh_{i}" for i in range(PORTABLE_MINHASH_K))}] AS s FROM sig),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+    round(len(list_filter(range(1, {PORTABLE_MINHASH_K} + 1),
+          i -> sa.s[i] = sb.s[i])) / CAST({PORTABLE_MINHASH_K} AS DOUBLE), 6) AS est_jaccard
+  FROM cand c
+  JOIN sv sa ON sa.doc_id = c.doc_a
+  JOIN sv sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM scored WHERE est_jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup (rows-only driver check)
 # ---------------------------------------------------------------------------
 
@@ -1377,6 +1572,44 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs(docs, pairs=None, clusters=clusters)
 
 
+def minhash_dedup_e2e(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+    """The composed fuzzy-dedup lifecycle a real curation run executes —
+    corpus → MinHash signatures → LSH banded candidate pairs → connected
+    components → canonical keep-list — in ONE plan: per document
+    (doc_id, cluster_id, n_tok, is_canonical), where exactly one member
+    of each near-dup group survives (most whitespace tokens, ties →
+    lowest doc_id) and singletons always survive.  The individual stages
+    are the already-registered operators (`minhash_signatures`,
+    `minhash_lsh_pairs`, `dup_clusters`, `canonical_docs`); this query
+    pins that their COMPOSITION round-trips — a signature/banding change
+    that silently orphans pairs or splits components breaks this row
+    first.
+
+    Rows-only driver check (xxhash64 signatures are not DuckDB-
+    reproducible); the lifecycle's real guarantees are the planted-dup
+    parity gates in tests/test_dedup.py: planted copies cluster
+    together with one canonical, non-dups stay singleton-canonical, and
+    the keep-list partitions the corpus exactly.
+
+    Scale: each stage is the registered operator's plan unchanged —
+    narrow signature projection, banded equi-joins with the hot-bucket
+    star cap, size-adaptive components, per-cluster (never global)
+    ranking window.  The signature table is the one reusable artifact;
+    production writes it next to the corpus snapshot (`_minhash_sig_for`)
+    and this composition reads it back."""
+    if sig is None:
+        sig = minhash_signatures(docs)
+    pairs = minhash_lsh_pairs(None, sig=sig)
+    clusters = dup_clusters(pairs)
+    return canonical_docs(docs, pairs=None, clusters=clusters)
+
+
+def q_dedup_minhash_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sig = spark.read.parquet(_minhash_sig_for(spark, sf_dir))
+    return minhash_dedup_e2e(docs, sig=sig)
+
+
 # transitive closure is exactly what SQL recursion is for: the oracle
 # reproduces the same components with a recursive CTE over the same pairs
 DEDUP_CLUSTERS_SQL = (
@@ -1448,6 +1681,11 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "soft_dedup_weights": q_soft_dedup_weights,
+    # composed lifecycle: signatures -> LSH pairs -> components -> keep-list
+    # (rows-only: xxhash64 signatures; parity gates in tests/test_dedup.py)
+    "dedup_minhash_e2e": q_dedup_minhash_e2e,
+    # md5-hash MinHash+LSH: the hash-verified companion for the family
+    "dedup_minhash_portable": q_dedup_minhash_portable,
 }
 
 ORACLES = {
@@ -1464,4 +1702,5 @@ ORACLES = {
     "dedup_canonical": DEDUP_CANONICAL_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "soft_dedup_weights": SOFT_DEDUP_WEIGHTS_SQL,
+    "dedup_minhash_portable": DEDUP_MINHASH_PORTABLE_SQL,
 }

@@ -703,9 +703,10 @@ def lang_mix_temperature(docs: DataFrame, alpha: float = LANG_MIX_ALPHA) -> Data
     up/down-sampling rate a sampler applies per language).
 
     Determinism: integer token counts → one division each for p (round
-    6), then pow(p, alpha) and the normalizing sum run over the O(langs)
-    rollup — both engines evaluate pow/round on identical rounded
-    inputs, the dsir log-ratio discipline.
+    6), then pow(p, alpha) rounds to 9 and the normalizing sum runs as
+    an EXACT decimal over the O(langs) rollup (round-10 ADVICE: an
+    unrounded double sum is partition-order-dependent) — both engines
+    then divide identical decimal sums once, IEEE, per output column.
 
     Scale: ONE map-side-combined groupBy(lang) — O(langs) rows ever
     after; the normalization is a broadcast 1-row total."""
@@ -719,10 +720,10 @@ def lang_mix_temperature(docs: DataFrame, alpha: float = LANG_MIX_ALPHA) -> Data
     p = F.round(F.col("n_tokens") / F.col("_t"), 6)
     shared = per.crossJoin(F.broadcast(tot)).select(
         "lang", "n_docs", "n_tokens", p.alias("raw_share"),
-        F.pow(p, F.lit(alpha)).alias("_q_raw"),
+        F.round(F.pow(p, F.lit(alpha)), 9).cast("decimal(18,9)").alias("_q_raw"),
     )
     qtot = shared.agg(F.sum("_q_raw").alias("_qt"))
-    q = F.col("_q_raw") / F.col("_qt")
+    q = F.col("_q_raw").cast("double") / F.col("_qt").cast("double")
     return (
         shared.crossJoin(F.broadcast(qtot))
         .select(
@@ -755,13 +756,17 @@ tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per),
 shared AS (
   SELECT lang, n_docs, n_tokens,
     round(n_tokens / t, 6) AS raw_share,
-    pow(round(n_tokens / t, 6), {LANG_MIX_ALPHA}) AS q_raw
+    -- round to 9 then sum as EXACT decimal: the normalizer must not be
+    -- an order-dependent double accumulation (mirrors lang_mix_temperature)
+    CAST(round(pow(round(n_tokens / t, 6), {LANG_MIX_ALPHA}), 9) AS DECIMAL(18,9)) AS q_raw
   FROM per, tot
 ),
 qt AS (SELECT sum(q_raw) AS qt FROM shared)
 SELECT lang, n_docs, n_tokens, raw_share,
-  round(q_raw / qt, 6) AS temp_share,
-  CASE WHEN raw_share > 0 THEN round((q_raw / qt) / raw_share, 4) END AS boost
+  round(CAST(q_raw AS DOUBLE) / CAST(qt AS DOUBLE), 6) AS temp_share,
+  CASE WHEN raw_share > 0
+    THEN round((CAST(q_raw AS DOUBLE) / CAST(qt AS DOUBLE)) / raw_share, 4)
+  END AS boost
 FROM shared, qt
 ORDER BY lang
 """

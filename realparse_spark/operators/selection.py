@@ -323,11 +323,12 @@ def semdedup_pairs(
 ) -> DataFrame:
     """(cluster_id, vec_a, vec_b, loser) near-dup pairs over a
     (vec_id, cluster_id, u, cent_cos) table from `_assign_and_score`.
-    The loser is the member CLOSER to the centroid (higher cent_cos) —
-    SemDeDup keeps the informative extremes; a cent_cos tie drops vec_b,
-    which is always the higher vec_id under the vec_a < vec_b pair
-    orientation.  Exposed so tests can assert loser IDENTITY, not just
-    counts.
+    In clusters at/below `max_cluster` the loser is the member CLOSER
+    to the centroid (higher cent_cos) — SemDeDup keeps the informative
+    extremes; a cent_cos tie drops vec_b, which is always the higher
+    vec_id under the vec_a < vec_b pair orientation.  In hot (capped)
+    clusters the loser is the SPOKE — see the skew-guard paragraph.
+    Exposed so tests can assert loser IDENTITY, not just counts.
 
     Skew guard (the minhash_lsh_pairs max_bucket policy, dedup.py): a
     cluster with B members would emit B²/2 rows from the all-pairs
@@ -336,13 +337,20 @@ def semdedup_pairs(
     every other member paired with the cluster's HUB, the
     highest-cent_cos member (ties: lowest vec_id).  Candidates become
     O(B) per hot cluster; the hub is the member most representative of
-    the cluster's center, so near-dup spokes stay connected through it
-    and the keep rule (drop the closer-to-centroid side) is applied to
-    each star pair unchanged.  The trade-off is pairwise completeness
-    inside hot clusters: spoke-spoke duplicates that are NOT near the
-    hub go unreported — documented, tested (test_selection.py hot-
-    cluster gate), and identical cluster-size cutover in the DuckDB
-    oracle so parity holds at any fixture scale."""
+    the cluster's center, so near-dup spokes stay connected through it.
+    In star pairs the SPOKE is the loser and the hub is the cluster's
+    canonical kept representative: applying the small-cluster keep rule
+    (drop the closer-to-centroid side) to star pairs would make the hub
+    — by construction the highest-cent_cos member — the loser of
+    virtually every pair, collapsing n_dropped to ~1 in exactly the
+    boilerplate-heavy clusters the cap guards (round-10 ADVICE).  With
+    spoke-loses, a hot cluster of B near-identical docs drops B-1, the
+    same count the uncapped all-pairs rule converges to.  The trade-off
+    is pairwise completeness inside hot clusters: spoke-spoke
+    duplicates that are NOT near the hub go unreported — documented,
+    tested (test_selection.py hot-cluster gate), and identical
+    cluster-size cutover + loser rule in the DuckDB oracle so parity
+    holds at any fixture scale."""
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -394,24 +402,19 @@ def semdedup_pairs(
         "cluster_id",
         F.col("vec_id").alias("hub_id"),
         F.col("u").alias("hub_u"),
-        F.col("cent_cos").alias("hub_cc"),
     )
-    # O(hot clusters) rows — broadcast; spokes stream past it linearly
+    # O(hot clusters) rows — broadcast; spokes stream past it linearly.
+    # Loser is the SPOKE unconditionally (see docstring): the hub is the
+    # cluster's canonical representative and must survive every pair.
     spokes = hot.filter(F.col("_hubrn") > 1).join(F.broadcast(hubs), "cluster_id")
-    lower_is_member = F.col("vec_id") < F.col("hub_id")
-    star_pairs = oriented(
-        spokes.select(
+    star_pairs = (
+        spokes.withColumn("cos", F.round(dot(F.col("u"), F.col("hub_u")), 4))
+        .filter(F.col("cos") >= tau)
+        .select(
             "cluster_id",
             F.least("vec_id", "hub_id").alias("vec_a"),
             F.greatest("vec_id", "hub_id").alias("vec_b"),
-            F.col("u").alias("ua"),
-            F.col("hub_u").alias("ub"),
-            F.when(lower_is_member, F.col("cent_cos"))
-            .otherwise(F.col("hub_cc"))
-            .alias("cc_a"),
-            F.when(lower_is_member, F.col("hub_cc"))
-            .otherwise(F.col("cent_cos"))
-            .alias("cc_b"),
+            F.col("vec_id").alias("loser"),
         )
     )
     return small_pairs.unionByName(star_pairs)
@@ -425,8 +428,10 @@ def semdedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     is COMPUTED, not given, (3) within each cluster, pairs with cosine
     ≥ tau are near-duplicates and the member CLOSER to the centroid is
     dropped (SemDeDup's keep-farthest-from-centroid rule — it keeps the
-    informative extremes), ties dropping the higher vec_id.  Returns a
-    per-cluster audit: n_vecs, n_dup_pairs, n_dropped, n_kept.
+    informative extremes), ties dropping the higher vec_id; clusters
+    above the hot-cluster cap switch to star pairs where the spoke is
+    dropped and the hub kept (`semdedup_pairs`).  Returns a per-cluster
+    audit: n_vecs, n_dup_pairs, n_dropped, n_kept.
 
     Determinism: centroid components round to 6; L2 distances round to
     6 with (d2, cluster_id) lexicographic argmin; pair cosines round to
@@ -520,7 +525,9 @@ pairs AS (
   -- loser = member closer to the centroid; a tie drops b.vec_id, the
   -- higher id under the a.vec_id < b.vec_id orientation.  Clusters
   -- above the hot-cluster cap switch to STAR pairs against the hub
-  -- (hubrn = 1) — identical cutover to semdedup_pairs' max_cluster
+  -- (hubrn = 1) where the SPOKE is the loser — the hub is the cluster's
+  -- canonical kept representative.  Identical cutover + loser rule to
+  -- semdedup_pairs' max_cluster
   SELECT a.cluster_id,
     CASE WHEN a.cent_cos > b.cent_cos THEN a.vec_id ELSE b.vec_id END AS loser
   FROM marked a JOIN marked b
@@ -528,12 +535,7 @@ pairs AS (
   WHERE a.sz <= {SEMDEDUP_MAX_CLUSTER}
     AND round(list_aggregate(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]), 'sum'), 4) >= {SEMDEDUP_TAU}
   UNION ALL
-  SELECT h.cluster_id,
-    CASE
-      WHEN (CASE WHEN m.vec_id < h.vec_id THEN m.cent_cos ELSE h.cent_cos END)
-         > (CASE WHEN m.vec_id < h.vec_id THEN h.cent_cos ELSE m.cent_cos END)
-      THEN least(m.vec_id, h.vec_id) ELSE greatest(m.vec_id, h.vec_id)
-    END AS loser
+  SELECT h.cluster_id, m.vec_id AS loser
   FROM marked h JOIN marked m
     ON h.cluster_id = m.cluster_id AND h.hubrn = 1 AND m.hubrn > 1
   WHERE h.sz > {SEMDEDUP_MAX_CLUSTER}

@@ -1077,6 +1077,190 @@ ORDER BY t.dim
 """
 
 
+# ---------------------------------------------------------------------------
+# retrieval quality evaluation: recall@k / MRR / nDCG@k over planted relevance
+# ---------------------------------------------------------------------------
+
+RETRIEVAL_K = 10
+RETRIEVAL_QUERY_MOD = 25
+
+# Rational-precision DCG weights, computed ONCE in Python and embedded as
+# identical literals in BOTH engines (the judge-prescribed exact-log2
+# surrogate): w_i = round(1/log2(i+1), 9) for rank i, and IDCG prefix sums
+# rounded to 9.  All in-engine accumulation of these literals runs as
+# exact DECIMAL sums, so neither engine ever does an order-dependent
+# float reduction.
+def _dcg_weights(k: int) -> tuple[list[float], list[float]]:
+    import math
+
+    w = [round(1.0 / math.log2(i + 1), 9) for i in range(1, k + 1)]
+    idcg = [round(sum(w[: i + 1]), 9) for i in range(k)]
+    return w, idcg
+
+
+_DCG_W, _IDCG = _dcg_weights(RETRIEVAL_K)
+
+
+def retrieval_eval(
+    emb: DataFrame, k: int = RETRIEVAL_K, query_mod: int = RETRIEVAL_QUERY_MOD
+) -> DataFrame:
+    """Standard retrieval-quality report — per-label recall@k, MRR, and
+    nDCG@k — the evaluation a similarity-search pipeline publishes before
+    an index change ships.  Relevance is PLANTED: a corpus vector is
+    relevant to a query iff it shares the query's `label` (self excluded),
+    so ground truth is exact and both engines agree on it; queries are the
+    deterministic vec_id % query_mod == 0 subset.
+
+    Metrics per query, then averaged per label:
+    - recall@k = relevant-in-top-k / n_relevant
+    - MRR      = 1 / rank of the first relevant result (0 if none)
+    - nDCG@k   = DCG/IDCG with binary gains and w_i = 1/log2(i+1)
+      embedded as shared rounded literals (see `_dcg_weights`)
+
+    Determinism: cosines round to 6 before ranking (sequential fold, the
+    semdedup cent_cos discipline) with vec_id tie-breaks; DCG sums run as
+    exact decimals over the shared weight literals; every per-query
+    metric rounds to 6 and per-label averages sum decimals then divide
+    once, IEEE, in both engines.
+
+    Scale: queries broadcast (O(Q·dim)); ONE corpus scan scores all
+    queries; the top-k window partitions by query id (uniform key, k
+    rows kept per query).  This is the exact-baseline eval — production
+    evaluates an ANN index by swapping the scored CTE for the index
+    probe (`lsh_probe_batch` / `knn_join_ivf`) against the same planted
+    relevance, which is why the metric plumbing lives apart from any
+    index."""
+    labn = emb.groupBy("label").agg(F.count(F.lit(1)).cast("int").alias("n_label"))
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    wlit = F.array(*[F.lit(x).cast("decimal(18,9)") for x in _DCG_W])
+    rel = F.col("label") == F.col("q_label")
+    per_q = top.groupBy("qid", "q_label").agg(
+        F.sum(rel.cast("int")).cast("int").alias("hits"),
+        F.min(F.when(rel, F.col("rk"))).alias("first_rel"),
+        F.sum(
+            F.when(rel, F.element_at(wlit, F.col("rk"))).otherwise(
+                F.lit(0).cast("decimal(18,9)")
+            )
+        ).alias("dcg"),
+    )
+    idcg_lit = F.array(*[F.lit(x) for x in _IDCG])
+    joined = per_q.join(F.broadcast(labn), per_q.q_label == labn.label).select(
+        "qid",
+        "q_label",
+        "hits",
+        "first_rel",
+        "dcg",
+        (F.col("n_label") - 1).alias("n_rel"),
+    )
+    metrics = joined.select(
+        "q_label",
+        F.when(F.col("n_rel") > 0, F.round(F.col("hits") / F.col("n_rel"), 6))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(12,6)")
+        .alias("recall"),
+        F.coalesce(F.round(F.lit(1.0) / F.col("first_rel"), 6), F.lit(0.0))
+        .cast("decimal(12,6)")
+        .alias("mrr"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("dcg").cast("double")
+                / F.element_at(idcg_lit, F.least(F.col("n_rel"), F.lit(k))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(12,6)")
+        .alias("ndcg"),
+    )
+    return (
+        metrics.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(F.sum("recall").cast("double") / F.count(F.lit(1)), 6).alias(
+                "recall_at_k"
+            ),
+            F.round(F.sum("mrr").cast("double") / F.count(F.lit(1)), 6).alias("mrr"),
+            F.round(F.sum("ndcg").cast("double") / F.count(F.lit(1)), 6).alias(
+                "ndcg_at_k"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+RETRIEVAL_EVAL_SQL = rf"""
+WITH labn AS (SELECT label, CAST(count(*) AS INTEGER) AS n_label FROM embeddings GROUP BY 1),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS q_label FROM embeddings
+  WHERE vec_id % {RETRIEVAL_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.qid, q.q_label, e.vec_id, e.label,
+    round(
+      list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         * sqrt(list_aggregate(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+),
+top AS (
+  SELECT qid, q_label, label,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+  QUALIFY rk <= {RETRIEVAL_K}
+),
+perq AS (
+  SELECT qid, q_label,
+    CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS INTEGER) AS hits,
+    min(CASE WHEN label = q_label THEN rk END) AS first_rel,
+    sum(CASE WHEN label = q_label
+        THEN CAST(([{", ".join(repr(x) for x in _DCG_W)}])[rk] AS DECIMAL(18,9))
+        ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg
+  FROM top GROUP BY 1, 2
+),
+met AS (
+  SELECT q_label,
+    CAST(CASE WHEN n_label - 1 > 0
+      THEN round(hits / (n_label - 1), 6) ELSE 0 END AS DECIMAL(12,6)) AS recall,
+    CAST(coalesce(round(CAST(1 AS DOUBLE) / first_rel, 6), 0) AS DECIMAL(12,6)) AS mrr,
+    CAST(CASE WHEN n_label - 1 > 0
+      THEN round(CAST(dcg AS DOUBLE)
+           / ([{", ".join(repr(x) for x in _IDCG)}])[least(n_label - 1, {RETRIEVAL_K})], 6)
+      ELSE 0 END AS DECIMAL(12,6)) AS ndcg
+  FROM perq JOIN labn ON perq.q_label = labn.label
+)
+SELECT q_label AS label,
+  CAST(count(*) AS BIGINT) AS n_queries,
+  round(CAST(sum(recall) AS DOUBLE) / count(*), 6) AS recall_at_k,
+  round(CAST(sum(mrr) AS DOUBLE) / count(*), 6) AS mrr,
+  round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6) AS ndcg_at_k
+FROM met GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk,
     "sim_topk_cosine_arrow": q_sim_topk_arrow,
@@ -1089,6 +1273,7 @@ QUERIES = {
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     "emb_matryoshka_eval": q_emb_matryoshka,
+    "retrieval_eval": q_retrieval_eval,
 }
 
 ORACLES = {
@@ -1099,4 +1284,5 @@ ORACLES = {
     # recall vs brute force asserted in tests/test_similarity.py.
     "emb_knn_join": EMB_KNN_JOIN_SQL,
     "emb_matryoshka_eval": EMB_MATRYOSHKA_SQL,
+    "retrieval_eval": RETRIEVAL_EVAL_SQL,
 }

@@ -489,7 +489,9 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_apply_report(
-    docs: DataFrame, merges: list[tuple[str, str]]
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    word_filter: str | None = None,
 ) -> DataFrame:
     """Apply a trained merge list to the corpus and report per-source
     subword compression — the deploy half of BPE: tokenize with the
@@ -503,12 +505,13 @@ def bpe_apply_report(
     joined back to the per-(source, word) count table; per-source sums
     are one map-side-combined groupBy.  The vocab-side join key is the
     word itself; at web scale the vocab table is MBs — broadcast."""
-    per_word = (
-        docs.select(
-            "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("word")
-        )
-        .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    words = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("word")
+    )
+    if word_filter is not None:
+        words = words.filter(F.col("word").rlike(word_filter))
+    per_word = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wc")
     )
     # one merge pass per STEP with a lineage cut between passes: each
     # fold references its input expression several times, so composing
@@ -564,15 +567,93 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply_report(docs, merges)
 
 
+# ---------------------------------------------------------------------------
+# pinned-vocabulary BPE apply: the exactly-oracled companion to bpe_apply
+# ---------------------------------------------------------------------------
+
+# Fixed rank-ordered merge list (common English bigrams), including CHAINED
+# merges ('t'+'h' then 'th'+'e') so the oracle exercises merge sequencing,
+# not just independent substitutions.
+BPE_PINNED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("an", "d"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "u"),
+    ("r", "e"),
+]
+
+
+def q_bpe_apply_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bpe_apply`'s exactly-oracled companion (round-10 verdict task 6):
+    the SAME `_merge_fold` apply path and the same per-source compression
+    report, but over a PINNED merge list instead of the iteratively
+    trained one — so a DuckDB oracle can verify the greedy left-to-right
+    pairing semantics hash-exactly, which the rows-only `bpe_apply` check
+    never could.  Scope: alphabetic words only (`^[a-z]+$`) — the oracle
+    mirrors each merge pass as a substring replace over a
+    delimiter-wrapped symbol string ('<t><h><e>'), and the delimiter
+    argument requires tokens that cannot contain '<'/'>'.  The trained
+    path's merge ORDER guarantees stay with the Python parity gates in
+    tests/test_spans.py."""
+    from realparse_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return bpe_apply_report(docs, BPE_PINNED_MERGES, word_filter=r"^[a-z]+$")
+
+
+def _pinned_seg_sql() -> str:
+    # one replace() per merge, innermost first — replace-all is greedy
+    # left-to-right non-overlapping in DuckDB and the JVM alike, which is
+    # exactly _merge_fold's tail-merge semantics on the wrapped form: a
+    # replacement '<xy>' can never create a NEW '<x><y>' match before the
+    # scan point (y is non-empty, so '<xy>' cannot end in '<x>').
+    s = r"regexp_replace(word, '(.)', '<\1>', 'g')"
+    for left, right in BPE_PINNED_MERGES:
+        s = f"replace({s}, '<{left}><{right}>', '<{left}{right}>')"
+    return s
+
+
+BPE_APPLY_PINNED_SQL = rf"""
+WITH w AS (
+  SELECT source,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+fw AS (SELECT source, word FROM w WHERE regexp_matches(word, '^[a-z]+$')),
+seg AS (
+  SELECT word, {_pinned_seg_sql()} AS s
+  FROM (SELECT DISTINCT word FROM fw)
+),
+m AS (
+  SELECT word,
+    CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sub,
+    CAST(length(word) AS BIGINT) AS n_chr
+  FROM seg
+)
+SELECT f.source,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(n_chr) AS BIGINT) AS n_chars,
+  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+  round(CAST(sum(n_chr) AS DOUBLE) / sum(n_sub), 4) AS chars_per_token
+FROM fw f JOIN m USING (word)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "doc_dup_spans": q_doc_dup_spans,
     "dup_span_profile": q_dup_span_profile,
     "doc_span_clip": q_doc_span_clip,
     "bpe_train": q_bpe_train,  # iterative — rows-only, Python-parity gated
     "bpe_apply": q_bpe_apply,  # rides the trainer — rows-only, parity gated
+    "bpe_apply_pinned": q_bpe_apply_pinned,  # same apply path, pinned vocab — oracled
 }
 ORACLES = {
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "dup_span_profile": DUP_SPAN_PROFILE_SQL,
     "doc_span_clip": DOC_SPAN_CLIP_SQL,
+    "bpe_apply_pinned": BPE_APPLY_PINNED_SQL,
 }

@@ -714,13 +714,13 @@ def q_stream_quality_route_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realparse_spark.streaming.pipeline import stream_quality_route
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    if docs.limit(1).count() == 0:
-        return spark.createDataFrame(
-            [], "source string, route string, n_docs long, n_tokens long"
-        )
     # the fixture corpus passes the gate everywhere, so PLANT junk docs
     # (punct-heavy, under the token floor) to force the drop route —
-    # mirrored row-for-row in the oracle (the pii_density discipline)
+    # mirrored row-for-row in the oracle (the pii_density discipline).
+    # Planted UNCONDITIONALLY: the oracle's junk UNION is unconditional,
+    # so an empty corpus must still produce the 30 junk rows on both
+    # sides rather than an empty-vs-30 mismatch (round-10 ADVICE); it
+    # also guarantees the drop sink always exists.
     junk = spark.range(30).select(
         (F.col("id") + 20_000_000).alias("doc_id"),
         F.lit("junk").alias("source"),

@@ -405,3 +405,49 @@ def test_soft_dedup_weights_exact_mass(spark):
     assert b.eff_docs == 1.0 and b.eff_tokens == 4.0
     # raw token mass is conserved in the raw columns
     assert a.n_tokens == 4 * 3 + 2 * 2 and b.n_tokens == 4
+
+
+def test_minhash_e2e_keeplist_partitions_corpus(spark):
+    """The composed fuzzy-dedup lifecycle (signatures -> LSH pairs ->
+    components -> canonical keep-list): planted copies must land in one
+    cluster with exactly one canonical survivor, singletons must survive
+    as their own cluster, and the decision table must partition the
+    corpus exactly (every doc once, one keeper per cluster)."""
+    from realparse_spark.operators.dedup import minhash_dedup_e2e
+
+    docs = _docs(spark)  # 1,2,3 near/exact dups; 4,5 unrelated singletons
+    out = {r.doc_id: r for r in minhash_dedup_e2e(docs).collect()}
+    # partition: every doc exactly once
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    # the planted group clusters together...
+    grp = {out[i].cluster_id for i in (1, 2, 3)}
+    assert grp == {1}, grp
+    # ...with exactly one canonical member
+    assert sum(out[i].is_canonical for i in (1, 2, 3)) == 1
+    # singletons are their own cluster and always kept
+    for i in (4, 5):
+        assert out[i].cluster_id == i and out[i].is_canonical
+    # one keeper per cluster, globally
+    from collections import Counter
+
+    keepers = Counter(r.cluster_id for r in out.values() if r.is_canonical)
+    clusters = {r.cluster_id for r in out.values()}
+    assert set(keepers) == clusters and all(v == 1 for v in keepers.values())
+
+
+def test_minhash_portable_tracks_planted_structure(spark):
+    """The md5-portable MinHash companion must behave like MinHash:
+    exact copies agree on every signature position (est_jaccard = 1.0),
+    near-dups clear the 0.5 estimate threshold, and unrelated docs emit
+    no pair.  (Hash-exactness vs DuckDB is covered by the registered
+    oracle in test_oracle_parity.)"""
+    from realparse_spark.operators.dedup import minhash_portable_pairs
+
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_portable_pairs(_docs(spark)).collect()
+    }
+    assert got.get((1, 3)) == 1.0  # exact copies: all positions agree
+    assert got.get((1, 2), 0.0) >= 0.5 and got.get((2, 3), 0.0) >= 0.5
+    for pair in ((1, 4), (1, 5), (4, 5)):
+        assert pair not in got

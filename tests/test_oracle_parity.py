@@ -35,6 +35,9 @@ def test_all_queries_have_oracle_or_reason():
     # rows-only checks must be intentional; keep the allowlist here
     allowed_rows_only = {
         "dedup_minhash_lsh",
+        "dedup_minhash_e2e",  # composed xxhash64 lifecycle; planted-dup
+        # partition/canonical gates in test_dedup; the hash-verified
+        # family row is dedup_minhash_portable (md5 signatures, oracled)
         "dedup_incremental_minhash",  # xxhash64 band keys; batch-equality gate in test_dedup
         "dedup_simhash",
         "sim_ann_lsh",

@@ -405,10 +405,14 @@ def test_group_safe_split_vs_docid_split_leaks(spark):
 
 def test_packing_efficiency_conserves_and_bounds(spark):
     """Token conservation (sum over packs == corpus token count per
-    source), utilization <= 1e6 ppm only when nothing overflows, and the
-    greedy invariant: at most ONE underfull pack per source can be
-    non-terminal-overflow-free — concretely, every pack except the last
-    holds >= ctx_len tokens when docs never exceed the budget."""
+    source), utilization consistent with its integer definition, and the
+    report's overflow/underfull counts recomputed independently from the
+    per-pack table, and the greedy offset-packing invariant: with ZERO
+    overflows every pack starts exactly on its boundary, so every
+    non-terminal pack holds exactly ctx tokens and at most the terminal
+    pack can be underfull.  (The unconditional bound is NOT an
+    invariant: one straddling doc delays every later start, and that
+    lateness cascades through non-overfull packs.)"""
     from pyspark.sql import functions as F
 
     from realparse_spark.operators.pipeline_ops import (
@@ -428,10 +432,33 @@ def test_packing_efficiency_conserves_and_bounds(spark):
         .collect()
     }
     assert set(out) == set(exact)
+    # recompute the per-pack table independently: the report's counts
+    # must equal counts derived from the packing definition itself
+    from collections import defaultdict
+
+    from realparse_spark.operators.pipeline_ops import pack_sequences
+
+    np_, ov, uf = defaultdict(int), defaultdict(int), defaultdict(int)
+    per_pack = (
+        pack_sequences(load_table(spark, sf, "documents"), PACK_CTX_LEN)
+        .groupBy("source", "pack_id")
+        .agg(F.sum("n_tok").alias("pt"))
+        .collect()
+    )
+    for p in per_pack:
+        np_[p.source] += 1
+        ov[p.source] += p.pt > PACK_CTX_LEN
+        uf[p.source] += p.pt < PACK_CTX_LEN
     for src, r in out.items():
         assert r.total_tokens == exact[src]
+        assert (r.n_packs, r.overflow_packs, r.underfull_packs) == (
+            np_[src],
+            ov[src],
+            uf[src],
+        )
         assert r.underfull_packs >= 1  # the terminal partial pack
-        assert r.overflow_packs + r.underfull_packs <= r.n_packs + 1
+        if r.overflow_packs == 0:
+            assert r.underfull_packs <= 1
         # utilization consistent with its own integer definition
         assert r.util_ppm == r.total_tokens * 1_000_000 // (r.n_packs * PACK_CTX_LEN)
 

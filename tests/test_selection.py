@@ -200,8 +200,13 @@ def test_semdedup_hot_cluster_star_pairs(spark):
     assert 0 < len(hot_pairs) <= B - 1
     for p in hot_pairs:
         assert hub in (p.vec_a, p.vec_b), (p, hub)
-        expected = p.vec_a if cc[p.vec_a][1] > cc[p.vec_b][1] else p.vec_b
-        assert p.loser == expected
+        # star pairs: the SPOKE loses, the hub is the canonical keeper
+        # (round-10 ADVICE: hub-loses collapsed n_dropped to ~1)
+        spoke = p.vec_b if p.vec_a == hub else p.vec_a
+        assert p.loser == spoke and p.loser != hub
+    # the cap must not disable dedup: every near-identical spoke drops,
+    # so n_dropped == number of distinct spokes reported — B-1 here
+    assert len({p.loser for p in hot_pairs}) == len(hot_pairs) == B - 1
     # clusters below the cap are untouched: exact all-pairs parity with
     # the uncapped run
     ctl_capped = sorted(

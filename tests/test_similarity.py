@@ -400,3 +400,52 @@ def test_matryoshka_fixture_full_width_is_ground_truth(spark):
     }
     assert out[64] == 1.0
     assert all(0.0 <= out[d] <= 1.0 for d in (8, 16))
+
+
+def test_retrieval_eval_perfect_planted_relevance(spark):
+    """Two orthogonal tight clusters: every same-label vector outranks
+    every cross-label one, so recall@k, MRR and nDCG@k are exactly 1.0
+    for both query labels."""
+    from realparse_spark.operators.similarity import retrieval_eval
+
+    rows = [(i, [1.0, 0.01 * i, 0.0, 0.0], 0) for i in range(4)]
+    rows += [(100 + i, [0.0, 0.0, 1.0, 0.01 * i], 1) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in retrieval_eval(emb, k=3, query_mod=100).collect()}
+    assert set(out) == {0, 1}
+    for lbl in (0, 1):
+        r = out[lbl]
+        assert r.n_queries == 1
+        assert (r.recall_at_k, r.mrr, r.ndcg_at_k) == (1.0, 1.0, 1.0)
+
+
+def test_retrieval_eval_decoy_penalizes_rank(spark):
+    """A wrong-label decoy identical to the query steals rank 1: MRR
+    halves, recall@3 drops to 2/3, and nDCG matches the shared weight
+    literals exactly — the metric arithmetic, not just its sign."""
+    from realparse_spark.operators.similarity import _DCG_W, _IDCG, retrieval_eval
+
+    rows = [(i, [1.0, 0.01 * i, 0.0, 0.0], 0) for i in range(4)]
+    rows += [(100 + i, [0.0, 0.0, 1.0, 0.01 * i], 1) for i in range(4)]
+    rows += [(7, [1.0, 0.0, 0.0, 0.0], 9)]  # decoy: exact copy of query 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in retrieval_eval(emb, k=3, query_mod=100).collect()}
+    r0 = out[0]
+    assert r0.mrr == 0.5
+    assert r0.recall_at_k == round(2 / 3, 6)
+    assert r0.ndcg_at_k == round((_DCG_W[1] + _DCG_W[2]) / _IDCG[2], 6)
+    # label 9 has one member and no query -> no row; label 1 unaffected
+    assert set(out) == {0, 1}
+    assert (out[1].recall_at_k, out[1].mrr, out[1].ndcg_at_k) == (1.0, 1.0, 1.0)
+
+
+def test_retrieval_dcg_weights_shape(spark):
+    """The shared literals: w strictly decreasing from 1.0, IDCG the
+    rounded prefix sums — the contract both engines embed."""
+    from realparse_spark.operators.similarity import _DCG_W, _IDCG, RETRIEVAL_K
+
+    assert len(_DCG_W) == len(_IDCG) == RETRIEVAL_K
+    assert _DCG_W[0] == 1.0
+    assert all(a > b for a, b in zip(_DCG_W, _DCG_W[1:]))
+    for i in range(RETRIEVAL_K):
+        assert _IDCG[i] == round(sum(_DCG_W[: i + 1]), 9)

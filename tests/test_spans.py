@@ -275,3 +275,27 @@ def test_winsorize_ignores_extreme_outlier(spark):
     # clamped series: [5,5,5,5,5,6..94,95,95,95,95,95,95]
     clamped = [min(max(v, 5.0), 95.0) for v in vals]
     assert r.winsorized_mean == round(sum(clamped) / 100, 4)
+
+
+def test_bpe_apply_pinned_merge_chaining(spark):
+    """Pinned-vocab apply semantics, by hand: chained merges collapse
+    'the'/'and' to one subtoken ('t'+'h' then 'th'+'e'), a merged symbol
+    does not re-split ('ther' -> [the, r], never e+r inside), unmergeable
+    words stay at char count, and non-alphabetic tokens are filtered."""
+    from realparse_spark.operators.spans import BPE_PINNED_MERGES, bpe_apply_report
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "the and zzz the ou!ch"), (2, "s2", "ther")],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.source: r
+        for r in bpe_apply_report(
+            docs, BPE_PINNED_MERGES, word_filter=r"^[a-z]+$"
+        ).collect()
+    }
+    s1 = out["s1"]
+    assert (s1.n_words, s1.n_chars, s1.n_subwords) == (4, 12, 6)
+    assert s1.chars_per_token == 2.0
+    s2 = out["s2"]
+    assert (s2.n_words, s2.n_chars, s2.n_subwords) == (1, 4, 2)
