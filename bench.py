@@ -196,6 +196,10 @@ EXTRA = [
     "doc_language_confusion",  # langid-vs-truth confusion matrix (ppm shares)
     "curation_pipeline_e2e",  # gate -> soft-dedup -> group-safe split, one plan
     "corpus_datasheet",     # per-source datasheet (langs, dup/keep ppm) in one plan
+    "retrieval_eval",       # recall@k / MRR / nDCG over planted relevance
+    "dedup_minhash_e2e",    # composed signatures->pairs->components->keep-list
+    "dedup_minhash_portable",  # md5-portable MinHash+LSH (oracle companion)
+    "bpe_apply_pinned",     # pinned-vocab merge-fold apply (oracle companion)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

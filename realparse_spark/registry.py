@@ -46,98 +46,86 @@ _MODULES = (
 # else follows in module order.  Rotate per round so every query accumulates
 # driver rows.
 #
-# The round-10 window (EXACTLY 50 names), per the round-9 verdict tasks 1-2:
-# (a) clamped_balance FIRST — the only red row of r8 AND r9 (hash mismatch
-#     on the driver despite bit-identical values in every independent
-#     replica, including the judge's).  Two rounds of decimal cast
-#     discipline could not reach the split, so round 10 dodges the
-#     representation: the balances are EMITTED as BIGINT micro-unit
-#     columns (peak_balance_u / final_balance_u) — integer columns have
-#     never hash-split in nine rounds of driver data.
-# (b) the 14 round-9 additions with no driver row ever (tri-scale
-#     parity-green in-repo, TRISWEEP_r09.txt): the selection module,
-#     the spans module, mannwhitney_u, theil_sen_trend,
-#     winsorize_values, quality_filter_report, emb_matryoshka_eval.
-#     bpe_train/bpe_apply are rows-only BY DESIGN (iterative); their
-#     real guarantees are the Python merge-parity gates in
-#     tests/test_spans.py.
-# (c) the full r5 staleness frontier (8 names), including the 3
-#     rows-only ANN names deferred from the r9 window (emb_knn_join_ivf,
-#     sim_ann_lsh, sim_ann_lsh_batch — recall/pruning/parity gates in
-#     tests/test_similarity.py carry their real guarantees).
-# (d) 27 of the 50 queries whose latest row is r6, verdict-named ones
-#     first.  The 23 deferred to round 11 are the 9 rows-only sketch/ANN
-#     names (weakest driver signal; in-repo gates cover them) plus 14
-#     oracled TPC-H/dq/maintenance rows that were green r6 and have
-#     dedicated pytest coverage.
+# The round-11 window (EXACTLY 50 names), per the round-10 verdict tasks 2-7:
+# (a) the 11 round-10 additions with no driver row ever (tri-scale
+#     parity-green in-repo, TRISWEEP_r10.txt; 50/50 pre-flighted) —
+#     never-sampled backlog drains to zero again.
+#     stream_quality_route_e2e is oracled like the other nine streaming
+#     lifecycles.
+# (b) the 4 round-11 additions, registered INSIDE the window while slots
+#     are free (no new backlog): retrieval_eval (recall@k/MRR/nDCG,
+#     oracled — verdict task 4), dedup_minhash_e2e (the composed fuzzy
+#     lifecycle, rows-only + planted-dup gates — task 5), and the two
+#     oracled companions that shrink the rows-only ledger (task 6):
+#     dedup_minhash_portable (md5-hash MinHash+LSH, hash-verified
+#     including the hot-bucket star cutover) and bpe_apply_pinned (the
+#     real merge-fold apply path over a pinned vocabulary).
+# (c) the full r6 staleness frontier (23 names) deferred per the
+#     round-10 rotation note: the 9 rows-only sketch/ANN names get their
+#     stale-rotation slot (in-repo gates carry their real guarantees)
+#     plus the 14 oracled TPC-H/dq/maintenance rows.
+# (d) 12 of the 50 r7-stale names, LLM-pipeline-relevant first (the
+#     streaming enrich lifecycle, decontamination, BM25/tf-idf/PMI,
+#     privacy aggregates); the remaining 38 r7 names are the round-12
+#     stale frontier, all oracled or gate-covered, none never-sampled.
 # Post-window additions register AFTER these 50 names; never-sampled
 # backlog stays <= one round's driver capacity (the rule that took the
-# backlog 60 -> 10 -> 7 -> 0 -> 14 -> 0).  Round-10 growth: eleven new
-# LLM-pipeline ops (soft_dedup_weights in dedup; lang_mix_temperature +
-# group_safe_split + packing_efficiency in pipeline_ops; kmeans_train
-# in selection; emb_drift in advanced; source_overlap_matrix +
-# doc_language_confusion in text; stream_quality_route_e2e, the 10th
-# oracled streaming lifecycle; curation_pipeline_e2e, the composed
-# gate→soft-dedup→split lifecycle; corpus_datasheet in corpus_quality —
-# all oracled, all gate-tested) queue behind the window for the
-# round-11 rotation alongside the 23 deferred stale names: round-11
-# backlog 11 never-sampled + 23 stale, under one round's 50-row
-# capacity.
+# backlog 60 -> 10 -> 7 -> 0 -> 14 -> 0 -> 11 -> 0).
 _PRIORITY = (
-    # --- (a) the r8/r9 red row, re-earned in integer representation ---
-    "clamped_balance",
-    # --- (b) round-9 additions: never-sampled backlog drains to zero ---
-    "semdedup",
-    "dsir_importance",
-    "dsir_resample",
-    "ccnet_ppl_buckets",
-    "doc_dup_spans",
-    "dup_span_profile",
-    "doc_span_clip",
-    "bpe_train",  # rows-only by design (iterative)
-    "bpe_apply",  # rows-only by design (snapshot artifact)
-    "mannwhitney_u",
-    "theil_sen_trend",
-    "winsorize_values",
-    "quality_filter_report",
-    "emb_matryoshka_eval",
-    # --- (c) r5 staleness frontier, incl. the 3 deferred ANN names ---
-    "text_repetition",
-    "text_unigram_logprob",
-    "text_winnow",
-    "sim_ann_lsh",  # rows-only
-    "sim_ann_lsh_batch",  # rows-only
-    "emb_knn_join_ivf",  # rows-only
-    "value_histogram",
-    "trend_slopes",
-    # --- (d) r6 staleness frontier: 27 of 50, all oracled ---
-    "datetime_roundtrip",
-    "surrogate_keys",
-    "customer_report",
-    "report_formatted",
-    "like_pattern_join",
-    "stream_dedup_e2e",
-    "stream_session_e2e",
-    "stream_custom_state_e2e",
-    "sim_topk_cosine",
-    "multimodal_png",
-    "multimodal_resize",
-    "multimodal_resample",
-    "tumbling_window",
-    "schema_evolution",
-    "pricing_summary",
-    "funnel_conversion",
-    "sql_interface",
-    "set_ops",
-    "window_rank",
-    "window_distribution",
-    "scd2_build",
-    "scd2_lookup",
-    "daily_new_users",
-    "rfm_segments",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "salted_join",
+    # --- (a) round-10 additions: never-sampled backlog drains to zero ---
+    "soft_dedup_weights",
+    "lang_mix_temperature",
+    "group_safe_split",
+    "packing_efficiency",
+    "kmeans_train",
+    "emb_drift",
+    "source_overlap_matrix",
+    "doc_language_confusion",
+    "stream_quality_route_e2e",
+    "curation_pipeline_e2e",
+    "corpus_datasheet",
+    # --- (b) round-11 additions, in-window (no new backlog) ---
+    "retrieval_eval",
+    "dedup_minhash_e2e",  # rows-only by design (xxhash64 lifecycle)
+    "dedup_minhash_portable",
+    "bpe_apply_pinned",
+    # --- (c) the r6 staleness frontier: all 23 deferred names ---
+    "approx_audience_overlap",  # rows-only (theta sketch)
+    "approx_distinct",  # rows-only (HLL)
+    "approx_distinct_merge",  # rows-only (HLL blob merge)
+    "approx_quantiles",  # rows-only (KLL-ish)
+    "approx_topk_users",  # rows-only (frequent items)
+    "dedup_minhash_lsh",  # rows-only (xxhash64)
+    "dq_embeddings",
+    "emb_pq",  # rows-only (KMeans codebooks)
+    "maintenance_compact",
+    "percentile_metrics",
+    "q11_important_stock",
+    "q16_supplier_counts",
+    "q19_disjunct_revenue",
+    "q20_promotable_stock",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "salted_agg",
+    "sim_ann_ivf_pq",  # rows-only (composed IVF-PQ probe)
+    "sim_ann_pq",  # rows-only (ADC ranking)
+    "sliding_window",
+    "top_terms",
+    # --- (d) 12 r7-stale names, LLM-pipeline-relevant first ---
+    "stream_enrich_e2e",
+    "doc_decontaminate",
+    "text_bm25",
+    "text_tfidf_cosine",
+    "vocab_build",
+    "word_pmi",
+    "dedup_prefix_jaccard",
+    "line_dedup",
+    "epoch_shuffle",
+    "token_budget_mix",
+    "k_anonymity",
+    "dp_group_counts",
 )
 
 
