@@ -197,6 +197,7 @@ EXTRA = [
     "curation_pipeline_e2e",  # gate -> soft-dedup -> group-safe split, one plan
     "corpus_datasheet",     # per-source datasheet (langs, dup/keep ppm) in one plan
     "retrieval_eval",       # recall@k / MRR / nDCG over planted relevance
+    "retrieval_eval_ann",   # same metrics over the pruned LSH probe
     "dedup_minhash_e2e",    # composed signatures->pairs->components->keep-list
     "dedup_minhash_portable",  # md5-portable MinHash+LSH (oracle companion)
     "bpe_apply_pinned",     # pinned-vocab merge-fold apply (oracle companion)

@@ -1149,6 +1149,15 @@ def retrieval_eval(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return _retrieval_metrics(top.select("qid", "q_label", "label", "rk"), labn, k)
+
+
+def _retrieval_metrics(top: DataFrame, labn: DataFrame, k: int) -> DataFrame:
+    """Per-label metric rollup over a ranked result table
+    (qid, q_label, label, rk) — shared by the exact baseline
+    (`retrieval_eval`) and the ANN-probe evaluation
+    (`q_retrieval_eval_ann`), so both grade against identical planted
+    relevance with identical arithmetic."""
     wlit = F.array(*[F.lit(x).cast("decimal(18,9)") for x in _DCG_W])
     rel = F.col("label") == F.col("q_label")
     per_q = top.groupBy("qid", "q_label").agg(
@@ -1208,6 +1217,43 @@ def retrieval_eval(
 
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_retrieval_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`retrieval_eval` with the SHIPPED index in the retrieval seat:
+    the bucketed-LSH batch probe replaces the exact scored stage, and
+    the identical `_retrieval_metrics` rollup grades it against the same
+    planted same-label relevance — the before/after report a pipeline
+    reads when an index parameter (radius, chunks, planes) changes.
+
+    ANN honesty: a pruned probe can return FEWER than k rows (or none)
+    for a query, and a query with no candidates drops out of its label's
+    n_queries — both are real index behavior the report must surface,
+    not paper over.  Rows-only driver check (the LSH sketch is
+    xxhash-free but hyperplane-LCG based — not worth a second SQL
+    mirror); the exact-side arithmetic is already hash-verified via
+    `retrieval_eval`, and bounds/consistency gates live in
+    tests/test_similarity.py.
+
+    Scale: probe work is Σ|bucket| over probed buckets (dynamic
+    partition pruning on the index scan), then O(|Q|·k) metric rows —
+    the corpus is never scanned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _lsh_index_for(spark, sf_dir)
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(RETRIEVAL_QUERY_MOD)) == 0)
+    res = lsh_probe_batch(
+        spark,
+        idx,
+        q.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=RETRIEVAL_K,
+        radius=4,
+    )
+    qlab = q.select(F.col("vec_id").alias("qid"), F.col("label").alias("q_label"))
+    top = res.join(F.broadcast(qlab), res.query_id == qlab.qid).select(
+        "qid", "q_label", "label", "rk"
+    )
+    labn = emb.groupBy("label").agg(F.count(F.lit(1)).cast("int").alias("n_label"))
+    return _retrieval_metrics(top, labn, RETRIEVAL_K)
 
 
 RETRIEVAL_EVAL_SQL = rf"""
@@ -1274,6 +1320,10 @@ QUERIES = {
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     "emb_matryoshka_eval": q_emb_matryoshka,
     "retrieval_eval": q_retrieval_eval,
+    # ANN-probe evaluation: rows-only (LCG hyperplane sketches); the
+    # metric arithmetic is hash-verified via retrieval_eval's oracle and
+    # the shared _retrieval_metrics rollup; gates in test_similarity
+    "retrieval_eval_ann": q_retrieval_eval_ann,
 }
 
 ORACLES = {

@@ -70,7 +70,11 @@ _MODULES = (
 #     stale frontier, all oracled or gate-covered, none never-sampled.
 # Post-window additions register AFTER these 50 names; never-sampled
 # backlog stays <= one round's driver capacity (the rule that took the
-# backlog 60 -> 10 -> 7 -> 0 -> 14 -> 0 -> 11 -> 0).
+# backlog 60 -> 10 -> 7 -> 0 -> 14 -> 0 -> 11 -> 0).  Round-11 growth
+# past the window: retrieval_eval_ann (the ANN probe in the retrieval
+# seat, rows-only by design, metric arithmetic shared with the oracled
+# retrieval_eval) queues for round 12 — backlog 1 never-sampled + 38
+# r7-stale, well under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

@@ -42,6 +42,10 @@ def test_all_queries_have_oracle_or_reason():
         "dedup_simhash",
         "sim_ann_lsh",
         "sim_ann_lsh_batch",  # approximate; exact per-query parity gate vs lsh_probe
+        "retrieval_eval_ann",  # ANN probe in the retrieval seat; metric
+        # arithmetic hash-verified via retrieval_eval's oracle (shared
+        # _retrieval_metrics rollup); bounds/consistency gates in
+        # test_similarity
         "sim_ann_ivf",
         "emb_knn_join_ivf",  # approximate (block boundaries); recall-gated
         "emb_pq",  # KMeans codebooks not SQL-reproducible; error-bound gate

@@ -449,3 +449,24 @@ def test_retrieval_dcg_weights_shape(spark):
     assert all(a > b for a, b in zip(_DCG_W, _DCG_W[1:]))
     for i in range(RETRIEVAL_K):
         assert _IDCG[i] == round(sum(_DCG_W[: i + 1]), 9)
+
+
+def test_retrieval_eval_ann_bounds_and_consistency(spark):
+    """The ANN-probe evaluation over the real fixture: every metric in
+    [0, 1], per-label query counts never exceed the exact baseline's
+    (a pruned probe can only lose queries, never invent them), and the
+    label set is a subset of the exact report's."""
+    from realparse_spark.operators.similarity import (
+        q_retrieval_eval,
+        q_retrieval_eval_ann,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.label: r for r in q_retrieval_eval(spark, sf).collect()}
+    ann = {r.label: r for r in q_retrieval_eval_ann(spark, sf).collect()}
+    assert ann and set(ann) <= set(exact)
+    for lbl, r in ann.items():
+        assert 0 <= r.recall_at_k <= 1
+        assert 0 <= r.mrr <= 1
+        assert 0 <= r.ndcg_at_k <= 1
+        assert 1 <= r.n_queries <= exact[lbl].n_queries
