@@ -65,3 +65,55 @@ def test_dup_span_report_matches_brute_force(spark, corpus):
         for r in dup_span_report(docs, k=K).collect()
     }
     assert got == _brute_force(corpus, K)
+
+
+# ---------------------------------------------------------------------------
+# pinned-vocab BPE apply vs a pure-Python greedy reference
+# ---------------------------------------------------------------------------
+
+bpe_word_st = st.text(alphabet="theandiroqz", min_size=1, max_size=9)
+bpe_corpus_st = st.lists(bpe_word_st, min_size=1, max_size=12)
+
+
+def _py_apply_pinned(word: str, merges) -> int:
+    """Sequential greedy left-to-right merge passes — the `_merge_fold`
+    contract, independently re-implemented (and the semantics the
+    DuckDB oracle's replace-trick must also reproduce)."""
+    s = list(word)
+    for left, right in merges:
+        out = [s[0]]
+        for x in s[1:]:
+            if out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        s = out
+    return len(s)
+
+
+@given(words=bpe_corpus_st)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_apply_pinned_matches_python_reference(spark, words):
+    """bpe_apply_report over the pinned merge list must agree with the
+    Python reference on subtoken totals for arbitrary words over the
+    merge alphabet — pinning the fold semantics the BPE_APPLY_PINNED_SQL
+    replace-trick equivalence argument rests on (chained merges, merges
+    inside longer words, repeated adjacent pairs)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from realparse_spark.operators.spans import BPE_PINNED_MERGES, bpe_apply_report
+
+    docs = spark.createDataFrame(
+        [(i, "s", w) for i, w in enumerate(words)],
+        "doc_id long, source string, text string",
+    )
+    out = bpe_apply_report(docs, BPE_PINNED_MERGES, word_filter=r"^[a-z]+$").collect()
+    assert len(out) == 1
+    r = out[0]
+    exp_sub = sum(_py_apply_pinned(w, BPE_PINNED_MERGES) for w in words)
+    exp_chr = sum(len(w) for w in words)
+    assert (r.n_words, r.n_chars, r.n_subwords) == (len(words), exp_chr, exp_sub)
