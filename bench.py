@@ -200,6 +200,7 @@ EXTRA = [
     "retrieval_eval_ann",   # same metrics over the pruned LSH probe
     "dedup_minhash_e2e",    # composed signatures->pairs->components->keep-list
     "dedup_minhash_portable",  # md5-portable MinHash+LSH (oracle companion)
+    "dedup_simhash_portable",  # md5-portable SimHash (oracle companion)
     "bpe_apply_pinned",     # pinned-vocab merge-fold apply (oracle companion)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)

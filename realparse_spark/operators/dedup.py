@@ -1121,15 +1121,23 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     chunks — any pair within the bound must agree on >= 1 full chunk, so
     candidate generation is an equi join (shuffle-hash), never a cross
     product, and the candidate set is provably complete."""
+    return _simhash_pigeonhole_pairs(simhash_signatures(docs), max_hamming, nbits=64)
+
+
+def _simhash_pigeonhole_pairs(
+    sig: DataFrame, max_hamming: int, nbits: int
+) -> DataFrame:
+    """Pigeonhole chunk join over a (doc_id, simhash) table — shared by
+    the xxhash64 production path (64-bit) and the md5-portable oracled
+    variant (60-bit)."""
     n_chunks = max_hamming + 1
     if n_chunks > 32:
         raise ValueError("max_hamming > 31 would need 1-bit chunks; use a different method")
-    width = 64 // n_chunks  # chunks cover width*n_chunks bits; remainder bits
+    width = nbits // n_chunks  # chunks cover width*n_chunks bits; remainder bits
     # ride along in the last chunk via a wider mask
-    sig = simhash_signatures(docs)
 
     def chunk(c: int) -> F.Column:
-        bits = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        bits = width if c < n_chunks - 1 else nbits - width * (n_chunks - 1)
         mask = (1 << bits) - 1
         return F.shiftright("simhash", width * c).bitwiseAND(F.lit(mask)).alias(f"c{c}")
 
@@ -1154,6 +1162,78 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=3 keeps the 4-chunk pigeonhole candidate set complete
     return simhash_pairs(fan_out(load_table(spark, sf_dir, "documents")), max_hamming=3)
+
+
+PORTABLE_SIMHASH_BITS = 60
+
+
+def simhash_portable_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs whose every bit is ENGINE-PORTABLE: token
+    hashes are the md5-15-hex idiom (60 usable bits) instead of xxhash64,
+    so DuckDB reproduces per-bit votes, signatures and hamming distances
+    exactly — the SimHash family's hash-verified companion, like
+    `minhash_portable_pairs` for MinHash.  Candidate generation is the
+    SAME pigeonhole chunk join as production (`_simhash_pigeonhole_pairs`
+    over 4×15-bit chunks); the oracle brute-forces all pairs, which is
+    equivalent because the pigeonhole candidate set is complete for
+    hamming <= max_hamming.  Production stays xxhash64 (JVM-side, full
+    64 bits)."""
+    nbits = PORTABLE_SIMHASH_BITS
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("t")
+    ).select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").alias("h"),
+    )
+    vote = lambda b: (  # noqa: E731
+        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+    ).cast("long")
+    summed = toks.groupBy("doc_id").agg(
+        *[F.sum(vote(b)).alias(f"s{b}") for b in range(nbits)]
+    )
+    sig = None
+    for b in range(nbits):
+        bit = F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    sigs = summed.select("doc_id", sig.alias("simhash"))
+    return _simhash_pigeonhole_pairs(sigs, max_hamming, nbits=nbits)
+
+
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_portable_pairs(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+DEDUP_SIMHASH_PORTABLE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substring(md5(tk), 1, 15) AS BIGINT) AS h FROM t
+),
+v AS (
+  SELECT doc_id, b,
+    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(0, {PORTABLE_SIMHASH_BITS})) AS b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  -- DuckDB sums BIGINT into HUGEINT; cast back (values < 2^60 by construction)
+  SELECT doc_id,
+    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+  FROM v GROUP BY doc_id
+)
+-- brute-force all pairs: equivalent to the pigeonhole join (its candidate
+-- set is complete for hamming <= the bound), tractable at oracle scale
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1686,6 +1766,8 @@ QUERIES = {
     "dedup_minhash_e2e": q_dedup_minhash_e2e,
     # md5-hash MinHash+LSH: the hash-verified companion for the family
     "dedup_minhash_portable": q_dedup_minhash_portable,
+    # md5-hash SimHash: the hash-verified companion for that family
+    "dedup_simhash_portable": q_dedup_simhash_portable,
 }
 
 ORACLES = {
@@ -1703,4 +1785,5 @@ ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "soft_dedup_weights": SOFT_DEDUP_WEIGHTS_SQL,
     "dedup_minhash_portable": DEDUP_MINHASH_PORTABLE_SQL,
+    "dedup_simhash_portable": DEDUP_SIMHASH_PORTABLE_SQL,
 }

@@ -73,8 +73,9 @@ _MODULES = (
 # backlog 60 -> 10 -> 7 -> 0 -> 14 -> 0 -> 11 -> 0).  Round-11 growth
 # past the window: retrieval_eval_ann (the ANN probe in the retrieval
 # seat, rows-only by design, metric arithmetic shared with the oracled
-# retrieval_eval) queues for round 12 — backlog 1 never-sampled + 38
-# r7-stale, well under capacity.
+# retrieval_eval) and dedup_simhash_portable (the SimHash family's
+# hash-verified md5 companion, oracled) queue for round 12 — backlog 2
+# never-sampled + 38 r7-stale, well under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

@@ -451,3 +451,21 @@ def test_minhash_portable_tracks_planted_structure(spark):
     assert got.get((1, 2), 0.0) >= 0.5 and got.get((2, 3), 0.0) >= 0.5
     for pair in ((1, 4), (1, 5), (4, 5)):
         assert pair not in got
+
+
+def test_simhash_portable_tracks_planted_structure(spark):
+    """The md5-portable SimHash companion must behave like SimHash:
+    exact copies at hamming 0, the one-word near-dup within the bound,
+    unrelated docs absent.  (Hash-exactness vs DuckDB is covered by the
+    registered oracle in test_oracle_parity; pigeonhole completeness is
+    shared with the production path via _simhash_pigeonhole_pairs.)"""
+    from realparse_spark.operators.dedup import simhash_portable_pairs
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_portable_pairs(_docs(spark)).collect()
+    }
+    assert got.get((1, 3)) == 0  # exact copies
+    assert got.get((1, 2), 99) <= 3 and got.get((2, 3), 99) <= 3
+    for pair in ((1, 4), (1, 5), (4, 5)):
+        assert pair not in got
