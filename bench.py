@@ -365,13 +365,14 @@ def main() -> None:
     # starved-host guard: when the hypervisor is delivering well under
     # the nominal core count (physical-host co-tenant), every Spark
     # stage runs uniformly slower and a drift verdict measures the
-    # neighbor, not the code.  Wait briefly (bounded — the driver's
-    # per-round run must not hang) for capacity to return; proceed and
-    # measure regardless after the last attempt, with the probe values
-    # recorded in the output either way.
+    # neighbor, not the code.  Wait (bounded — the driver's per-round
+    # run must not hang; 8x60s worst case, raised from 3 after rounds
+    # 9-11 all landed on multi-hour co-tenancy windows) for capacity to
+    # return; proceed and measure regardless after the last attempt,
+    # with the probe values recorded in the output either way.
     eff = effective_cores()
     n_cpu = os.cpu_count() or 1
-    for _ in range(3):
+    for _ in range(8):
         if eff >= 0.8 * n_cpu:
             break
         print(
