@@ -1117,34 +1117,45 @@ def retrieval_eval(
     - nDCG@k   = DCG/IDCG with binary gains and w_i = 1/log2(i+1)
       embedded as shared rounded literals (see `_dcg_weights`)
 
-    Determinism: cosines round to 6 before ranking (sequential fold, the
-    semdedup cent_cos discipline) with vec_id tie-breaks; DCG sums run as
-    exact decimals over the shared weight literals; every per-query
-    metric rounds to 6 and per-label averages sum decimals then divide
-    once, IEEE, in both engines.
+    Determinism: both sides normalize to unit vectors ONCE (component =
+    x/||x||, one division each — the semdedup `u` discipline) and the
+    cosine is a single sequential-fold dot rounded to 6 before ranking,
+    with vec_id tie-breaks; DCG sums run as exact decimals over the
+    shared weight literals; every per-query metric rounds to 6 and
+    per-label averages sum decimals then divide once, IEEE, in both
+    engines.
 
-    Scale: queries broadcast (O(Q·dim)); ONE corpus scan scores all
-    queries; the top-k window partitions by query id (uniform key, k
-    rows kept per query).  This is the exact-baseline eval — production
-    evaluates an ANN index by swapping the scored CTE for the index
-    probe (`lsh_probe_batch` / `knn_join_ivf`) against the same planted
-    relevance, which is why the metric plumbing lives apart from any
-    index."""
+    Scale: norms are computed per VECTOR (|corpus| + |Q| passes), never
+    per (query, vector) pair; queries broadcast (O(Q·dim)); ONE corpus
+    scan scores all queries; the top-k window partitions by query id
+    (uniform key, k rows kept per query).  This is the exact-baseline
+    eval — production evaluates an ANN index by swapping the scored
+    stage for the index probe (`lsh_probe_batch` / `knn_join_ivf`)
+    against the same planted relevance, which is why the metric plumbing
+    lives apart from any index (`_retrieval_metrics`)."""
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    norm = lambda a: F.sqrt(  # noqa: E731
+        fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    )
+    unit = lambda a: F.transform(a, lambda x: x.cast("double") / norm(a))  # noqa: E731
     labn = emb.groupBy("label").agg(F.count(F.lit(1)).cast("int").alias("n_label"))
     q = emb.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
+        unit(F.col("embedding")).alias("qu"),
         F.col("label").alias("q_label"),
     )
+    corpus = emb.select("vec_id", "label", unit(F.col("embedding")).alias("u"))
     scored = (
-        emb.join(F.broadcast(q))
+        corpus.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "q_label",
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+            F.round(
+                fold(F.zip_with("u", "qu", lambda x, y: x * y)), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -1259,17 +1270,24 @@ def q_retrieval_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETRIEVAL_EVAL_SQL = rf"""
 WITH labn AS (SELECT label, CAST(count(*) AS INTEGER) AS n_label FROM embeddings GROUP BY 1),
 q AS (
-  SELECT vec_id AS qid, embedding AS qe, label AS q_label FROM embeddings
+  SELECT vec_id AS qid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)
+      / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS qu,
+    label AS q_label
+  FROM embeddings
   WHERE vec_id % {RETRIEVAL_QUERY_MOD} = 0
+),
+corpus AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)
+      / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS u
+  FROM embeddings
 ),
 scored AS (
   SELECT q.qid, q.q_label, e.vec_id, e.label,
-    round(
-      list_aggregate(list_transform(range(1, len(e.embedding) + 1),
-          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')
-      / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-         * sqrt(list_aggregate(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cos
-  FROM embeddings e, q
+    round(list_aggregate(list_transform(range(1, len(e.u) + 1),
+          i -> e.u[i] * q.qu[i]), 'sum'), 6) AS cos
+  FROM corpus e, q
   WHERE e.vec_id <> q.qid
 ),
 top AS (
