@@ -23,6 +23,10 @@ DISTINCT physical-plan pattern the engine must handle at 100 TB
   hand-derived superset pushdown.
 - Q21 analog (``q21_waiting_supplier``): double-correlated EXISTS/NOT
   EXISTS collapsed into one per-order window.
+- Q18 analog (``q18_large_volume``): HAVING-subquery-equals-outer-agg
+  decorrelated into aggregate → filter → broadcast semi-join reduction
+  (completes the full 22-shape TPC-H suite together with analytics.py's
+  Q1/Q3/Q5/Q10 and tpch_partsupp.py's Q2/Q9/Q11/Q16/Q20).
 
 The remaining classic shapes (Q2/Q9/Q11/Q16/Q20) require the
 ``partsupp`` table, which the fixture schema does not include
@@ -796,8 +800,84 @@ ORDER BY numwait DESC, s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume customer (aggregate semi-join reduction)
+# ---------------------------------------------------------------------------
+
+def q18_large_volume_customer(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, threshold: int = 300
+) -> DataFrame:
+    """Orders whose total line quantity exceeds ``threshold``, with the
+    owning customer — the classic Q18 "HAVING subquery equals the outer
+    aggregate" shape, decorrelated the way a 100 TB plan must be:
+
+    1. ONE shuffle aggregates lineitem per orderkey (map-side partial
+       combine collapses ~7 lines/order before the exchange).
+    2. The ``> threshold`` filter keeps a few rows per million orders,
+       so the survivor set BROADCASTS into the orders join — the fact
+       table is never shuffled for the semi-join, and neither is
+       customer: the orders⋈survivors result is again tiny and
+       broadcasts into the customer join.  Total: one fact shuffle,
+       zero big-side shuffles, a TakeOrdered top-100 instead of a
+       global sort.
+
+    The naive plan (correlated HAVING subquery re-aggregating lineitem
+    per outer row) re-scans the fact once per order; Catalyst cannot
+    rescue that formulation at scale, which is why the reduction is
+    expressed explicitly here.
+
+    ``l_quantity`` is integral (1..50) so the double sum is exact and
+    casts to BIGINT identically in both engines."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > threshold)
+        .select("l_orderkey", F.col("_q").cast("bigint").alias("total_qty"))
+    )
+    hit = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty")
+    return (
+        customer.join(F.broadcast(hit), customer.c_custkey == hit.o_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q18_large_volume_customer(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+Q18_LARGE_VOLUME_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q12_priority_class": q_q12_priority_class,
+    "q18_large_volume": q_q18_large_volume,
     "q4_late_orders": q_q4_late_orders,
     "q13_order_counts": q_q13_order_counts,
     "q14_promo_revenue": q_q14_promo_revenue,
@@ -813,6 +893,7 @@ QUERIES = {
 
 ORACLES = {
     "q12_priority_class": Q12_PRIORITY_CLASS_SQL,
+    "q18_large_volume": Q18_LARGE_VOLUME_SQL,
     "q4_late_orders": Q4_LATE_ORDERS_SQL,
     "q13_order_counts": Q13_ORDER_COUNTS_SQL,
     "q14_promo_revenue": Q14_PROMO_REVENUE_SQL,

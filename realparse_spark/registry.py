@@ -74,8 +74,10 @@ _MODULES = (
 # past the window: retrieval_eval_ann (the ANN probe in the retrieval
 # seat, rows-only by design, metric arithmetic shared with the oracled
 # retrieval_eval) and dedup_simhash_portable (the SimHash family's
-# hash-verified md5 companion, oracled) queue for round 12 — backlog 2
-# never-sampled + 38 r7-stale, well under capacity.
+# hash-verified md5 companion, oracled), plus q18_large_volume (the
+# aggregate-semi-join-reduction shape that completes the 22-query
+# TPC-H suite, oracled) queue for round 12 — backlog 3 never-sampled
+# + 38 r7-stale, well under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

@@ -385,6 +385,21 @@ def test_q22_anti_join_prunes_orders_columns(spark, queries):
     assert X.python_eval_nodes(df) == 0
 
 
+def test_q18_semi_join_reduction_broadcasts_survivors(spark, queries):
+    df = queries["q18_large_volume"](spark, SF)
+    plan = X.executed_plan(df)
+    # the HAVING subquery is decorrelated: ONE lineitem aggregation whose
+    # >threshold survivors broadcast into orders, then into customer —
+    # no sort-merge join, no second fact scan, no global sort (top-100)
+    assert X.broadcast_join_count(df) >= 2
+    assert X.sortmerge_join_count(df) == 0
+    schemas = X.read_schemas(df)
+    assert sum(1 for s in schemas if "l_quantity" in s) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert X.python_eval_nodes(df) == 0
+
+
 def test_rollup_merge_two_level_agg_no_python(spark, queries):
     df = queries["rollup_merge"](spark, SF)
     # hourly partial + daily merge + final sort: nothing else shuffles
