@@ -904,20 +904,14 @@ PORTABLE_MINHASH_K = 8
 PORTABLE_MINHASH_BANDS = 4
 
 
-def minhash_portable_signatures(
-    docs: DataFrame, k: int = PORTABLE_MINHASH_K
-) -> DataFrame:
-    """MinHash signatures whose every hash is ENGINE-PORTABLE: token
-    hashes come from md5 (first 15 hex chars as an int — the hash_split
-    idiom, pipeline_ops.py) instead of xxhash64, so DuckDB reproduces the
-    signature bit-for-bit.  Same shingle combine and permutation family
-    as `minhash_signatures` (shared `_perm_params`); k=8 keeps the SQL
-    mirror tractable.  This exists so the MinHash FAMILY has a
-    hash-verified driver row — the production path stays
-    `minhash_signatures` (xxhash64 is JVM-side and ~10× cheaper than
-    md5-hex-parse at scale)."""
+def _portable_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, _sh) where _sh is the md5-derived hashed-3-gram shingle
+    list — the engine-portable shingle construction shared by the
+    portable MinHash signatures and the dedup_eval ground truth (both
+    must sketch/score the SAME sets or the eval measures the wrong
+    estimator)."""
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_toks"))
-    hashed = toks.withColumn(
+    return toks.withColumn(
         "_th",
         F.expr(
             "transform(_toks, t -> pmod(cast(conv(substring(md5(t), 1, 15), 16, 10)"
@@ -932,6 +926,21 @@ def minhash_portable_signatures(
             "        + ifnull(try_element_at(_th,i+2),0), 2147483647))"
         ),
     )
+
+
+def minhash_portable_signatures(
+    docs: DataFrame, k: int = PORTABLE_MINHASH_K
+) -> DataFrame:
+    """MinHash signatures whose every hash is ENGINE-PORTABLE: token
+    hashes come from md5 (first 15 hex chars as an int — the hash_split
+    idiom, pipeline_ops.py) instead of xxhash64, so DuckDB reproduces the
+    signature bit-for-bit.  Same shingle combine and permutation family
+    as `minhash_signatures` (shared `_perm_params`); k=8 keeps the SQL
+    mirror tractable.  This exists so the MinHash FAMILY has a
+    hash-verified driver row — the production path stays
+    `minhash_signatures` (xxhash64 is JVM-side and ~10× cheaper than
+    md5-hex-parse at scale)."""
+    hashed = _portable_shingle_arrays(docs)
     return hashed.select(
         "doc_id",
         *[
@@ -1034,8 +1043,10 @@ def _portable_bands_sql(k: int = PORTABLE_MINHASH_K, bands: int = PORTABLE_MINHA
     )
 
 
-DEDUP_MINHASH_PORTABLE_SQL = rf"""
-WITH t AS (
+# t/h/shl: the md5-derived hashed-3-gram shingle lists (the SQL mirror of
+# `_portable_shingle_arrays`), shared by the portable-MinHash oracle and
+# the dedup_eval ground truth.
+_PORTABLE_SHL_CTES = r"""t AS (
   SELECT doc_id,
     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
   FROM documents
@@ -1052,7 +1063,11 @@ shl AS (
       i -> (coalesce(th[i], 0) * 1000003 + coalesce(th[i+1], 0) * 8191
             + coalesce(th[i+2], 0)) % 2147483647) AS sh
   FROM h
-),
+)"""
+
+
+DEDUP_MINHASH_PORTABLE_SQL = rf"""
+WITH {_PORTABLE_SHL_CTES},
 sig AS (
   SELECT doc_id,
     {_portable_sig_cols_sql()}
@@ -1088,6 +1103,158 @@ scored AS (
   JOIN sv sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, est_jaccard FROM scored WHERE est_jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup detection-quality evaluation (precision / recall / F1 vs exact truth)
+# ---------------------------------------------------------------------------
+
+DEDUP_EVAL_THRESHOLDS = (0.5, 0.6, 0.7, 0.8)
+
+
+def dedup_eval(
+    docs: DataFrame, thresholds: tuple[float, ...] = DEDUP_EVAL_THRESHOLDS
+) -> DataFrame:
+    """Detection-quality report for the MinHash+LSH near-dup detector:
+    per similarity threshold, precision / recall / F1 of the portable
+    LSH pipeline against EXACT shingle-set Jaccard ground truth — the
+    report a curation run publishes before trusting a sketch-based
+    dedup pass (the dedup-side analogue of ``retrieval_eval``).
+
+    Truth and estimator score the SAME sets: both sides consume
+    `_portable_shingle_arrays` (md5-hashed 3-gram shingles), so the
+    eval isolates MinHash/LSH error (k=8 quantization + band misses)
+    from tokenization differences.  Truth pairs come from the exact
+    inverted-index self-join (`_gram_pair_counts_from`) over distinct
+    shingle values — a superset of every pair with Jaccard > 0, so FN
+    counts include candidates LSH never surfaced, not just pairs it
+    under-scored.  A full-outer pair join classifies: at threshold t,
+    TP = est>=t AND jac>=t, FP = est>=t AND jac<t, FN = jac>=t AND
+    (est<t OR never predicted).
+
+    Exactness: counts are BIGINTs; |est-jac| accumulates as
+    DECIMAL(18,6) over the round(6) scores (order-free), and
+    precision/recall/F1 are single IEEE divisions of identical
+    integers, round(6)ed — hash-stable across engines.
+
+    Scale: the exact truth join is the expensive gold standard — at
+    production scale this eval runs over a deterministic doc_id-sampled
+    slice (the operator composes with `doc_sample`), never the full
+    corpus; the LSH side under eval is the same plan as production.
+    Output is O(|thresholds|) rows."""
+    sh = _portable_shingle_arrays(docs)
+    # postings feed three consumers (sizes + both join sides): cut lineage
+    # once, same rationale as _gram_pair_counts
+    postings = (
+        sh.select("doc_id", F.explode(F.array_distinct("_sh")).alias("g"))
+        .localCheckpoint()
+    )
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 6
+    )
+    truth = _gram_pair_counts_from(postings).select(
+        "doc_a", "doc_b", jac.alias("jac")
+    )
+    pred = minhash_portable_pairs(docs, threshold=min(thresholds))
+    both = truth.join(pred, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("jac"), F.lit(0.0)).alias("jac"),
+        # never-predicted pairs score below every threshold
+        F.coalesce(F.col("est_jaccard"), F.lit(-1.0)).alias("est"),
+    )
+    th = F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("threshold")
+    scored = both.select("jac", "est", th)
+    is_tp = (F.col("est") >= F.col("threshold")) & (F.col("jac") >= F.col("threshold"))
+    is_fp = (F.col("est") >= F.col("threshold")) & (F.col("jac") < F.col("threshold"))
+    is_fn = (F.col("jac") >= F.col("threshold")) & (F.col("est") < F.col("threshold"))
+    abs_err = F.when(
+        F.col("est") >= F.col("threshold"),
+        F.abs(
+            F.col("est").cast("decimal(18,6)") - F.col("jac").cast("decimal(18,6)")
+        ),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    agg = scored.groupBy("threshold").agg(
+        F.sum(is_tp.cast("bigint")).alias("tp"),
+        F.sum(is_fp.cast("bigint")).alias("fp"),
+        F.sum(is_fn.cast("bigint")).alias("fn"),
+        F.sum(abs_err).alias("_err"),
+    )
+    n_pred = F.col("tp") + F.col("fp")
+    n_true = F.col("tp") + F.col("fn")
+    precision = F.when(n_pred > 0, F.round(F.col("tp") / n_pred, 6))
+    recall = F.when(n_true > 0, F.round(F.col("tp") / n_true, 6))
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & ((precision + recall) > 0),
+        F.round(2 * precision * recall / (precision + recall), 6),
+    )
+    mean_abs_err = F.when(
+        n_pred > 0, F.round(F.col("_err").cast("double") / n_pred, 6)
+    )
+    return agg.select(
+        "threshold",
+        n_true.alias("n_true"),
+        n_pred.alias("n_pred"),
+        "tp",
+        "fp",
+        "fn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        mean_abs_err.alias("mean_abs_err"),
+    ).orderBy("threshold")
+
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_eval(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+DEDUP_EVAL_SQL = rf"""
+WITH {_PORTABLE_SHL_CTES},
+postings AS (
+  SELECT DISTINCT doc_id, g FROM shl, unnest(sh) AS u(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n_g FROM postings GROUP BY doc_id),
+truth AS (
+  SELECT c.doc_a, c.doc_b,
+    round(c.c / CAST(sa.n_g + sb.n_g - c.c AS DOUBLE), 6) AS jac
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM postings a JOIN postings b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+),
+pred AS (
+  SELECT * FROM ({DEDUP_MINHASH_PORTABLE_SQL}) _p
+),
+jp AS (
+  SELECT coalesce(t.jac, 0.0) AS jac, coalesce(p.est_jaccard, -1.0) AS est
+  FROM truth t FULL OUTER JOIN pred p
+    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+),
+agg AS (
+  SELECT th.threshold,
+    CAST(coalesce(sum(CASE WHEN est >= th.threshold AND jac >= th.threshold THEN 1 END), 0) AS BIGINT) AS tp,
+    CAST(coalesce(sum(CASE WHEN est >= th.threshold AND jac <  th.threshold THEN 1 END), 0) AS BIGINT) AS fp,
+    CAST(coalesce(sum(CASE WHEN jac >= th.threshold AND est <  th.threshold THEN 1 END), 0) AS BIGINT) AS fn,
+    coalesce(sum(CASE WHEN est >= th.threshold
+      THEN abs(CAST(est AS DECIMAL(18,6)) - CAST(jac AS DECIMAL(18,6)))
+      ELSE CAST(0 AS DECIMAL(18,6)) END), CAST(0 AS DECIMAL(18,6))) AS _err
+  FROM jp CROSS JOIN (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in DEDUP_EVAL_THRESHOLDS)}) th(threshold)
+  GROUP BY th.threshold
+)
+SELECT threshold, tp + fn AS n_true, tp + fp AS n_pred, tp, fp, fn,
+  CASE WHEN tp + fp > 0 THEN round(tp / CAST(tp + fp AS DOUBLE), 6) END AS "precision",
+  CASE WHEN tp + fn > 0 THEN round(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+  CASE WHEN tp + fp > 0 AND tp + fn > 0
+       AND round(tp / CAST(tp + fp AS DOUBLE), 6) + round(tp / CAST(tp + fn AS DOUBLE), 6) > 0
+    THEN round(2 * round(tp / CAST(tp + fp AS DOUBLE), 6) * round(tp / CAST(tp + fn AS DOUBLE), 6)
+               / (round(tp / CAST(tp + fp AS DOUBLE), 6) + round(tp / CAST(tp + fn AS DOUBLE), 6)), 6)
+  END AS f1,
+  CASE WHEN tp + fp > 0 THEN round(CAST(_err AS DOUBLE) / (tp + fp), 6) END AS mean_abs_err
+FROM agg
+ORDER BY threshold
 """
 
 
@@ -1766,6 +1933,7 @@ QUERIES = {
     "dedup_minhash_e2e": q_dedup_minhash_e2e,
     # md5-hash MinHash+LSH: the hash-verified companion for the family
     "dedup_minhash_portable": q_dedup_minhash_portable,
+    "dedup_eval": q_dedup_eval,
     # md5-hash SimHash: the hash-verified companion for that family
     "dedup_simhash_portable": q_dedup_simhash_portable,
 }
@@ -1785,5 +1953,6 @@ ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "soft_dedup_weights": SOFT_DEDUP_WEIGHTS_SQL,
     "dedup_minhash_portable": DEDUP_MINHASH_PORTABLE_SQL,
+    "dedup_eval": DEDUP_EVAL_SQL,
     "dedup_simhash_portable": DEDUP_SIMHASH_PORTABLE_SQL,
 }

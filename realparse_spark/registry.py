@@ -76,8 +76,10 @@ _MODULES = (
 # retrieval_eval) and dedup_simhash_portable (the SimHash family's
 # hash-verified md5 companion, oracled), plus q18_large_volume (the
 # aggregate-semi-join-reduction shape that completes the 22-query
-# TPC-H suite, oracled) queue for round 12 — backlog 3 never-sampled
-# + 38 r7-stale, well under capacity.
+# TPC-H suite, oracled) and dedup_eval (precision/recall/F1 of the
+# portable LSH detector vs exact shingle-Jaccard truth, oracled) queue
+# for round 12 — backlog 4 never-sampled + 38 r7-stale, well under
+# capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

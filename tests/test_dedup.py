@@ -453,6 +453,29 @@ def test_minhash_portable_tracks_planted_structure(spark):
         assert pair not in got
 
 
+def test_dedup_eval_planted_structure_and_invariants(spark):
+    """dedup_eval on the planted corpus: the exact-dup pair is a TP at
+    every threshold (est = jac = 1.0), unrelated docs never inflate
+    n_pred, and the report's internal arithmetic holds: n_true = tp+fn,
+    n_pred = tp+fp, n_pred non-increasing in threshold, metrics in
+    [0,1].  (Hash-exactness vs DuckDB is the registered oracle.)"""
+    from realparse_spark.operators.dedup import dedup_eval
+
+    rows = {r.threshold: r for r in dedup_eval(_docs(spark)).collect()}
+    assert set(rows) == {0.5, 0.6, 0.7, 0.8}
+    for t, r in rows.items():
+        assert r.n_true == r.tp + r.fn and r.n_pred == r.tp + r.fp
+        assert r.tp >= 1  # the exact-dup pair (1,3) survives every threshold
+        for m in (r.precision, r.recall, r.f1):
+            assert m is None or 0.0 <= m <= 1.0
+        assert r.mean_abs_err is None or r.mean_abs_err >= 0.0
+    preds = [rows[t].n_pred for t in sorted(rows)]
+    assert preds == sorted(preds, reverse=True)
+    # with only 5 docs the truth set is the 3 planted pairs; nothing
+    # unrelated may be predicted (precision stays 1.0 at 0.5)
+    assert rows[0.5].fp == 0 and rows[0.5].precision == 1.0
+
+
 def test_simhash_portable_tracks_planted_structure(spark):
     """The md5-portable SimHash companion must behave like SimHash:
     exact copies at hamming 0, the one-word near-dup within the bound,
