@@ -38,6 +38,7 @@ _MODULES = (
     "realparse_spark.operators.corpus_quality",
     "realparse_spark.operators.selection",
     "realparse_spark.operators.spans",
+    "realparse_spark.sinks.mail",
 )
 
 # The driver's CORRECTNESS run caps at the first 50 registered queries, so
@@ -77,9 +78,10 @@ _MODULES = (
 # hash-verified md5 companion, oracled), plus q18_large_volume (the
 # aggregate-semi-join-reduction shape that completes the 22-query
 # TPC-H suite, oracled) and dedup_eval (precision/recall/F1 of the
-# portable LSH detector vs exact shingle-Jaccard truth, oracled) queue
-# for round 12 — backlog 4 never-sampled + 38 r7-stale, well under
-# capacity.
+# portable LSH detector vs exact shingle-Jaccard truth, oracled) and
+# report_mail (the S9 mail sink's compose stage, oracled; delivery is
+# the mbox/ SMTP seam in sinks/mail.py) queue for round 12 — backlog 5
+# never-sampled + 38 r7-stale, well under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",
