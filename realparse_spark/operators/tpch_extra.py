@@ -23,10 +23,12 @@ DISTINCT physical-plan pattern the engine must handle at 100 TB
   hand-derived superset pushdown.
 - Q21 analog (``q21_waiting_supplier``): double-correlated EXISTS/NOT
   EXISTS collapsed into one per-order window.
-- Q18 analog (``q18_large_volume``): HAVING-subquery-equals-outer-agg
-  decorrelated into aggregate → filter → broadcast semi-join reduction
-  (completes the full 22-shape TPC-H suite together with analytics.py's
-  Q1/Q3/Q5/Q10 and tpch_partsupp.py's Q2/Q9/Q11/Q16/Q20).
+- Q18 classic (``q18_large_volume``): the full TPC-H Q18 semantics —
+  HAVING subquery + outer re-aggregation + deterministic top-100 —
+  with an EXPLICIT broadcast semi-join reduction.  Complements
+  analytics.py's ``big_spender_orders`` (the same shape where AQE
+  decides the broadcast from the measured post-agg size): together
+  they document both the hint-free and the hand-reduced plan at scale.
 
 The remaining classic shapes (Q2/Q9/Q11/Q16/Q20) require the
 ``partsupp`` table, which the fixture schema does not include
@@ -824,7 +826,11 @@ def q18_large_volume_customer(
     The naive plan (correlated HAVING subquery re-aggregating lineitem
     per outer row) re-scans the fact once per order; Catalyst cannot
     rescue that formulation at scale, which is why the reduction is
-    expressed explicitly here.
+    expressed explicitly here.  `big_spender_orders` (analytics.py) is
+    the hint-free variant of this shape — AQE decides whether the
+    survivor keyset broadcasts; here the classic 300-qty threshold
+    makes survivors provably rare, so the hint is safe and saves AQE
+    the runtime decision.
 
     ``l_quantity`` is integral (1..50) so the double sum is exact and
     casts to BIGINT identically in both engines."""
