@@ -202,6 +202,10 @@ EXTRA = [
     "dedup_minhash_portable",  # md5-portable MinHash+LSH (oracle companion)
     "dedup_simhash_portable",  # md5-portable SimHash (oracle companion)
     "bpe_apply_pinned",     # pinned-vocab merge-fold apply (oracle companion)
+    "q18_large_volume",     # classic Q18: explicit broadcast semi-join reduction
+    "dedup_eval",           # LSH-vs-exact-Jaccard precision/recall/F1 report
+    "report_mail",          # S9 compose: per-customer mail bodies
+    "quality_classifier_train",  # 3 unrolled logistic GD steps
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

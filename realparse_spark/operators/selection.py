@@ -805,12 +805,181 @@ ORDER BY cluster_id
     )
 
 
+# ---------------------------------------------------------------------------
+# quality-classifier training: logistic regression by unrolled GD steps
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_STEPS = 3
+CLASSIFIER_LR = 5.0
+CLASSIFIER_SHORT_DOC = 40  # the heuristic gate being distilled: n_tok < 40
+
+
+def _classifier_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, x0=bias, x1=token count/100, x2=distinct-token ratio,
+    y=heuristic junk label) — the scan-speed feature row both engines
+    compute identically (round-6 seams)."""
+    from realparse_spark.operators.text import ws_tokens
+
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("_t"))
+    n = F.size("_t")
+    return toks.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        F.round(n / F.lit(100.0), 6).alias("x1"),
+        F.round(
+            F.size(F.array_distinct("_t")) / F.greatest(n, F.lit(1)).cast("double"), 6
+        ).alias("x2"),
+        F.when(n < CLASSIFIER_SHORT_DOC, 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def quality_classifier_train(
+    docs: DataFrame, steps: int = CLASSIFIER_STEPS, lr: float = CLASSIFIER_LR
+) -> DataFrame:
+    """Train a linear document-quality scorer by ``steps`` unrolled
+    full-batch logistic-regression gradient steps — the standard way a
+    cheap heuristic gate (here: the Gopher-style short-doc rule) is
+    DISTILLED into a differentiable score that generalizes past its
+    threshold (the fasttext-classifier bootstrap, e.g. CCNet /
+    GPT-3-style quality filtering: label with a rule or a trusted
+    corpus, fit a linear model on scan-speed features).
+
+    Each step: ONE broadcast of the 1-row weight vector against the
+    feature scan, p = sigmoid(w·x) in-row, then ONE map-side-combined
+    aggregation for the 3 gradient components + the log-loss — no
+    per-doc shuffle anywhere, O(steps) total passes, weights
+    localCheckpoint'd per step so the plan stays O(1)-deep (the
+    kmeans_train discipline).
+
+    Determinism: z and p round to 9 (the lang_mix_temperature pow()
+    discipline — absorbs any cross-engine libm exp/ln ULP), per-row
+    gradient/log-loss terms round to 9 and accumulate as DECIMAL(18,9)
+    (order-free), and each weight update divides the exact sum once in
+    doubles and rounds to 9.  Emits (step, loss, w_bias, w_len,
+    w_diversity): loss is the objective ENTERING the step (so descent
+    across rows is assertable), weights are AFTER the update."""
+    feats = _classifier_features(docs)
+    w = docs.sparkSession.createDataFrame(
+        [(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double"
+    )
+    out_rows = []
+    eps = F.lit(1e-12)
+    for step in range(1, steps + 1):
+        z = F.round(
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2"),
+            9,
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        row = feats.crossJoin(F.broadcast(w)).select(
+            "x0", "x1", "x2", "y", p.alias("p")
+        )
+        g = lambda xj: F.sum(  # noqa: E731 — per-feature exact gradient sum
+            F.round((F.col("p") - F.col("y")) * F.col(xj), 9).cast("decimal(28,9)")
+        )
+        ll = F.sum(
+            F.round(
+                -(
+                    F.col("y") * F.log(F.col("p") + eps)
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - F.col("p") + eps)
+                ),
+                9,
+            ).cast("decimal(28,9)")
+        )
+        agg = row.groupBy().agg(
+            g("x0").alias("g0"),
+            g("x1").alias("g1"),
+            g("x2").alias("g2"),
+            ll.alias("lsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        upd = lambda wj, gj: F.round(  # noqa: E731
+            F.col(wj) - F.lit(lr) * (F.col(gj).cast("double") / F.col("n")), 9
+        )
+        w = (
+            w.crossJoin(F.broadcast(agg))
+            .select(
+                upd("w0", "g0").alias("w0"),
+                upd("w1", "g1").alias("w1"),
+                upd("w2", "g2").alias("w2"),
+                F.round(F.col("lsum").cast("double") / F.col("n"), 6).alias("loss"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out_rows.append(
+            w.select(
+                F.lit(step).alias("step"),
+                "loss",
+                F.col("w0").alias("w_bias"),
+                F.col("w1").alias("w_len"),
+                F.col("w2").alias("w_diversity"),
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier_train(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def _classifier_sql(steps: int = CLASSIFIER_STEPS, lr: float = CLASSIFIER_LR) -> str:
+    """Unrolled DuckDB mirror: one (score, gradient, update) CTE trio per
+    GD step, identical rounding at every seam."""
+    parts = [
+        rf"""feats AS (
+  SELECT doc_id, 1.0 AS x0,
+    round(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) / 100.0, 6) AS x1,
+    round(len(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')))
+          / CAST(greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), 1) AS DOUBLE), 6) AS x2,
+    CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) < {CLASSIFIER_SHORT_DOC}
+         THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+w0_ AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2)"""
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT f.x0, f.x1, f.x2, f.y,
+    round(1.0 / (1.0 + exp(-(round(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2, 9)))), 9) AS p
+  FROM feats f CROSS JOIN w{i - 1}_ w
+),
+a{i} AS (
+  SELECT
+    sum(CAST(round((p - y) * x0, 9) AS DECIMAL(28,9))) AS g0,
+    sum(CAST(round((p - y) * x1, 9) AS DECIMAL(28,9))) AS g1,
+    sum(CAST(round((p - y) * x2, 9) AS DECIMAL(28,9))) AS g2,
+    sum(CAST(round(-(y * ln(p + 1e-12) + (1.0 - y) * ln(1.0 - p + 1e-12)), 9) AS DECIMAL(28,9))) AS lsum,
+    count(*) AS n
+  FROM p{i}
+),
+w{i}_ AS (
+  SELECT
+    round(w.w0 - {lr} * (CAST(a.g0 AS DOUBLE) / a.n), 9) AS w0,
+    round(w.w1 - {lr} * (CAST(a.g1 AS DOUBLE) / a.n), 9) AS w1,
+    round(w.w2 - {lr} * (CAST(a.g2 AS DOUBLE) / a.n), 9) AS w2,
+    round(CAST(a.lsum AS DOUBLE) / a.n, 6) AS loss
+  FROM w{i - 1}_ w CROSS JOIN a{i} a
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, loss, w0 AS w_bias, w1 AS w_len, w2 AS w_diversity FROM w{i}_"
+        for i in range(1, steps + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects + "\nORDER BY step"
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "dsir_resample": q_dsir_resample,
     "semdedup": q_semdedup,
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "kmeans_train": q_kmeans_train,
+    "quality_classifier_train": q_quality_classifier_train,
 }
 
 ORACLES = {
@@ -819,4 +988,5 @@ ORACLES = {
     "semdedup": SEMDEDUP_SQL,
     "ccnet_ppl_buckets": CCNET_PPL_BUCKETS_SQL,
     "kmeans_train": _kmeans_sql(),
+    "quality_classifier_train": _classifier_sql(),
 }

@@ -80,8 +80,10 @@ _MODULES = (
 # TPC-H suite, oracled) and dedup_eval (precision/recall/F1 of the
 # portable LSH detector vs exact shingle-Jaccard truth, oracled) and
 # report_mail (the S9 mail sink's compose stage, oracled; delivery is
-# the mbox/ SMTP seam in sinks/mail.py) queue for round 12 — backlog 5
-# never-sampled + 38 r7-stale, well under capacity.
+# the mbox/ SMTP seam in sinks/mail.py) and quality_classifier_train
+# (logistic-regression distillation of the short-doc gate, unrolled-GD
+# oracle) queue for round 12 — backlog 6 never-sampled + 38 r7-stale,
+# well under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

@@ -297,3 +297,34 @@ def test_kmeans_train_descends_and_recovers_planted_clusters(spark):
     sizes = sorted(r.n_members for r in three)
     assert sizes == [20, 20]
     assert all(r.inertia < 1.0 for r in three)
+
+
+def test_quality_classifier_distills_the_length_rule(spark):
+    """GD invariants on a cleanly separable synthetic corpus: the
+    entering loss strictly descends across steps (full-batch GD from
+    w=0 with this lr), the learned length weight is NEGATIVE (more
+    tokens -> lower junk probability; the label marks SHORT docs), and
+    the trained scorer reproduces the heuristic gate it distills on the
+    training docs."""
+    import math
+
+    from realparse_spark.operators.selection import (
+        CLASSIFIER_SHORT_DOC,
+        quality_classifier_train,
+    )
+
+    rows = [(i, "tok " * (10 + i % 5)) for i in range(30)]  # short -> y=1
+    rows += [(100 + i, "tok " * (90 + i % 5)) for i in range(30)]  # long -> y=0
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = {r.step: r for r in quality_classifier_train(docs, steps=3).collect()}
+    losses = [out[s].loss for s in (1, 2, 3)]
+    assert losses[0] == round(math.log(2), 6)  # w=0 entering loss is ln 2
+    assert losses == sorted(losses, reverse=True) and losses[2] < losses[0]
+    w = out[3]
+    assert w.w_len < 0
+    # distillation check: sign(w.x) agrees with the rule on every doc
+    for n_tok in (10, 14, 90, 94):
+        z = w.w_bias + w.w_len * n_tok / 100.0 + w.w_diversity * (1.0 / n_tok)
+        assert (z > 0) == (n_tok < CLASSIFIER_SHORT_DOC)
