@@ -206,6 +206,7 @@ EXTRA = [
     "dedup_eval",           # LSH-vs-exact-Jaccard precision/recall/F1 report
     "report_mail",          # S9 compose: per-customer mail bodies
     "quality_classifier_train",  # 3 unrolled logistic GD steps
+    "classifier_calibration",  # reliability bins over the trained scorer
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -926,9 +926,12 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_train(fan_out(load_table(spark, sf_dir, "documents")))
 
 
-def _classifier_sql(steps: int = CLASSIFIER_STEPS, lr: float = CLASSIFIER_LR) -> str:
-    """Unrolled DuckDB mirror: one (score, gradient, update) CTE trio per
-    GD step, identical rounding at every seam."""
+def _classifier_cte_parts(
+    steps: int = CLASSIFIER_STEPS, lr: float = CLASSIFIER_LR
+) -> list[str]:
+    """The shared unrolled-GD CTE chain (feats, w0_, then one
+    score/gradient/update trio per step) — consumed by the training
+    oracle and the calibration oracle so the two can never drift."""
     parts = [
         rf"""feats AS (
   SELECT doc_id, 1.0 AS x0,
@@ -966,11 +969,111 @@ w{i}_ AS (
   FROM w{i - 1}_ w CROSS JOIN a{i} a
 )"""
         )
+    return parts
+
+
+def _classifier_sql(steps: int = CLASSIFIER_STEPS, lr: float = CLASSIFIER_LR) -> str:
+    """Unrolled DuckDB mirror: one (score, gradient, update) CTE trio per
+    GD step, identical rounding at every seam."""
+    parts = _classifier_cte_parts(steps, lr)
     selects = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, loss, w0 AS w_bias, w1 AS w_len, w2 AS w_diversity FROM w{i}_"
         for i in range(1, steps + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + selects + "\nORDER BY step"
+
+
+CALIBRATION_BINS = 10
+
+
+def classifier_calibration(
+    docs: DataFrame, steps: int = CLASSIFIER_STEPS, lr: float = CLASSIFIER_LR
+) -> DataFrame:
+    """Reliability report for the trained quality scorer: score every
+    doc with the step-``steps`` weights, bucket into ``CALIBRATION_BINS``
+    equal-width probability bins, and report per bin the doc count, mean
+    predicted probability, empirical junk rate, and Brier contribution —
+    the calibration curve a filtering pipeline inspects before picking a
+    keep threshold (a scorer can rank well and still be badly
+    calibrated; the keep threshold reads off THIS table).
+
+    One extra corpus pass after training: weights arrive as the 1-row
+    broadcast from `quality_classifier_train`'s final step (shared plan,
+    not a retrain), scoring is in-row, and the bin aggregation is
+    map-side combined into O(bins) rows.  Sums accumulate as
+    DECIMAL(28,9) over round-9 terms (the training seam discipline), so
+    the shared-CTE DuckDB mirror hash-matches."""
+    feats = _classifier_features(docs)
+    w = (
+        quality_classifier_train(docs, steps, lr)
+        .filter(F.col("step") == steps)
+        .select(
+            F.col("w_bias").alias("w0"),
+            F.col("w_len").alias("w1"),
+            F.col("w_diversity").alias("w2"),
+        )
+    )
+    z = F.round(
+        F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"),
+        9,
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    scored = feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    bin_ = F.least(
+        F.floor(F.col("p") * CALIBRATION_BINS), F.lit(CALIBRATION_BINS - 1)
+    ).cast("bigint")
+    dec = lambda c: F.sum(c.cast("decimal(28,9)"))  # noqa: E731
+    return (
+        scored.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(dec(F.col("p")).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_p"
+            ),
+            F.round(dec(F.col("y")).cast("double") / F.count(F.lit(1)), 6).alias(
+                "junk_rate"
+            ),
+            F.round(
+                dec(F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 9))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_calibration(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def _calibration_sql(
+    steps: int = CLASSIFIER_STEPS,
+    lr: float = CLASSIFIER_LR,
+    bins: int = CALIBRATION_BINS,
+) -> str:
+    parts = _classifier_cte_parts(steps, lr)
+    parts.append(
+        f"""scored AS (
+  SELECT f.y,
+    round(1.0 / (1.0 + exp(-(round(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2, 9)))), 9) AS p
+  FROM feats f CROSS JOIN w{steps}_ w
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(least(floor(p * {bins}), {bins - 1}) AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(sum(CAST(p AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_p,
+  round(CAST(sum(CAST(y AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS junk_rate,
+  round(CAST(sum(CAST(round((p - y) * (p - y), 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS brier
+FROM scored
+GROUP BY 1
+ORDER BY bin"""
+    )
 
 
 QUERIES = {
@@ -980,6 +1083,7 @@ QUERIES = {
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "kmeans_train": q_kmeans_train,
     "quality_classifier_train": q_quality_classifier_train,
+    "classifier_calibration": q_classifier_calibration,
 }
 
 ORACLES = {
@@ -989,4 +1093,5 @@ ORACLES = {
     "ccnet_ppl_buckets": CCNET_PPL_BUCKETS_SQL,
     "kmeans_train": _kmeans_sql(),
     "quality_classifier_train": _classifier_sql(),
+    "classifier_calibration": _calibration_sql(),
 }

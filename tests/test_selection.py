@@ -328,3 +328,21 @@ def test_quality_classifier_distills_the_length_rule(spark):
     for n_tok in (10, 14, 90, 94):
         z = w.w_bias + w.w_len * n_tok / 100.0 + w.w_diversity * (1.0 / n_tok)
         assert (z > 0) == (n_tok < CLASSIFIER_SHORT_DOC)
+
+
+def test_classifier_calibration_tracks_the_label(spark):
+    """On the separable corpus the calibration curve must be usable:
+    bins partition the corpus, junk_rate is non-decreasing in bin index
+    (higher predicted p -> more actual junk), and every Brier
+    contribution is bounded by the worst-case 1.0."""
+    from realparse_spark.operators.selection import classifier_calibration
+
+    rows = [(i, ("tok " * (10 + i % 5)).strip()) for i in range(30)]
+    rows += [(100 + i, ("tok " * (90 + i % 5)).strip()) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = classifier_calibration(docs).collect()
+    assert sum(r.n_docs for r in out) == 60
+    rates = [r.junk_rate for r in out]
+    assert rates == sorted(rates)
+    assert all(0.0 <= r.brier <= 1.0 for r in out)
+    assert all(0.0 <= r.mean_p <= 1.0 for r in out)
