@@ -207,6 +207,7 @@ EXTRA = [
     "report_mail",          # S9 compose: per-customer mail bodies
     "quality_classifier_train",  # 3 unrolled logistic GD steps
     "classifier_calibration",  # reliability bins over the trained scorer
+    "hard_negative_mining",  # per-query top-k wrong-label cosines + margins
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

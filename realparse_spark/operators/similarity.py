@@ -1101,6 +1101,36 @@ def _dcg_weights(k: int) -> tuple[list[float], list[float]]:
 _DCG_W, _IDCG = _dcg_weights(RETRIEVAL_K)
 
 
+def _scored_queries(emb: DataFrame, query_mod: int) -> DataFrame:
+    """(qid, q_label, vec_id, label, cos) — the planted-relevance scored
+    stage shared by `retrieval_eval` and `hard_negative_mining`: unit
+    vectors computed ONCE per side, deterministic query subset broadcast,
+    one corpus scan, round-6 sequential-fold cosine (the SQL mirror is
+    `_RETRIEVAL_SCORED_CTES`)."""
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    norm = lambda a: F.sqrt(  # noqa: E731
+        fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    )
+    unit = lambda a: F.transform(a, lambda x: x.cast("double") / norm(a))  # noqa: E731
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("qid"),
+        unit(F.col("embedding")).alias("qu"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.select("vec_id", "label", unit(F.col("embedding")).alias("u"))
+    return (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(fold(F.zip_with("u", "qu", lambda x, y: x * y)), 6).alias("cos"),
+        )
+    )
+
+
 def retrieval_eval(
     emb: DataFrame, k: int = RETRIEVAL_K, query_mod: int = RETRIEVAL_QUERY_MOD
 ) -> DataFrame:
@@ -1133,31 +1163,8 @@ def retrieval_eval(
     stage for the index probe (`lsh_probe_batch` / `knn_join_ivf`)
     against the same planted relevance, which is why the metric plumbing
     lives apart from any index (`_retrieval_metrics`)."""
-    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
-    norm = lambda a: F.sqrt(  # noqa: E731
-        fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
-    )
-    unit = lambda a: F.transform(a, lambda x: x.cast("double") / norm(a))  # noqa: E731
     labn = emb.groupBy("label").agg(F.count(F.lit(1)).cast("int").alias("n_label"))
-    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
-        F.col("vec_id").alias("qid"),
-        unit(F.col("embedding")).alias("qu"),
-        F.col("label").alias("q_label"),
-    )
-    corpus = emb.select("vec_id", "label", unit(F.col("embedding")).alias("u"))
-    scored = (
-        corpus.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "q_label",
-            "vec_id",
-            "label",
-            F.round(
-                fold(F.zip_with("u", "qu", lambda x, y: x * y)), 6
-            ).alias("cos"),
-        )
-    )
+    scored = _scored_queries(emb, query_mod)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
     return _retrieval_metrics(top.select("qid", "q_label", "label", "rk"), labn, k)
@@ -1267,9 +1274,10 @@ def q_retrieval_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _retrieval_metrics(top, labn, RETRIEVAL_K)
 
 
-RETRIEVAL_EVAL_SQL = rf"""
-WITH labn AS (SELECT label, CAST(count(*) AS INTEGER) AS n_label FROM embeddings GROUP BY 1),
-q AS (
+# q/corpus/scored: the planted-relevance scored stage (unit-normalize
+# once per side, one rounded fold-dot per pair) — shared by the
+# retrieval eval oracle and the hard-negative mining oracle.
+_RETRIEVAL_SCORED_CTES = rf"""q AS (
   SELECT vec_id AS qid,
     list_transform(embedding, x -> CAST(x AS DOUBLE)
       / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS qu,
@@ -1289,7 +1297,12 @@ scored AS (
           i -> e.u[i] * q.qu[i]), 'sum'), 6) AS cos
   FROM corpus e, q
   WHERE e.vec_id <> q.qid
-),
+)"""
+
+
+RETRIEVAL_EVAL_SQL = rf"""
+WITH labn AS (SELECT label, CAST(count(*) AS INTEGER) AS n_label FROM embeddings GROUP BY 1),
+{_RETRIEVAL_SCORED_CTES},
 top AS (
   SELECT qid, q_label, label,
     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
@@ -1325,6 +1338,77 @@ FROM met GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training data for embedding models)
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 5
+
+
+def hard_negative_mining(
+    emb: DataFrame, k_neg: int = HARD_NEG_K, query_mod: int = RETRIEVAL_QUERY_MOD
+) -> DataFrame:
+    """Per query, the ``k_neg`` highest-cosine WRONG-label corpus vectors
+    plus the best positive and the margin — the mining pass that turns a
+    labeled corpus into contrastive training data for an embedding model
+    (hard negatives are what make in-batch-negative training work; the
+    margin column is the per-query difficulty signal a curriculum sorts
+    on, and non-positive margins flag label noise or embedding collapse).
+
+    Shares `_scored_queries` (and its SQL CTE mirror) with
+    `retrieval_eval`, so the mined negatives are exactly the ones the
+    eval's ranking saw: one corpus scan, broadcast queries, per-qid
+    window bounded to k_neg rows, best-positive as an order-free MAX.
+    At scale the scored stage is the same plan the eval already pays;
+    mining adds one bounded window and one broadcast join-back."""
+    scored = _scored_queries(emb, query_mod)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    neg = (
+        scored.filter(F.col("label") != F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_neg)
+    )
+    best_pos = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .groupBy("qid")
+        .agg(F.max("cos").alias("best_pos_cos"))
+    )
+    return (
+        neg.join(F.broadcast(best_pos), "qid", "left")
+        .select(
+            "qid",
+            "q_label",
+            "rk",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("cos").alias("neg_cos"),
+            "best_pos_cos",
+            F.round(F.col("best_pos_cos") - F.col("cos"), 6).alias("margin"),
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
+
+
+HARD_NEGATIVES_SQL = rf"""
+WITH {_RETRIEVAL_SCORED_CTES},
+neg AS (
+  SELECT qid, q_label, vec_id AS neg_id, label AS neg_label, cos AS neg_cos,
+    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM scored WHERE label <> q_label
+  QUALIFY rk <= {HARD_NEG_K}
+),
+bp AS (SELECT qid, max(cos) AS best_pos_cos FROM scored WHERE label = q_label GROUP BY 1)
+SELECT n.qid, n.q_label, CAST(n.rk AS INTEGER) AS rk, n.neg_id, n.neg_label, n.neg_cos,
+  bp.best_pos_cos, round(bp.best_pos_cos - n.neg_cos, 6) AS margin
+FROM neg n LEFT JOIN bp ON n.qid = bp.qid
+ORDER BY n.qid, n.rk
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk,
     "sim_topk_cosine_arrow": q_sim_topk_arrow,
@@ -1342,6 +1426,7 @@ QUERIES = {
     # metric arithmetic is hash-verified via retrieval_eval's oracle and
     # the shared _retrieval_metrics rollup; gates in test_similarity
     "retrieval_eval_ann": q_retrieval_eval_ann,
+    "hard_negative_mining": q_hard_negative_mining,
 }
 
 ORACLES = {
@@ -1353,4 +1438,5 @@ ORACLES = {
     "emb_knn_join": EMB_KNN_JOIN_SQL,
     "emb_matryoshka_eval": EMB_MATRYOSHKA_SQL,
     "retrieval_eval": RETRIEVAL_EVAL_SQL,
+    "hard_negative_mining": HARD_NEGATIVES_SQL,
 }

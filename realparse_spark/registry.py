@@ -82,8 +82,10 @@ _MODULES = (
 # report_mail (the S9 mail sink's compose stage, oracled; delivery is
 # the mbox/ SMTP seam in sinks/mail.py) and quality_classifier_train
 # (logistic-regression distillation of the short-doc gate, unrolled-GD
-# oracle) and classifier_calibration (reliability bins + Brier over the
-# trained scorer, shared-CTE oracle) queue for round 12 — backlog 7
+# oracle), classifier_calibration (reliability bins + Brier over the
+# trained scorer, shared-CTE oracle), and hard_negative_mining
+# (per-query top-k wrong-label cosines + margins, scored-stage CTE
+# shared with retrieval_eval, oracled) queue for round 12 — backlog 8
 # never-sampled + 38 r7-stale, well under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---

@@ -470,3 +470,26 @@ def test_retrieval_eval_ann_bounds_and_consistency(spark):
         assert 0 <= r.mrr <= 1
         assert 0 <= r.ndcg_at_k <= 1
         assert 1 <= r.n_queries <= exact[lbl].n_queries
+
+
+def test_hard_negative_mining_planted_margins(spark):
+    """On a corpus whose labels match its geometry (two tight blobs),
+    every mined negative comes from the other blob, every query's
+    best positive is its own blob, and all margins are positive; row
+    bookkeeping: exactly k_neg rows per query, ranks 1..k_neg."""
+    from realparse_spark.operators.similarity import hard_negative_mining
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + 0.01 * (i % 3), 1.0, 0.0, 0.0], 0))
+    for i in range(20, 40):
+        rows.append((i, [0.0, 1.0, 10.0 + 0.01 * (i % 3), 0.0], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negative_mining(emb, k_neg=3, query_mod=10).collect()
+    qids = {r.qid for r in out}
+    assert qids == {0, 10, 20, 30}
+    for qid in qids:
+        mine = sorted((r for r in out if r.qid == qid), key=lambda r: r.rk)
+        assert [r.rk for r in mine] == [1, 2, 3]
+        assert all(r.neg_label != r.q_label for r in mine)
+        assert all(r.margin is not None and r.margin > 0 for r in mine)
