@@ -208,6 +208,8 @@ EXTRA = [
     "quality_classifier_train",  # 3 unrolled logistic GD steps
     "classifier_calibration",  # reliability bins over the trained scorer
     "hard_negative_mining",  # per-query top-k wrong-label cosines + margins
+    "text_readability",     # Flesch reading-ease report (scan-speed regex counts)
+    "classifier_pr_curve",  # precision/recall/F1 threshold sweep (integer counts)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -1076,6 +1076,130 @@ ORDER BY bin"""
     )
 
 
+PR_CURVE_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]  # 0.1 .. 0.9
+
+
+def classifier_pr_curve(
+    docs: DataFrame, steps: int = CLASSIFIER_STEPS, lr: float = CLASSIFIER_LR
+) -> DataFrame:
+    """Precision/recall/F1 sweep for the trained quality scorer over the
+    fixed threshold grid 0.1..0.9 — the operating-point table a filtering
+    pipeline reads to PICK its keep threshold (calibration says whether
+    the probabilities are honest; THIS table says what each cutoff costs
+    in junk let through vs good docs discarded).
+
+    Per threshold t (predict junk iff p >= t): tp/fp/fn/tn confusion
+    counts against the heuristic label, then precision = tp/(tp+fp),
+    recall = tp/(tp+fn), f1 = 2pr/(p+r), each 0 when its denominator is
+    0 and rounded to 6.  Everything downstream of the round-9 score is
+    INTEGER counts, so the shared-CTE oracle hash-matches with no float
+    seam at all.
+
+    One corpus pass after training (shared plan with
+    `classifier_calibration`): scoring is in-row against the 1-row
+    weight broadcast, the 9-threshold grid fans out as a broadcast
+    cross join (9x one scored row each, map-side combined straight back
+    to O(thresholds) rows)."""
+    feats = _classifier_features(docs)
+    w = (
+        quality_classifier_train(docs, steps, lr)
+        .filter(F.col("step") == steps)
+        .select(
+            F.col("w_bias").alias("w0"),
+            F.col("w_len").alias("w1"),
+            F.col("w_diversity").alias("w2"),
+        )
+    )
+    z = F.round(
+        F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2"),
+        9,
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    scored = feats.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    spark = docs.sparkSession
+    grid = spark.createDataFrame(
+        [(t,) for t in PR_CURVE_THRESHOLDS], "threshold double"
+    )
+    pred = (F.col("p") >= F.col("threshold")).cast("int")
+    y = F.col("y").cast("int")
+    cnt = lambda c: F.sum(c).cast("bigint")  # noqa: E731
+    conf = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            cnt(pred * y).alias("tp"),
+            cnt(pred * (1 - y)).alias("fp"),
+            cnt((1 - pred) * y).alias("fn"),
+            cnt((1 - pred) * (1 - y)).alias("tn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+    ).otherwise(0.0)
+    return (
+        conf.select(
+            "threshold", "tp", "fp", "fn", "tn",
+            prec.alias("precision"), rec.alias("recall"),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                F.round(
+                    2 * F.col("precision") * F.col("recall")
+                    / (F.col("precision") + F.col("recall")),
+                    6,
+                ),
+            ).otherwise(0.0),
+        )
+        .orderBy("threshold")
+    )
+
+
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_pr_curve(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def _pr_curve_sql(steps: int = CLASSIFIER_STEPS, lr: float = CLASSIFIER_LR) -> str:
+    parts = _classifier_cte_parts(steps, lr)
+    grid = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in PR_CURVE_THRESHOLDS)
+    parts.append(
+        f"""scored AS (
+  SELECT f.y,
+    round(1.0 / (1.0 + exp(-(round(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2, 9)))), 9) AS p
+  FROM feats f CROSS JOIN w{steps}_ w
+),
+grid(threshold) AS (VALUES {grid}),
+conf AS (
+  SELECT threshold,
+    CAST(sum(CASE WHEN p >= threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN p >= threshold AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN p < threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN p < threshold AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored CROSS JOIN grid
+  GROUP BY threshold
+),
+pr AS (
+  SELECT threshold, tp, fp, fn, tn,
+    CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) ELSE 0.0 END AS precision,
+    CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) ELSE 0.0 END AS recall
+  FROM conf
+)
+SELECT threshold, tp, fp, fn, tn, precision, recall,
+  CASE WHEN precision + recall > 0
+       THEN round(2 * precision * recall / (precision + recall), 6)
+       ELSE 0.0 END AS f1
+FROM pr
+ORDER BY threshold"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "dsir_resample": q_dsir_resample,
@@ -1084,6 +1208,7 @@ QUERIES = {
     "kmeans_train": q_kmeans_train,
     "quality_classifier_train": q_quality_classifier_train,
     "classifier_calibration": q_classifier_calibration,
+    "classifier_pr_curve": q_classifier_pr_curve,
 }
 
 ORACLES = {
@@ -1094,4 +1219,5 @@ ORACLES = {
     "kmeans_train": _kmeans_sql(),
     "quality_classifier_train": _classifier_sql(),
     "classifier_calibration": _calibration_sql(),
+    "classifier_pr_curve": _pr_curve_sql(),
 }

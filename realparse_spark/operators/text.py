@@ -1227,6 +1227,90 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# readability scoring (Flesch reading-ease with a deterministic syllable proxy)
+# ---------------------------------------------------------------------------
+
+FLESCH_EASY = 50.0  # docs at/above this score count as "easy" in the report
+
+
+def readability_report(docs: DataFrame, by: str = "source") -> DataFrame:
+    """Per-``by`` Flesch reading-ease report (Flesch 1948, the formula
+    readability filters still ship): per doc
+
+        flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    with deterministic proxies both engines compute identically —
+    sentences = max(1, count of ``[.!?]+`` runs), syllables = count of
+    ``[aeiouyAEIOUY]+`` vowel runs (the standard heuristic; not a
+    linguistics claim).  Emits per group: doc count, mean/min/max score,
+    and the count of "easy" docs (score >= 50) — the distribution a
+    curation pipeline reads before setting a readability gate.
+
+    Determinism: words/sentences/syllables are integer regexp counts;
+    the per-doc score is one fixed-shape IEEE expression rounded to 4;
+    the group mean accumulates round-4 scores as exact DECIMAL(18,4)
+    and divides once (no float summation order).
+
+    Scale: pure column expressions at scan speed (zero Python, zero
+    joins), then ONE map-side-combined groupBy to O(sources) rows."""
+    t = F.col("text")
+    w = token_count_ws(t).cast("double")
+    s = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("double")
+    y = F.size(F.regexp_extract_all(t, F.lit(r"[aeiouyAEIOUY]+"), 0)).cast("double")
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (w / s)
+        - F.lit(84.6) * (y / F.greatest(w, F.lit(1.0))),
+        4,
+    )
+    per_doc = docs.select(by, score.cast("decimal(18,4)").alias("flesch"))
+    n = F.count(F.lit(1))
+    return (
+        per_doc.groupBy(by)
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.round(F.sum("flesch").cast("double") / n, 4).alias("mean_flesch"),
+            F.min("flesch").cast("double").alias("min_flesch"),
+            F.max("flesch").cast("double").alias("max_flesch"),
+            F.sum((F.col("flesch") >= FLESCH_EASY).cast("int"))
+            .cast("bigint")
+            .alias("n_easy"),
+        )
+        .orderBy(by)
+    )
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability_report(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+TEXT_READABILITY_SQL = rf"""
+WITH per_doc AS (
+  SELECT source,
+    CAST(round(
+      206.835
+      - 1.015 * (CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE)
+                 / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+      - 84.6 * (CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS DOUBLE)
+                / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 1.0)),
+      4) AS DECIMAL(18,4)) AS flesch
+  FROM documents
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(sum(flesch) AS DOUBLE) / count(*), 4) AS mean_flesch,
+  CAST(min(flesch) AS DOUBLE) AS min_flesch,
+  CAST(max(flesch) AS DOUBLE) AS max_flesch,
+  CAST(count(*) FILTER (WHERE flesch >= {FLESCH_EASY}) AS BIGINT) AS n_easy
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # word co-occurrence PMI (distributional statistics for embeddings/features)
 # ---------------------------------------------------------------------------
 
@@ -1470,6 +1554,7 @@ QUERIES = {
     "word_pmi": q_word_pmi,
     "vocab_build": q_vocab_build,
     "text_oov_rate": q_text_oov_rate,
+    "text_readability": q_text_readability,
 }
 
 ORACLES = {
@@ -1492,4 +1577,5 @@ ORACLES = {
     "word_pmi": WORD_PMI_SQL,
     "vocab_build": VOCAB_BUILD_SQL,
     "text_oov_rate": TEXT_OOV_RATE_SQL,
+    "text_readability": TEXT_READABILITY_SQL,
 }

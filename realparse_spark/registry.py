@@ -85,8 +85,11 @@ _MODULES = (
 # oracle), classifier_calibration (reliability bins + Brier over the
 # trained scorer, shared-CTE oracle), and hard_negative_mining
 # (per-query top-k wrong-label cosines + margins, scored-stage CTE
-# shared with retrieval_eval, oracled) queue for round 12 — backlog 8
-# never-sampled + 38 r7-stale, well under capacity.
+# shared with retrieval_eval, oracled) queue for round 12, as do the
+# second-session additions text_readability (Flesch reading-ease
+# report, oracled) and classifier_pr_curve (precision/recall/F1
+# threshold sweep over the trained scorer, shared-CTE oracle) —
+# backlog 10 never-sampled + 38 r7-stale, well under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

@@ -328,3 +328,27 @@ def test_corpus_datasheet_planted_composition(spark):
     assert r.keep_ppm == 3 * 1_000_000 // 4
     assert r.n_tokens == 7 + 7 + 7 + 3
     assert r.mean_doc_tokens == (7 + 7 + 7 + 3) // 4
+
+
+def test_readability_report_orders_by_formula(spark):
+    """Flesch proxy sanity: a many-short-sentence low-syllable corpus
+    scores HIGHER than a one-sentence polysyllabic one, groups
+    partition the corpus, and min <= mean <= max per group."""
+    from realparse_spark.operators.text import readability_report
+
+    easy = "the cat sat. the dog ran. it is fun. we go now."
+    hard = (
+        "extraordinary computational infrastructure necessitates "
+        "sophisticated organizational methodologies continuously"
+    )
+    docs = spark.createDataFrame(
+        [(1, easy, "easy"), (2, hard, "hard"), (3, easy, "easy")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in readability_report(docs).collect()}
+    assert out["easy"].n_docs == 2 and out["hard"].n_docs == 1
+    assert out["easy"].mean_flesch > out["hard"].mean_flesch
+    for r in out.values():
+        assert r.min_flesch <= r.mean_flesch <= r.max_flesch
+        assert 0 <= r.n_easy <= r.n_docs
+    assert out["easy"].n_easy == 2 and out["hard"].n_easy == 0

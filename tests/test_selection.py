@@ -346,3 +346,27 @@ def test_classifier_calibration_tracks_the_label(spark):
     assert rates == sorted(rates)
     assert all(0.0 <= r.brier <= 1.0 for r in out)
     assert all(0.0 <= r.mean_p <= 1.0 for r in out)
+
+
+def test_classifier_pr_curve_confusion_invariants(spark):
+    """Operating-point sweep invariants on the separable corpus: the
+    confusion quadrants partition the corpus at every threshold, tp+fn
+    is the constant junk count, recall is non-increasing and fp
+    non-increasing as the threshold rises, and a separable corpus has
+    at least one perfect operating point (f1 = 1.0)."""
+    from realparse_spark.operators.selection import classifier_pr_curve
+
+    rows = [(i, ("tok " * (10 + i % 5)).strip()) for i in range(30)]
+    rows += [(100 + i, ("tok " * (90 + i % 5)).strip()) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = classifier_pr_curve(docs).collect()
+    assert [r.threshold for r in out] == [round(0.1 * i, 1) for i in range(1, 10)]
+    for r in out:
+        assert r.tp + r.fp + r.fn + r.tn == 60
+        assert r.tp + r.fn == 30  # the junk class is threshold-free
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    recalls = [r.recall for r in out]
+    fps = [r.fp for r in out]
+    assert recalls == sorted(recalls, reverse=True)
+    assert fps == sorted(fps, reverse=True)
+    assert any(r.f1 == 1.0 for r in out)
