@@ -210,6 +210,7 @@ EXTRA = [
     "hard_negative_mining",  # per-query top-k wrong-label cosines + margins
     "text_readability",     # Flesch reading-ease report (scan-speed regex counts)
     "classifier_pr_curve",  # precision/recall/F1 threshold sweep (integer counts)
+    "nb_langid_confusion",  # trained naive-Bayes langid, held-out confusion matrix
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

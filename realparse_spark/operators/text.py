@@ -223,6 +223,189 @@ FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# trained language ID: multinomial naive Bayes with Laplace smoothing
+# ---------------------------------------------------------------------------
+
+NB_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out eval split
+
+
+def nb_langid_confusion(docs: DataFrame, test_mod: int = NB_TEST_MOD) -> DataFrame:
+    """Train a multinomial naive-Bayes language classifier on the
+    ``doc_id % test_mod != 0`` split and report the held-out confusion
+    matrix (true lang, predicted lang, doc count) — the TRAINED
+    counterpart to the stopword-heuristic `text_langid` (a real pipeline
+    bootstraps langid exactly this way: label a seed corpus, fit NB over
+    token counts, read the confusion matrix before trusting it).
+
+    Model (McCallum & Nigam 1998 multinomial NB): per class c,
+    prior = ln(n_docs_c / n_train); per in-vocab token w,
+    lp(w,c) = ln((cnt(w,c) + 1) / (tot_c + V)) with Laplace smoothing
+    over the train vocabulary V; a test token unseen in class c scores
+    the smoothed floor lp0_c = ln(1 / (tot_c + V)).  Test tokens outside
+    the TRAIN vocabulary are dropped: under Laplace smoothing an OOV
+    token adds the same lp0 shape to every class, so dropping it cannot
+    change the argmax and keeps the score table V-bounded.
+
+    Determinism: every ln rounds to 6 and enters the score as an exact
+    DECIMAL term (tf * lp rounds to 6 before the decimal sum), the
+    per-doc argmax is min(struct(-score, lang)) — exact-decimal compare
+    with lexicographic lang tie-break — and every test doc survives even
+    with zero in-vocab tokens (the class grid is the left side).
+
+    Scale: class stats and the (V x C) smoothed-logprob table are
+    map-side-combined aggregates over ONE train-token pass, broadcast to
+    the scoring join (vocab-bounded, like `vocab_build`); scoring is one
+    posting-shaped join of test term counts against the broadcast, C-way
+    fan-out, map-side combined back to O(test_docs x C) and reduced to
+    O(C^2) confusion cells.  No windows, no driver loops."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    is_test = F.pmod(F.col("doc_id"), F.lit(test_mod)) == 0
+    train_toks = toks.filter(~is_test)
+    test_toks = toks.filter(is_test)
+
+    n_train = docs.filter(~is_test).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    )
+    vsz = train_toks.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    wc = train_toks.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cls = (
+        docs.filter(~is_test)
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+        .join(
+            wc.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("tot_c")), "c"
+        )
+        .crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "c",
+            F.round(F.log(F.col("n_c") / F.col("n_train")), 6)
+            .cast("decimal(18,6)")
+            .alias("prior"),
+            F.round(F.log(F.lit(1.0) / (F.col("tot_c") + F.col("v"))), 6).alias(
+                "lp0"
+            ),
+            (F.col("tot_c") + F.col("v")).alias("denom"),
+        )
+    )
+    lp = wc.join(F.broadcast(cls.select("c", "denom")), "c").select(
+        "c",
+        "w",
+        F.round(F.log((F.col("cnt") + 1) / F.col("denom")), 6).alias("lp"),
+    )
+    tf = test_toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # keep only train-vocab tokens (see docstring), then fan out per class
+    contrib = (
+        tf.join(F.broadcast(lp.select("w").distinct()), "w")
+        .crossJoin(F.broadcast(cls.select("c", "lp0")))
+        .join(F.broadcast(lp), ["c", "w"], "left")
+        .select(
+            "doc_id",
+            "c",
+            F.round(F.col("tf") * F.coalesce(F.col("lp"), F.col("lp0")), 6)
+            .cast("decimal(28,6)")
+            .alias("term"),
+        )
+    )
+    truth = docs.filter(is_test).select("doc_id", "lang")
+    scores = (
+        truth.crossJoin(F.broadcast(cls.select("c", "prior")))
+        .join(contrib, ["doc_id", "c"], "left")
+        .groupBy("doc_id", "lang", "c", "prior")
+        .agg(F.coalesce(F.sum("term"), F.lit(0).cast("decimal(28,6)")).alias("ts"))
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            (F.col("prior").cast("decimal(28,6)") + F.col("ts")).alias("score"),
+        )
+    )
+    pred = scores.groupBy("doc_id", "lang").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("best")
+    )
+    return (
+        pred.groupBy("lang", F.col("best.c").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_langid_confusion(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+NB_LANGID_CONFUSION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+train_toks AS (SELECT * FROM toks WHERE doc_id % {NB_TEST_MOD} <> 0),
+test_toks AS (SELECT * FROM toks WHERE doc_id % {NB_TEST_MOD} = 0),
+n_train AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_train FROM documents WHERE doc_id % {NB_TEST_MOD} <> 0
+),
+vsz AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM train_toks),
+wc AS (
+  SELECT lang AS c, w, CAST(count(*) AS BIGINT) AS cnt FROM train_toks GROUP BY 1, 2
+),
+cls AS (
+  SELECT d.c,
+    CAST(round(ln(CAST(d.n_c AS DOUBLE) / n_train.n_train), 6) AS DECIMAL(18,6)) AS prior,
+    round(ln(1.0 / (t.tot_c + vsz.v)), 6) AS lp0,
+    t.tot_c + vsz.v AS denom
+  FROM (SELECT lang AS c, CAST(count(*) AS BIGINT) AS n_c
+        FROM documents WHERE doc_id % {NB_TEST_MOD} <> 0 GROUP BY 1) d
+  JOIN (SELECT c, CAST(sum(cnt) AS BIGINT) AS tot_c FROM wc GROUP BY 1) t USING (c)
+  CROSS JOIN n_train CROSS JOIN vsz
+),
+lp AS (
+  SELECT wc.c, wc.w, round(ln((wc.cnt + 1) / CAST(cls.denom AS DOUBLE)), 6) AS lp
+  FROM wc JOIN cls USING (c)
+),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM test_toks GROUP BY 1, 2
+),
+contrib AS (
+  SELECT tf.doc_id, cls.c,
+    CAST(round(tf.tf * coalesce(lp.lp, cls.lp0), 6) AS DECIMAL(28,6)) AS term
+  FROM tf
+  JOIN (SELECT DISTINCT w FROM lp) vocab USING (w)
+  CROSS JOIN cls
+  LEFT JOIN lp ON lp.c = cls.c AND lp.w = tf.w
+),
+truth AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id % {NB_TEST_MOD} = 0
+),
+scores AS (
+  SELECT t.doc_id, t.lang, cls.c,
+    CAST(cls.prior AS DECIMAL(28,6))
+      + coalesce(sum(contrib.term), CAST(0 AS DECIMAL(28,6))) AS score
+  FROM truth t
+  CROSS JOIN cls
+  LEFT JOIN contrib ON contrib.doc_id = t.doc_id AND contrib.c = cls.c
+  GROUP BY t.doc_id, t.lang, cls.c, cls.prior
+),
+pred AS (
+  SELECT doc_id, lang, c AS pred_lang
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+        FROM scores)
+  WHERE rn = 1
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
 
@@ -1555,6 +1738,7 @@ QUERIES = {
     "vocab_build": q_vocab_build,
     "text_oov_rate": q_text_oov_rate,
     "text_readability": q_text_readability,
+    "nb_langid_confusion": q_nb_langid_confusion,
 }
 
 ORACLES = {
@@ -1578,4 +1762,5 @@ ORACLES = {
     "vocab_build": VOCAB_BUILD_SQL,
     "text_oov_rate": TEXT_OOV_RATE_SQL,
     "text_readability": TEXT_READABILITY_SQL,
+    "nb_langid_confusion": NB_LANGID_CONFUSION_SQL,
 }

@@ -88,8 +88,10 @@ _MODULES = (
 # shared with retrieval_eval, oracled) queue for round 12, as do the
 # second-session additions text_readability (Flesch reading-ease
 # report, oracled) and classifier_pr_curve (precision/recall/F1
-# threshold sweep over the trained scorer, shared-CTE oracle) —
-# backlog 10 never-sampled + 38 r7-stale, well under capacity.
+# threshold sweep over the trained scorer, shared-CTE oracle), and
+# nb_langid_confusion (multinomial naive-Bayes langid trained on the
+# %5 split, held-out confusion matrix, oracled) —
+# backlog 11 never-sampled + 38 r7-stale, well under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

@@ -352,3 +352,31 @@ def test_readability_report_orders_by_formula(spark):
         assert r.min_flesch <= r.mean_flesch <= r.max_flesch
         assert 0 <= r.n_easy <= r.n_docs
     assert out["easy"].n_easy == 2 and out["hard"].n_easy == 0
+
+
+def test_nb_langid_separable_corpus_is_diagonal(spark):
+    """On a corpus whose languages use disjoint vocabularies, the
+    trained NB classifier must classify every held-out doc correctly
+    (diagonal confusion matrix) and account for every test doc —
+    including a test doc whose tokens are all train-OOV (it still gets
+    a prior-only prediction, never silently dropped)."""
+    from realparse_spark.operators.text import nb_langid_confusion
+
+    rows = []
+    vocab = {"aa": "alpha beta gamma", "bb": "uno dos tres", "cc": "eins zwei drei"}
+    i = 0
+    for lang, words in vocab.items():
+        for _ in range(10):
+            rows.append((i, f"{words} {words}", lang))
+            i += 1
+    # doc 30 is held out (30 % 5 == 0) and fully OOV w.r.t. the train split
+    rows.append((30, "zzz yyy xxx", "aa"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_langid_confusion(docs).collect()
+    n_test = sum(1 for r in rows if r[0] % 5 == 0)
+    assert sum(r.n_docs for r in out) == n_test
+    off_diag = [r for r in out if r.lang != r.pred_lang]
+    # the OOV doc is prior-only: priors are equal (10/10/10 per class),
+    # so the tie-break predicts the lexicographically first class 'aa' —
+    # which IS its true lang; everything else is vocabulary-separable
+    assert off_diag == []
