@@ -211,6 +211,7 @@ EXTRA = [
     "text_readability",     # Flesch reading-ease report (scan-speed regex counts)
     "classifier_pr_curve",  # precision/recall/F1 threshold sweep (integer counts)
     "nb_langid_confusion",  # trained naive-Bayes langid, held-out confusion matrix
+    "pca_power_iter",       # matrix-free top principal component (3 power steps)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

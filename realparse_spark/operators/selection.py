@@ -1076,6 +1076,226 @@ ORDER BY bin"""
     )
 
 
+# ---------------------------------------------------------------------------
+# PCA: top principal component by unrolled power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+
+
+def pca_power_iter(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """Top principal component of the embedding table by ``iters``
+    unrolled power-iteration steps (von Mises iteration over the
+    covariance operator, computed MATRIX-FREE: v <- normalize(sum_i
+    (x_i-mu . v) (x_i-mu)) — the covariance matrix is never
+    materialized).  Emits one row per dimension: the column mean, the
+    unit component, and as constant columns the eigenvalue estimate
+    (lambda = sum s_i^2 / n, the variance captured) and the explained
+    variance ratio vs total variance — the dimensionality-reduction
+    health report an embedding pipeline reads before truncating widths
+    (the spectral counterpart to `emb_matryoshka_eval`'s recall view).
+
+    Determinism: the per-vector projection s_i is a SEQUENTIAL in-row
+    double fold over pos-ordered arrays rounded to 6 (the
+    `retrieval_eval` cosine discipline); every cross-vector reduction
+    (per-dim y, norms, lambda, total variance) accumulates round-12
+    terms as exact DECIMAL and converts to double ONCE; the start
+    vector is the all-ones literal, so both engines run the identical
+    deterministic recurrence.
+
+    Scale: the centered array is computed in-row against the 1-row
+    broadcast mean (map-only); each iteration is ONE corpus scan — the
+    fold for s_i is in-row, the d-dim y reduction is ONE
+    map-side-combined posexplode groupBy (d=O(100) rows out) — and the
+    64-row v table localCheckpoints per step so the plan stays
+    O(1)-deep (the kmeans_train discipline).  No joins on vec_id, no
+    windows, nothing driver-side."""
+    long = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    mu = long.groupBy("pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mu")
+    )
+    mu_row = mu.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+        ).alias("mu_arr")
+    )
+    base = (
+        emb.crossJoin(F.broadcast(mu_row))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "embedding",
+                "mu_arr",
+                lambda x, m: F.round(x.cast("double") - m, 6),
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_row = base.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    v_row = mu_row.select(
+        F.transform("mu_arr", lambda _: F.lit(1.0)).alias("v")
+    ).localCheckpoint(eager=False)
+
+    def proj(ccol, vcol):
+        # sequential in-row double fold, rounded at the seam
+        return F.round(
+            F.aggregate(
+                F.zip_with(ccol, vcol, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        )
+
+    dec = lambda col: F.sum(F.round(col, 12).cast("decimal(38,12)"))  # noqa: E731
+    for _ in range(iters):
+        s = base.crossJoin(F.broadcast(v_row)).select(
+            "vec_id", "c", proj(F.col("c"), F.col("v")).alias("s")
+        )
+        y = (
+            s.select("s", F.posexplode("c").alias("pos", "cv"))
+            .groupBy("pos")
+            .agg(F.round(dec(F.col("s") * F.col("cv")).cast("double"), 6).alias("y"))
+        )
+        norm = y.groupBy().agg(
+            F.sqrt(dec(F.col("y") * F.col("y")).cast("double")).alias("nrm")
+        )
+        v_row = (
+            y.crossJoin(F.broadcast(norm))
+            .select("pos", F.round(F.col("y") / F.col("nrm"), 6).alias("v"))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda t: t["v"],
+                ).alias("v")
+            )
+            .localCheckpoint(eager=False)
+        )
+    s_fin = base.crossJoin(F.broadcast(v_row)).select(
+        "vec_id", "c", proj(F.col("c"), F.col("v")).alias("s")
+    )
+    lam = s_fin.groupBy().agg(
+        F.round(
+            dec(F.col("s") * F.col("s")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("eigenvalue")
+    )
+    tot = (
+        base.select(F.explode("c").alias("cv"))
+        .groupBy()
+        .agg(dec(F.col("cv") * F.col("cv")).alias("ss"))
+        .crossJoin(F.broadcast(n_row))
+        .select(F.round(F.col("ss").cast("double") / F.col("n"), 6).alias("total_var"))
+    )
+    v_long = v_row.select(F.posexplode("v").alias("pos", "pc1"))
+    return (
+        mu.join(v_long, "pos")
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.col("mu").alias("mean_c"),
+            F.col("pc1").alias("pc1_c"),
+            "eigenvalue",
+            F.round(F.col("eigenvalue") / F.col("total_var"), 6).alias(
+                "explained_var_ratio"
+            ),
+        )
+        .orderBy("pos")
+    )
+
+
+def q_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_power_iter(fan_out(load_table(spark, sf_dir, "embeddings")))
+
+
+def _pca_sql(iters: int = PCA_ITERS) -> str:
+    """Unrolled DuckDB mirror: long-form (vec_id, pos, c) centered table,
+    one (project, reduce, normalize) CTE trio per power step, identical
+    rounding at every seam (in-row sequential double fold for s, exact
+    DECIMAL for every cross-vector sum)."""
+    fold_s = (
+        "round(list_aggregate(list_transform(range(1, len(c) + 1), "
+        "i -> c[i] * v[i]), 'sum'), 6)"
+    )
+    parts = [
+        """long0 AS (
+  SELECT vec_id,
+    unnest(range(0, len(embedding))) AS pos,
+    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings
+),
+mu AS (
+  SELECT pos,
+    round(CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mu
+  FROM long0 GROUP BY pos
+),
+clong AS (
+  SELECT l.vec_id, l.pos, round(l.x - m.mu, 6) AS c
+  FROM long0 l JOIN mu m USING (pos)
+),
+base AS (
+  SELECT vec_id, list(c ORDER BY pos) AS c FROM clong GROUP BY vec_id
+),
+nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+v0 AS (SELECT list_transform(list(pos), p -> 1.0) AS v FROM mu)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT vec_id, c, {fold_s} AS s FROM base CROSS JOIN v{i - 1}
+),
+y{i} AS (
+  SELECT pos,
+    round(CAST(sum(CAST(round(s.s * c.c, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS y
+  FROM (SELECT vec_id, s FROM s{i}) s JOIN clong c USING (vec_id)
+  GROUP BY pos
+),
+nm{i} AS (
+  SELECT sqrt(CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM y{i}
+),
+v{i} AS (
+  SELECT list(round(y.y / nm.nrm, 6) ORDER BY y.pos) AS v
+  FROM y{i} y CROSS JOIN nm{i} nm
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+, sfin AS (
+  SELECT vec_id, {fold_s} AS s FROM base CROSS JOIN v{iters}
+),
+lam AS (
+  SELECT round(CAST(sum(CAST(round(s * s, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 6) AS eigenvalue
+  FROM sfin
+),
+tot AS (
+  SELECT round(CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / (SELECT n FROM nrow), 6) AS total_var
+  FROM clong
+),
+vlong AS (
+  SELECT unnest(range(0, len(v))) AS pos, unnest(v) AS pc1 FROM v{iters}
+)
+SELECT CAST(m.pos AS INTEGER) AS pos, m.mu AS mean_c, vl.pc1 AS pc1_c,
+  lam.eigenvalue AS eigenvalue,
+  round(lam.eigenvalue / tot.total_var, 6) AS explained_var_ratio
+FROM mu m
+JOIN vlong vl USING (pos)
+CROSS JOIN lam CROSS JOIN tot
+ORDER BY pos
+"""
+    )
+
+
 PR_CURVE_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]  # 0.1 .. 0.9
 
 
@@ -1209,6 +1429,7 @@ QUERIES = {
     "quality_classifier_train": q_quality_classifier_train,
     "classifier_calibration": q_classifier_calibration,
     "classifier_pr_curve": q_classifier_pr_curve,
+    "pca_power_iter": q_pca_power_iter,
 }
 
 ORACLES = {
@@ -1220,4 +1441,5 @@ ORACLES = {
     "quality_classifier_train": _classifier_sql(),
     "classifier_calibration": _calibration_sql(),
     "classifier_pr_curve": _pr_curve_sql(),
+    "pca_power_iter": _pca_sql(),
 }

@@ -90,8 +90,9 @@ _MODULES = (
 # report, oracled) and classifier_pr_curve (precision/recall/F1
 # threshold sweep over the trained scorer, shared-CTE oracle), and
 # nb_langid_confusion (multinomial naive-Bayes langid trained on the
-# %5 split, held-out confusion matrix, oracled) —
-# backlog 11 never-sampled + 38 r7-stale, well under capacity.
+# %5 split, held-out confusion matrix, oracled), and pca_power_iter
+# (matrix-free top principal component by 3 unrolled power steps,
+# oracled) — backlog 12 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

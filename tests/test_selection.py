@@ -370,3 +370,29 @@ def test_classifier_pr_curve_confusion_invariants(spark):
     assert recalls == sorted(recalls, reverse=True)
     assert fps == sorted(fps, reverse=True)
     assert any(r.f1 == 1.0 for r in out)
+
+
+def test_pca_power_iter_recovers_planted_axis(spark):
+    """Power iteration on a corpus whose variance lives on one planted
+    axis must concentrate the component there: |pc1[axis]| ~ 1, every
+    other loading ~ 0, the component is unit-norm, and the explained
+    variance ratio is ~ 1.  Means must be exact."""
+    from realparse_spark.operators.selection import pca_power_iter
+
+    dim, axis = 8, 3
+    rows = []
+    for i in range(40):
+        v = [0.01 * ((i * 7 + j) % 5 - 2) for j in range(dim)]  # tiny noise
+        v[axis] = 5.0 if i % 2 == 0 else -5.0  # dominant +-5 swing
+        rows.append((i, v, i % 3))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.pos: r for r in pca_power_iter(emb).collect()}
+    assert len(out) == dim
+    assert abs(abs(out[axis].pc1_c) - 1.0) < 1e-3
+    for p, r in out.items():
+        if p != axis:
+            assert abs(r.pc1_c) < 0.05
+    assert abs(sum(r.pc1_c**2 for r in out.values()) - 1.0) < 1e-3
+    r0 = out[0]
+    assert r0.explained_var_ratio > 0.99
+    assert r0.eigenvalue > 0
