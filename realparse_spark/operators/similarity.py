@@ -1409,6 +1409,200 @@ ORDER BY n.qid, n.rk
 """
 
 
+# ---------------------------------------------------------------------------
+# sparse (BM25) retrieval evaluation — the lexical counterpart to
+# retrieval_eval, graded by the SAME planted-relevance metric rollup
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_MOD = 500  # doc_id % 500 == 0 is the query subset
+BM25_QUERY_TERMS = 5  # rarest-df terms kept per query
+
+
+def bm25_retrieval_eval(
+    docs: DataFrame,
+    k: int = RETRIEVAL_K,
+    query_mod: int = BM25_QUERY_MOD,
+    n_terms: int = BM25_QUERY_TERMS,
+) -> DataFrame:
+    """Recall@k / MRR / nDCG@k for LEXICAL retrieval: each query document
+    retrieves from the corpus by integer-exact Okapi BM25 (the
+    `text_bm25` cleared-fraction formula, `text.py` — k1=1.2, b=0.75,
+    integer idf surrogate), graded per source by the SAME
+    `_retrieval_metrics` rollup and planted relevance the dense eval
+    uses (relevant iff same `source`, self excluded) — so the sparse and
+    dense retrieval stacks publish directly comparable score tables.
+
+    Query representation: the ``n_terms`` rarest corpus terms of the
+    query doc (df asc, term asc — deterministic), the standard
+    distinctive-term selection that keeps Σ|posting| bounded when a
+    query document is long.
+
+    Scale: postings are pruned to the query-term set BEFORE the tf
+    aggregation (broadcast semi-join); df and the T/N scalars are
+    O(terms)/O(1) broadcasts; the scoring join is posting-list shaped
+    (Σ over query terms of |posting(t)| — df-bounded in a real corpus;
+    the synthetic fixture's degenerate shared vocabulary is why
+    query_mod keeps |Q| small here); top-k is a per-qid partitioned
+    window over scored candidates.  All scores are BIGINT (the
+    `text_bm25` discipline), so ranking hash-matches the oracle."""
+    from realparse_spark.operators.text import token_count_ws, ws_tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    is_q = F.pmod(F.col("doc_id"), F.lit(query_mod)) == 0
+    qt_all = toks.filter(is_q).select(
+        F.col("doc_id").alias("qid"), "term"
+    ).distinct()
+    term_set = qt_all.select("term").distinct()
+    ptf = (
+        toks.join(F.broadcast(term_set), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = ptf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    wq = Window.partitionBy("qid").orderBy(F.col("df").asc(), F.col("term"))
+    qt = (
+        qt_all.join(F.broadcast(dfreq), "term")
+        .withColumn("trk", F.row_number().over(wq))
+        .filter(F.col("trk") <= n_terms)
+        .select("qid", "term")
+    )
+    lens = docs.select(
+        "doc_id",
+        token_count_ws(F.lower(F.col("text"))).cast("bigint").alias("len_d"),
+    )
+    tot = lens.agg(
+        F.sum("len_d").cast("bigint").alias("t_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    scored = (
+        qt.join(ptf, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            "doc_id",
+            F.expr(
+                "(100000 div (df + 1)) * 22 * tf * t_tokens"
+                " div (10 * tf * t_tokens + 3 * t_tokens + 9 * len_d * n_docs)"
+            ).alias("s"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("s").cast("bigint").alias("score"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    src = docs.select("doc_id", "source")
+    top = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .join(
+            F.broadcast(
+                docs.filter(is_q).select(
+                    F.col("doc_id").alias("qid"), F.col("source").alias("q_label")
+                )
+            ),
+            "qid",
+        )
+        .join(src.withColumnRenamed("source", "label"), "doc_id")
+        .select("qid", "q_label", "label", "rk")
+    )
+    labn = docs.groupBy(F.col("source").alias("label")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_label")
+    )
+    return _retrieval_metrics(top, labn, k)
+
+
+def q_bm25_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_retrieval_eval(load_table(spark, sf_dir, "documents"))
+
+
+BM25_RETRIEVAL_EVAL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+qt_all AS (
+  SELECT DISTINCT doc_id AS qid, term FROM toks WHERE doc_id % {BM25_QUERY_MOD} = 0
+),
+ptf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt_all)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ptf GROUP BY term),
+qt AS (
+  SELECT qid, term FROM (
+    SELECT q.qid, q.term,
+      row_number() OVER (PARTITION BY q.qid ORDER BY d.df ASC, q.term) AS trk
+    FROM qt_all q JOIN dfreq d USING (term))
+  WHERE trk <= {BM25_QUERY_TERMS}
+),
+lens AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+         AS BIGINT) AS len_d
+  FROM documents
+),
+tot AS (
+  SELECT CAST(sum(len_d) AS BIGINT) AS t_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM lens
+),
+scored AS (
+  SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score FROM (
+    SELECT qt.qid, ptf.doc_id,
+      (100000 // (df + 1)) * 22 * tf * t_tokens
+        // (10 * tf * t_tokens + 3 * t_tokens + 9 * len_d * n_docs) AS s
+    FROM qt
+    JOIN ptf USING (term)
+    JOIN dfreq USING (term)
+    JOIN lens ON ptf.doc_id = lens.doc_id
+    CROSS JOIN tot
+    WHERE ptf.doc_id <> qt.qid)
+  GROUP BY qid, doc_id
+),
+top AS (
+  SELECT s.qid, dq.source AS q_label, dc.source AS label, s.rk
+  FROM (SELECT qid, doc_id,
+          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+        FROM scored QUALIFY rk <= {RETRIEVAL_K}) s
+  JOIN documents dq ON dq.doc_id = s.qid
+  JOIN documents dc ON dc.doc_id = s.doc_id
+),
+labn AS (SELECT source AS label, CAST(count(*) AS INTEGER) AS n_label FROM documents GROUP BY 1),
+perq AS (
+  SELECT qid, q_label,
+    CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS INTEGER) AS hits,
+    min(CASE WHEN label = q_label THEN rk END) AS first_rel,
+    sum(CASE WHEN label = q_label
+        THEN CAST(([{", ".join(repr(x) for x in _DCG_W)}])[rk] AS DECIMAL(18,9))
+        ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg
+  FROM top GROUP BY 1, 2
+),
+met AS (
+  SELECT q_label,
+    CAST(CASE WHEN n_label - 1 > 0
+      THEN round(hits / (n_label - 1), 6) ELSE 0 END AS DECIMAL(12,6)) AS recall,
+    CAST(coalesce(round(CAST(1 AS DOUBLE) / first_rel, 6), 0) AS DECIMAL(12,6)) AS mrr,
+    CAST(CASE WHEN n_label - 1 > 0
+      THEN round(CAST(dcg AS DOUBLE)
+           / ([{", ".join(repr(x) for x in _IDCG)}])[least(n_label - 1, {RETRIEVAL_K})], 6)
+      ELSE 0 END AS DECIMAL(12,6)) AS ndcg
+  FROM perq JOIN labn ON perq.q_label = labn.label
+)
+SELECT q_label AS label,
+  CAST(count(*) AS BIGINT) AS n_queries,
+  round(CAST(sum(recall) AS DOUBLE) / count(*), 6) AS recall_at_k,
+  round(CAST(sum(mrr) AS DOUBLE) / count(*), 6) AS mrr,
+  round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6) AS ndcg_at_k
+FROM met GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": q_sim_topk,
     "sim_topk_cosine_arrow": q_sim_topk_arrow,
@@ -1427,6 +1621,7 @@ QUERIES = {
     # the shared _retrieval_metrics rollup; gates in test_similarity
     "retrieval_eval_ann": q_retrieval_eval_ann,
     "hard_negative_mining": q_hard_negative_mining,
+    "bm25_retrieval_eval": q_bm25_retrieval_eval,
 }
 
 ORACLES = {
@@ -1439,4 +1634,5 @@ ORACLES = {
     "emb_matryoshka_eval": EMB_MATRYOSHKA_SQL,
     "retrieval_eval": RETRIEVAL_EVAL_SQL,
     "hard_negative_mining": HARD_NEGATIVES_SQL,
+    "bm25_retrieval_eval": BM25_RETRIEVAL_EVAL_SQL,
 }

@@ -92,7 +92,9 @@ _MODULES = (
 # nb_langid_confusion (multinomial naive-Bayes langid trained on the
 # %5 split, held-out confusion matrix, oracled), and pca_power_iter
 # (matrix-free top principal component by 3 unrolled power steps,
-# oracled) — backlog 12 never-sampled + 38 r7-stale, under capacity.
+# oracled), and bm25_retrieval_eval (sparse BM25 retrieval graded by
+# the shared planted-relevance metric rollup, oracled) — backlog 13
+# never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

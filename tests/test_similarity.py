@@ -493,3 +493,30 @@ def test_hard_negative_mining_planted_margins(spark):
         assert [r.rk for r in mine] == [1, 2, 3]
         assert all(r.neg_label != r.q_label for r in mine)
         assert all(r.margin is not None and r.margin > 0 for r in mine)
+
+
+def test_bm25_retrieval_eval_planted_distinctive_terms(spark):
+    """A query source whose docs share a unique rare token must retrieve
+    its own source perfectly (recall@k = mrr = ndcg = 1), while filler
+    sources that never appear as queries produce no metric rows.  Also
+    pins the metric frame: one row per query source, n_queries counts
+    its planted queries."""
+    from realparse_spark.operators.similarity import bm25_retrieval_eval
+
+    rows = []
+    # source 'hit': 6 docs sharing the rare token 'zyzzyva'; doc_id 0 is
+    # the query (0 % mod == 0)
+    for i in range(6):
+        rows.append((i * 3, f"zyzzyva common word filler {i}", "hit"))
+    # filler source: generic docs, never selected as queries
+    for i in range(10):
+        rows.append((1000 + i * 3 + 1, "common word filler text", "miss"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = bm25_retrieval_eval(docs, k=5, query_mod=3000, n_terms=3).collect()
+    # only doc_id 0 is a query (0 % 3000 == 0); its label is 'hit'
+    assert [r.label for r in out] == ["hit"]
+    r = out[0]
+    assert r.n_queries == 1
+    assert r.recall_at_k == 1.0  # all 5 same-source docs in top-5
+    assert r.mrr == 1.0
+    assert r.ndcg_at_k == 1.0
