@@ -213,6 +213,7 @@ EXTRA = [
     "nb_langid_confusion",  # trained naive-Bayes langid, held-out confusion matrix
     "pca_power_iter",       # matrix-free top principal component (3 power steps)
     "bm25_retrieval_eval",  # lexical retrieval graded by the shared metric rollup
+    "ivf_balance",          # IVF quantizer health report (oracled companion)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -686,6 +686,33 @@ def _label_prior_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _kmeans_assigned(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """The final Lloyd assignment (vec_id, embedding, cluster_id, d2)
+    after ``iters`` unrolled iterations from the label-prior seed —
+    shared by `kmeans_train` (inertia rollup) and `ivf_balance` (index
+    health rollup) so both report the SAME converged partition."""
+    cents = _label_prior_centroids(emb).localCheckpoint(eager=False)
+    assigned = None
+    for _ in range(iters):
+        assigned = _argmin_assign(emb, cents)
+        long = assigned.select(
+            "cluster_id", F.posexplode("embedding").alias("pos", "v")
+        )
+        cent_long = long.groupBy("cluster_id", "pos").agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+        cents = cent_long.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        ).localCheckpoint(eager=False)
+    return assigned
+
+
 def kmeans_train(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     """`iters` full Lloyd iterations of k-means over the embedding table
     (Lloyd 1982), centroids seeded from the coarse `label` prior —
@@ -711,27 +738,9 @@ def kmeans_train(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     localCheckpoint'd per iteration (the pagerank_parts
     iterate-over-aggregates discipline) so the physical plan stays
     O(1)-deep per step instead of nesting `iters` scans."""
-    cents = _label_prior_centroids(emb).localCheckpoint(eager=False)
-    assigned = None
-    for _ in range(iters):
-        assigned = _argmin_assign(emb, cents)
-        long = assigned.select(
-            "cluster_id", F.posexplode("embedding").alias("pos", "v")
-        )
-        cent_long = long.groupBy("cluster_id", "pos").agg(
-            F.round(
-                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("c")
-        )
-        cents = cent_long.groupBy("cluster_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("cvec")
-        ).localCheckpoint(eager=False)
     return (
-        assigned.groupBy("cluster_id")
+        _kmeans_assigned(emb, iters)
+        .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
             F.round(
@@ -746,9 +755,10 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(fan_out(load_table(spark, sf_dir, "embeddings")))
 
 
-def _kmeans_sql(iters: int = KMEANS_ITERS) -> str:
-    """Unrolled DuckDB mirror: one (assign, recenter) CTE pair per Lloyd
-    iteration, same rounding at every seam as the Spark plan."""
+def _kmeans_cte_parts(iters: int = KMEANS_ITERS) -> list[str]:
+    """The unrolled Lloyd CTE chain ending in ``assigned{iters}`` —
+    shared by the training oracle and the ivf_balance oracle so both
+    read the identical converged assignment."""
     d2 = (
         "round(list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
         "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) "
@@ -791,15 +801,117 @@ cents{i} AS (
   GROUP BY cluster_id
 )"""
         )
+    return parts
+
+
+def _kmeans_sql(iters: int = KMEANS_ITERS) -> str:
+    """Unrolled DuckDB mirror: one (assign, recenter) CTE pair per Lloyd
+    iteration, same rounding at every seam as the Spark plan."""
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_kmeans_cte_parts(iters))
         + f"""
 SELECT cluster_id,
   CAST(count(*) AS BIGINT) AS n_members,
   round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE), 4) AS inertia
 FROM assigned{iters}
 GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index health report over the converged k-means partition
+# ---------------------------------------------------------------------------
+
+
+def ivf_balance(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Health report for an IVF coarse quantizer built on the converged
+    `_kmeans_assigned` partition: per surviving cluster the member
+    count, corpus share (ppm), and mean squared quantization error,
+    plus as constant columns the imbalance factor (largest cluster vs
+    the ideal N/K_seed, x1000 integer) and the number of seed clusters
+    that died — the table an ANN pipeline reads before shipping an IVF
+    index (a hot cluster means probes degrade toward scans; dead
+    clusters mean wasted nprobe budget).  This is the ORACLED companion
+    to the rows-only `sim_ann_ivf` family: the partition audited here
+    is deterministic end to end, so the driver hash-verifies the same
+    math the KMeans-backed index relies on.
+
+    Determinism: counts and shares are BIGINT (ppm by integral
+    division); mean_d2 accumulates round-6 d2 as exact DECIMAL and
+    divides once; imbalance_x1000 = max_n * K_seed * 1000 div N, exact.
+
+    Scale: one map-side-combined rollup over the assignment scan
+    (`_kmeans_assigned` is O(iters) map-only passes), then TWO 1-row
+    broadcasts (corpus totals, cluster extremes) joined back onto the
+    O(K) cluster rows."""
+    assigned = _kmeans_assigned(emb, iters)
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_d2"),
+    )
+    tot = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vec"),
+        F.countDistinct("label").cast("bigint").alias("k_seed"),
+    )
+    ext = sizes.agg(
+        F.max("n_members").alias("max_n"),
+        F.count(F.lit(1)).cast("bigint").alias("k_live"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "cluster_id",
+            "n_members",
+            F.expr("n_members * 1000000 div n_vec").alias("share_ppm"),
+            "mean_d2",
+            F.expr("max_n * k_seed * 1000 div n_vec").alias("imbalance_x1000"),
+            (F.col("k_seed") - F.col("k_live")).alias("n_empty"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_balance(fan_out(load_table(spark, sf_dir, "embeddings")))
+
+
+def _ivf_balance_sql(iters: int = KMEANS_ITERS) -> str:
+    parts = _kmeans_cte_parts(iters)
+    parts.append(
+        f"""sizes AS (
+  SELECT cluster_id,
+    CAST(count(*) AS BIGINT) AS n_members,
+    round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_d2
+  FROM assigned{iters}
+  GROUP BY cluster_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vec,
+         CAST(count(DISTINCT label) AS BIGINT) AS k_seed
+  FROM embeddings
+),
+ext AS (
+  SELECT max(n_members) AS max_n, CAST(count(*) AS BIGINT) AS k_live FROM sizes
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT cluster_id, n_members,
+  n_members * 1000000 // n_vec AS share_ppm,
+  mean_d2,
+  max_n * k_seed * 1000 // n_vec AS imbalance_x1000,
+  k_seed - k_live AS n_empty
+FROM sizes CROSS JOIN tot CROSS JOIN ext
 ORDER BY cluster_id
 """
     )
@@ -1430,6 +1542,7 @@ QUERIES = {
     "classifier_calibration": q_classifier_calibration,
     "classifier_pr_curve": q_classifier_pr_curve,
     "pca_power_iter": q_pca_power_iter,
+    "ivf_balance": q_ivf_balance,
 }
 
 ORACLES = {
@@ -1442,4 +1555,5 @@ ORACLES = {
     "classifier_calibration": _calibration_sql(),
     "classifier_pr_curve": _pr_curve_sql(),
     "pca_power_iter": _pca_sql(),
+    "ivf_balance": _ivf_balance_sql(),
 }

@@ -92,9 +92,11 @@ _MODULES = (
 # nb_langid_confusion (multinomial naive-Bayes langid trained on the
 # %5 split, held-out confusion matrix, oracled), and pca_power_iter
 # (matrix-free top principal component by 3 unrolled power steps,
-# oracled), and bm25_retrieval_eval (sparse BM25 retrieval graded by
-# the shared planted-relevance metric rollup, oracled) — backlog 13
-# never-sampled + 38 r7-stale, under capacity.
+# oracled), bm25_retrieval_eval (sparse BM25 retrieval graded by
+# the shared planted-relevance metric rollup, oracled), and
+# ivf_balance (IVF quantizer health over the converged deterministic
+# k-means partition — the sim_ann_ivf family's oracled companion) —
+# backlog 14 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

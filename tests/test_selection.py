@@ -396,3 +396,29 @@ def test_pca_power_iter_recovers_planted_axis(spark):
     r0 = out[0]
     assert r0.explained_var_ratio > 0.99
     assert r0.eigenvalue > 0
+
+
+def test_ivf_balance_accounts_for_the_corpus(spark):
+    """On planted well-separated clusters the IVF report must: cover the
+    corpus exactly (sum n_members = N, shares sum to ~1e6), keep every
+    seed cluster alive (n_empty = 0, imbalance ~ 1000 for equal sizes),
+    and report near-zero quantization error for tight clusters."""
+    from realparse_spark.operators.selection import ivf_balance
+
+    rows = []
+    for c in range(4):
+        base = [0.0] * 8
+        base[c * 2] = 10.0
+        for i in range(12):
+            v = list(base)
+            v[7] = 0.001 * i  # tiny within-cluster jitter
+            rows.append((c * 100 + i, v, c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ivf_balance(emb).collect()
+    assert len(out) == 4
+    assert sum(r.n_members for r in out) == 48
+    assert all(r.n_members == 12 for r in out)
+    assert all(r.n_empty == 0 for r in out)
+    assert all(r.imbalance_x1000 == 1000 for r in out)
+    assert all(0.0 <= r.mean_d2 < 0.01 for r in out)
+    assert sum(r.share_ppm for r in out) == 1000000
