@@ -214,6 +214,7 @@ EXTRA = [
     "pca_power_iter",       # matrix-free top principal component (3 power steps)
     "bm25_retrieval_eval",  # lexical retrieval graded by the shared metric rollup
     "ivf_balance",          # IVF quantizer health report (oracled companion)
+    "mmr_diversify",        # greedy MMR re-rank of the retrieval shortlist
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -1410,6 +1410,209 @@ ORDER BY n.qid, n.rk
 
 
 # ---------------------------------------------------------------------------
+# MMR diversification: greedy re-rank of the retrieval shortlist
+# ---------------------------------------------------------------------------
+
+MMR_K = 5  # results emitted per query
+MMR_SHORTLIST = 12  # relevance-ranked candidate pool fed to the greedy pass
+MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) penalizes redundancy
+
+
+def mmr_diversify(
+    emb: DataFrame,
+    k: int = MMR_K,
+    shortlist: int = MMR_SHORTLIST,
+    lam: float = MMR_LAMBDA,
+    query_mod: int = RETRIEVAL_QUERY_MOD,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) of each query's top-``shortlist`` cosine candidates:
+    greedily emit ``k`` results, each maximizing
+
+        mmr = lam * cos(q, i) - (1 - lam) * max_{j in selected} cos(i, j)
+
+    — the standard diversification pass a retrieval pipeline runs so
+    near-duplicate hits don't crowd the result page (and dedup'd
+    training batches don't repeat one cluster).  Emits (qid, rank,
+    vec_id, rel_cos, mmr_score); rank 1 is the pure-relevance argmax
+    (mmr_score = rel_cos by convention).
+
+    Determinism: relevance and candidate-pair cosines are the shared
+    `_scored_queries` round-6 fold over once-normalized unit vectors;
+    each greedy step then combines those round-6 values in EXACT decimal
+    (lam and 1-lam as DECIMAL(2,1) literals — the score is exactly
+    representable at scale 7, so no engine ever rounds a boundary
+    double; Spark's shortest-string HALF_UP and DuckDB's binary-value
+    round() disagree precisely on half-way products like 0.2551225) and
+    the argmax is max(struct(mmr, -vec_id)) — exact tie-break to the
+    SMALLEST vec_id, mirrored by the oracle's (mmr DESC, vec_id) window;
+    the emitted mmr_score is ONE terminal decimal->double conversion.
+
+    Scale: the quadratic term is shortlist^2 PER QUERY (bounded by the
+    constant ``shortlist``, never corpus-sized — the semdedup star-cap
+    discipline); the greedy recurrence unrolls to ``k`` rounds of
+    anti-join + max-aggregate over those bounded pairs, with the
+    selected set localCheckpoint'd per round so the plan stays
+    O(1)-deep (the kmeans_train discipline)."""
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    norm = lambda a: F.sqrt(  # noqa: E731
+        fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    )
+    unit = lambda a: F.transform(a, lambda x: x.cast("double") / norm(a))  # noqa: E731
+
+    scored = _scored_queries(emb, query_mod)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    short = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist)
+        .select("qid", "vec_id", "cos")
+        .localCheckpoint(eager=False)
+    )
+    un = emb.select("vec_id", unit(F.col("embedding")).alias("u"))
+    sa = short.select("qid", F.col("vec_id").alias("a"))
+    sb = short.select("qid", F.col("vec_id").alias("b"))
+    pairs = (
+        sa.join(sb, "qid")
+        .filter(F.col("a") != F.col("b"))
+        .join(un.select(F.col("vec_id").alias("a"), F.col("u").alias("ua")), "a")
+        .join(un.select(F.col("vec_id").alias("b"), F.col("u").alias("ub")), "b")
+        .select(
+            "qid",
+            "a",
+            "b",
+            F.round(fold(F.zip_with("ua", "ub", lambda x, y: x * y)), 6).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pick1 = short.groupBy("qid").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("nv"))).alias("bst")
+    )
+    selected = pick1.select(
+        "qid",
+        (-F.col("bst.nv")).alias("vec_id"),
+        F.col("bst.cos").alias("rel_cos"),
+        F.col("bst.cos").alias("mmr_score"),
+        F.lit(1).alias("rank"),
+    ).localCheckpoint(eager=False)
+    out = selected
+    for t in range(2, k + 1):
+        cand = short.join(
+            selected.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        ms = (
+            pairs.join(
+                selected.select("qid", F.col("vec_id").alias("b")), ["qid", "b"]
+            )
+            .groupBy("qid", F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        # EXACT decimal combination — cos and maxsim are round-6 values, so
+        # lam*cos - (1-lam)*maxsim is exactly representable at scale 7 and
+        # neither engine ever rounds a boundary double (a 0.2551225-style
+        # half-way product is where Spark's shortest-string HALF_UP and
+        # DuckDB's binary-value round() disagree)
+        mmr = F.lit(lam).cast("decimal(2,1)") * F.col("cos").cast(
+            "decimal(18,6)"
+        ) - F.lit(round(1.0 - lam, 10)).cast("decimal(2,1)") * F.col(
+            "maxsim"
+        ).cast("decimal(18,6)")
+        scored_t = cand.join(ms, ["qid", "vec_id"]).select(
+            "qid", "vec_id", "cos", mmr.alias("mmr")
+        )
+        pick = scored_t.groupBy("qid").agg(
+            F.max(
+                F.struct(
+                    F.col("mmr"),
+                    (-F.col("vec_id")).alias("nv"),
+                    F.col("cos"),
+                )
+            ).alias("bst")
+        )
+        step = pick.select(
+            "qid",
+            (-F.col("bst.nv")).alias("vec_id"),
+            F.col("bst.cos").alias("rel_cos"),
+            F.col("bst.mmr").cast("double").alias("mmr_score"),
+            F.lit(t).alias("rank"),
+        )
+        selected = selected.unionByName(step).localCheckpoint(eager=False)
+        out = out.unionByName(step)
+    return out.select(
+        "qid", F.col("rank").cast("int").alias("rank"), "vec_id", "rel_cos", "mmr_score"
+    ).orderBy("qid", "rank")
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mmr_diversify(load_table(spark, sf_dir, "embeddings"))
+
+
+def _mmr_sql(
+    k: int = MMR_K,
+    shortlist: int = MMR_SHORTLIST,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    parts = [
+        _RETRIEVAL_SCORED_CTES,
+        f"""short AS (
+  SELECT qid, vec_id, cos
+  FROM (SELECT qid, vec_id, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        FROM scored)
+  WHERE rk <= {shortlist}
+),
+pairs AS (
+  SELECT s1.qid, s1.vec_id AS a, s2.vec_id AS b,
+    round(list_aggregate(list_transform(range(1, len(ua.u) + 1),
+          i -> ua.u[i] * ub.u[i]), 'sum'), 6) AS sim
+  FROM short s1
+  JOIN short s2 ON s1.qid = s2.qid AND s1.vec_id <> s2.vec_id
+  JOIN corpus ua ON ua.vec_id = s1.vec_id
+  JOIN corpus ub ON ub.vec_id = s2.vec_id
+),
+sel1 AS (
+  SELECT qid, vec_id, cos AS rel_cos, cos AS mmr_score, 1 AS rank
+  FROM (SELECT qid, vec_id, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM short)
+  WHERE rn = 1
+),
+selall1 AS (SELECT * FROM sel1)""",
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""ms{t} AS (
+  SELECT c.qid, c.vec_id, c.cos,
+    CAST({lam} AS DECIMAL(2,1)) * CAST(c.cos AS DECIMAL(18,6))
+      - CAST({round(1.0 - lam, 10)} AS DECIMAL(2,1)) * CAST(max(p.sim) AS DECIMAL(18,6)) AS mmr
+  FROM short c
+  JOIN pairs p ON p.qid = c.qid AND p.a = c.vec_id
+  JOIN selall{t - 1} x ON x.qid = p.qid AND x.vec_id = p.b
+  WHERE NOT EXISTS (SELECT 1 FROM selall{t - 1} y
+                    WHERE y.qid = c.qid AND y.vec_id = c.vec_id)
+  GROUP BY c.qid, c.vec_id, c.cos
+),
+sel{t} AS (
+  SELECT qid, vec_id, cos AS rel_cos, CAST(mmr AS DOUBLE) AS mmr_score, {t} AS rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rn
+        FROM ms{t})
+  WHERE rn = 1
+),
+selall{t} AS (SELECT * FROM selall{t - 1} UNION ALL SELECT * FROM sel{t})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, rel_cos, mmr_score
+FROM selall{k}
+ORDER BY qid, rank
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # sparse (BM25) retrieval evaluation — the lexical counterpart to
 # retrieval_eval, graded by the SAME planted-relevance metric rollup
 # ---------------------------------------------------------------------------
@@ -1622,6 +1825,7 @@ QUERIES = {
     "retrieval_eval_ann": q_retrieval_eval_ann,
     "hard_negative_mining": q_hard_negative_mining,
     "bm25_retrieval_eval": q_bm25_retrieval_eval,
+    "mmr_diversify": q_mmr_diversify,
 }
 
 ORACLES = {
@@ -1635,4 +1839,5 @@ ORACLES = {
     "retrieval_eval": RETRIEVAL_EVAL_SQL,
     "hard_negative_mining": HARD_NEGATIVES_SQL,
     "bm25_retrieval_eval": BM25_RETRIEVAL_EVAL_SQL,
+    "mmr_diversify": _mmr_sql(),
 }

@@ -95,8 +95,10 @@ _MODULES = (
 # oracled), bm25_retrieval_eval (sparse BM25 retrieval graded by
 # the shared planted-relevance metric rollup, oracled), and
 # ivf_balance (IVF quantizer health over the converged deterministic
-# k-means partition — the sim_ann_ivf family's oracled companion) —
-# backlog 14 never-sampled + 38 r7-stale, under capacity.
+# k-means partition — the sim_ann_ivf family's oracled companion),
+# and mmr_diversify (greedy Maximal Marginal Relevance re-rank of the
+# retrieval shortlist, unrolled to k exact-decimal steps, oracled) —
+# backlog 15 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

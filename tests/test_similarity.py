@@ -520,3 +520,38 @@ def test_bm25_retrieval_eval_planted_distinctive_terms(spark):
     assert r.recall_at_k == 1.0  # all 5 same-source docs in top-5
     assert r.mrr == 1.0
     assert r.ndcg_at_k == 1.0
+
+
+def test_mmr_diversify_skips_the_near_duplicate(spark):
+    """Planted MMR behavior: the shortlist has two near-identical
+    high-relevance vectors and one moderately relevant diverse vector.
+    Pure relevance ranks the twin second; MMR must rank the DIVERSE
+    vector second (the twin's redundancy penalty sinks it) and emit
+    rank 1 as the pure-relevance argmax with mmr_score = rel_cos."""
+    import math
+
+    from realparse_spark.operators.similarity import mmr_diversify
+
+    def v(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [x / n, y / n, 0.0, 0.0]
+
+    rows = [
+        (0, v(1.0, 0.0), 0),        # the query (vec_id % mod == 0)
+        (1, v(0.95, 0.312), 0),     # top hit (vec_id tie-break over vec 3)
+        (2, v(0.95, 0.3121), 0),    # near-identical twin of vec 1 (sim ~ 1)
+        (3, v(0.95, -0.312), 1),    # equally relevant, mirrored = diverse
+        (4, v(0.0, 1.0), 1),        # orthogonal filler
+    ]
+    # mmr(twin)   = 0.7*0.95 - 0.3*sim(1,2)~1.0   ~ 0.365
+    # mmr(mirror) = 0.7*0.95 - 0.3*sim(1,3)~0.805 ~ 0.423  -> mirror wins
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = mmr_diversify(emb, k=3, shortlist=4, query_mod=1000).collect()
+    byrank = {r.rank: r for r in out if r.qid == 0}
+    assert sorted(byrank) == [1, 2, 3]
+    assert byrank[1].vec_id == 1
+    assert byrank[1].mmr_score == byrank[1].rel_cos
+    assert byrank[2].vec_id == 3  # diversity beats the near-twin
+    assert byrank[3].vec_id == 2  # twin returns once the mirror is in
+    # every selected vec is unique
+    assert len({r.vec_id for r in out}) == len(out)
