@@ -810,8 +810,122 @@ ORDER BY source, route
 """
 
 
+TRENDING_TOP_K = 3
+
+
+def q_stream_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-terms lifecycle (streaming/pipeline.py
+    `stream_term_counts`): two strictly-ordered JSON-lines rotations of
+    the document corpus stream through the watermarked per-window term
+    count with a shared checkpoint, then the top-``TRENDING_TOP_K``
+    terms per CLOSED window rank over the sink — the trending feed a
+    content pipeline publishes (ranking runs post-sink because a window
+    is final there; in-stream ranking would re-emit on every update).
+
+    Determinism contract (the stream_window_e2e discipline): synthetic
+    ingest_ts = T0 + doc_id % 3600 spans one hour over 5-min windows
+    with a 10-min watermark; rotation 1 carries doc_id % 3600 < 1800,
+    rotation 2 the strictly-newer rest, so no flushed window ever sees
+    a late row; after the final run the no-data batch advances the
+    watermark to max(ingest_ts) - 10min and flushes every window whose
+    end is <= it — exactly the closed-window predicate the oracle's
+    `wm` CTE applies to the batch recount.  Ranking ties break (count
+    desc, term asc) identically in both engines."""
+    from realparse_spark.streaming.pipeline import stream_term_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs.limit(1).count() == 0:  # empty corpus: typed empty feed
+        return spark.createDataFrame(
+            [], "window_start string, rk int, term string, n_mentions long"
+        )
+
+    def jsonify(df: DataFrame) -> DataFrame:
+        ingest = F.from_unixtime(
+            F.unix_timestamp(F.lit("2003-01-01 00:00:00").cast("timestamp"))
+            + F.col("doc_id") % 3600
+        )
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id"),
+                    F.col("text"),
+                    F.date_format(ingest, "yyyy-MM-dd HH:mm:ss").alias("ingest_ts"),
+                )
+            ).alias("value")
+        )
+
+    root = tempfile.mkdtemp(prefix="realparse_stream_topk_")
+    try:
+        inbox = os.path.join(root, "inbox")
+        os.makedirs(inbox)
+        out = os.path.join(root, "out")
+        ck = os.path.join(root, "ck")
+
+        r1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3600)) < 1800)
+        r2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3600)) >= 1800)
+        _write_rotation(jsonify(r1), root, inbox, "docs.0001.json")
+        stream_term_counts(spark, inbox, out, ck).awaitTermination()
+        _write_rotation(jsonify(r2), root, inbox, "docs.0002.json")
+        stream_term_counts(spark, inbox, out, ck).awaitTermination()
+
+        from pyspark.sql.window import Window
+
+        sink = spark.read.parquet(out)
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n_mentions").desc(), F.col("term")
+        )
+        res = (
+            sink.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= TRENDING_TOP_K)
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "rk",
+                "term",
+                F.col("n_mentions").cast("bigint").alias("n_mentions"),
+            )
+            .orderBy("window_start", "rk")
+        )
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_TOPK_E2E_SQL = rf"""
+WITH ing AS (
+  SELECT to_timestamp(epoch(TIMESTAMP '2003-01-01 00:00:00') + doc_id % 3600) AS ingest_ts,
+    text
+  FROM documents
+),
+wm AS (SELECT max(epoch(ingest_ts)) - 600 AS w FROM ing),
+terms AS (
+  SELECT to_timestamp(CAST(floor(epoch(ingest_ts) / 300) * 300 AS BIGINT)) AS ws,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+  FROM ing
+),
+counts AS (
+  SELECT ws, term, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM terms, wm
+  WHERE epoch(ws) + 300 <= wm.w
+  GROUP BY ws, term
+),
+ranked AS (
+  SELECT ws, term, n_mentions,
+    row_number() OVER (PARTITION BY ws ORDER BY n_mentions DESC, term) AS rk
+  FROM counts
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+  CAST(rk AS INTEGER) AS rk, term, n_mentions
+FROM ranked
+WHERE rk <= {TRENDING_TOP_K}
+ORDER BY window_start, rk
+"""
+
+
 QUERIES = {
     "stream_load_e2e": q_stream_load_e2e,
+    "stream_topk_e2e": q_stream_topk_e2e,
     "stream_quality_route_e2e": q_stream_quality_route_e2e,
     "stream_enrich_e2e": q_stream_enrich_e2e,
     "stream_window_e2e": q_stream_window_e2e,
@@ -823,6 +937,7 @@ QUERIES = {
 }
 ORACLES = {
     "stream_enrich_e2e": STREAM_ENRICH_E2E_SQL,
+    "stream_topk_e2e": STREAM_TOPK_E2E_SQL,
     "stream_quality_route_e2e": STREAM_QUALITY_ROUTE_E2E_SQL,
     "stream_dedup_e2e": STREAM_DEDUP_E2E_SQL,
     "stream_session_e2e": STREAM_SESSION_E2E_SQL,

@@ -96,9 +96,11 @@ _MODULES = (
 # the shared planted-relevance metric rollup, oracled), and
 # ivf_balance (IVF quantizer health over the converged deterministic
 # k-means partition — the sim_ann_ivf family's oracled companion),
-# and mmr_diversify (greedy Maximal Marginal Relevance re-rank of the
-# retrieval shortlist, unrolled to k exact-decimal steps, oracled) —
-# backlog 15 never-sampled + 38 r7-stale, under capacity.
+# mmr_diversify (greedy Maximal Marginal Relevance re-rank of the
+# retrieval shortlist, unrolled to k exact-decimal steps, oracled),
+# and stream_topk_e2e (the 11th streaming lifecycle: watermarked
+# per-window term counts -> post-sink trending top-k, oracled) —
+# backlog 16 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

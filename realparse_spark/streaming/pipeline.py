@@ -226,6 +226,47 @@ def stream_dedup_docs(
     )
 
 
+def stream_term_counts(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "5 minutes",
+    late: str = "10 minutes",
+):
+    """Watermarked per-window TERM counts over a live document stream —
+    the aggregation stage of a trending-terms feed (the top-k rank runs
+    over the emitted sink, where the window is final; ranking inside the
+    stream would re-rank on every update).  Each arriving JSON-lines doc
+    explodes to whitespace terms; counts group by (tumbling window,
+    term) and a window's rows emit exactly once in append mode when the
+    watermark passes its end.  State is O(terms per open window),
+    evicted at the watermark — the only version that survives an
+    unbounded stream.  Explicit schema (no streaming inference pass)."""
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    docs = spark.readStream.schema(schema).json(in_dir)
+    terms = docs.select(
+        "ingest_ts",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    agg = (
+        terms.withWatermark("ingest_ts", late)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "term")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(F.col("w.start").alias("window_start"), "term", "n_mentions")
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_view_purchase_join(
     spark: SparkSession,
     views_dir: str,
