@@ -215,6 +215,8 @@ EXTRA = [
     "bm25_retrieval_eval",  # lexical retrieval graded by the shared metric rollup
     "ivf_balance",          # IVF quantizer health report (oracled companion)
     "mmr_diversify",        # greedy MMR re-rank of the retrieval shortlist
+    "tokenizer_fertility",  # chars/words-per-token audit (scan-speed counts)
+    "span_corruption_plan", # T5 denoising mask layout (hash-placed spans)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

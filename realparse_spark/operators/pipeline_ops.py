@@ -1290,8 +1290,110 @@ ORDER BY epoch, batch_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T5-style span-corruption planning (denoising-objective mask layout)
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 3  # mean/fixed span length (T5 default)
+SPAN_EVERY = 20  # one span per 20 tokens ~ 15% corruption at span length 3
+
+
+def span_corruption_plan(docs: DataFrame, subset_mod: int = 100) -> DataFrame:
+    """Deterministic T5-style span-corruption layout (Raffel et al. 2020
+    denoising objective: mask ~15% of tokens in mean-length-3 spans and
+    replace each with a sentinel): per planned document one row per
+    span — (doc_id, span_idx, start_tok, len_tok) — the mask plan a
+    denoising-pretraining pipeline materializes next to the packed
+    batches so target construction is reproducible across reruns.
+
+    Layout rule (hash-placed, collision-free BY CONSTRUCTION): a doc
+    with n tokens gets n div SPAN_EVERY spans, one per equal segment of
+    seg = n div n_spans >= SPAN_EVERY tokens; span i starts at
+    seg_start + md5('span:'||doc_id||':'||i) % (seg - SPAN_TOKENS + 1)
+    — spans live in disjoint segments, so they can NEVER overlap (a
+    property test pins this), and md5 placement reproduces in any
+    engine (the `hash_split` discipline).  Docs under SPAN_EVERY tokens
+    get no spans — too short to corrupt at rate.
+
+    Scale: pure in-row arithmetic + one bounded explode (n/20 rows per
+    doc); no shuffle, no Python; the subset_mod prefilter is pushed to
+    the scan."""
+    from realparse_spark.operators.text import token_count_ws
+
+    n_tok = token_count_ws(F.col("text"))
+    base = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(subset_mod)) == 0)
+        .select("doc_id", n_tok.cast("bigint").alias("n"))
+        .filter(F.col("n") >= SPAN_EVERY)
+        .select(
+            "doc_id", "n", F.expr(f"n div {SPAN_EVERY}").alias("n_spans")
+        )
+    )
+    spans = base.select(
+        "doc_id",
+        "n",
+        "n_spans",
+        F.explode(F.sequence(F.lit(1), F.col("n_spans"))).alias("span_idx"),
+    )
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("span:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("span_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.expr(f"n div n_spans - {SPAN_TOKENS} + 1"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        (
+            (F.col("span_idx") - 1) * F.expr("n div n_spans") + h
+        ).alias("start_tok"),
+        F.least(F.lit(SPAN_TOKENS).cast("bigint"), F.col("n")).alias("len_tok"),
+    ).orderBy("doc_id", "span_idx")
+
+
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_corruption_plan(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+SPAN_CORRUPTION_PLAN_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+  WHERE doc_id % 100 = 0
+    AND len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= {SPAN_EVERY}
+),
+spans AS (
+  SELECT doc_id, n, n // {SPAN_EVERY} AS n_spans,
+    unnest(range(1, n // {SPAN_EVERY} + 1)) AS span_idx
+  FROM base
+)
+SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx,
+  (span_idx - 1) * (n // n_spans)
+    + CAST(concat('0x', substring(md5('span:' || doc_id || ':' || span_idx), 1, 8)) AS BIGINT)
+      % (n // n_spans - {SPAN_TOKENS} + 1) AS start_tok,
+  least({SPAN_TOKENS}, n) AS len_tok
+FROM spans
+ORDER BY doc_id, span_idx
+"""
+
+
 QUERIES = {
     "schema_evolution": q_schema_evolution,
+    "span_corruption_plan": q_span_corruption_plan,
     "line_dedup": q_line_dedup,
     "epoch_shuffle": q_epoch_shuffle,
     "token_budget_mix": q_token_budget_mix,
@@ -1313,6 +1415,7 @@ QUERIES = {
 
 ORACLES = {
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
+    "span_corruption_plan": SPAN_CORRUPTION_PLAN_SQL,
     "line_dedup": LINE_DEDUP_SQL,
     "epoch_shuffle": EPOCH_SHUFFLE_SQL,
     "token_budget_mix": TOKEN_BUDGET_MIX_SQL,

@@ -1494,6 +1494,89 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# tokenizer fertility (chars / words per token, the tokenizer-eval metric)
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(docs: DataFrame, by: str = "source") -> DataFrame:
+    """Per-``by`` tokenizer fertility audit: characters per token and
+    tokens per word under the BPE-ish pre-tokenizer vs whitespace words
+    — the standard report a tokenizer change ships with (fertility
+    regressions silently inflate training cost per byte; multilingual
+    pipelines read this per language/source before picking vocab
+    budgets, cf. the mT5-style fertility tables).
+
+    All-integer outputs (x1000 fixed-point by integral division — the
+    `oov_ppm` discipline): chars_per_bpe_x1000, chars_per_word_x1000,
+    bpe_per_word_x1000, over corpus totals per group.
+
+    Scale: two regexp counts per row at scan speed, ONE map-side
+    combined groupBy to O(groups) rows — zero joins, zero Python."""
+    t = F.col("text")
+    per = docs.select(
+        by,
+        F.length(t).cast("bigint").alias("n_chars"),
+        token_count_ws(t).cast("bigint").alias("n_words"),
+        token_count_bpe(t).cast("bigint").alias("n_bpe"),
+    )
+    return (
+        per.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe"),
+        )
+        .select(
+            by,
+            "n_docs",
+            "n_chars",
+            "n_words",
+            "n_bpe",
+            F.expr("n_chars * 1000 div greatest(n_bpe, 1)").alias(
+                "chars_per_bpe_x1000"
+            ),
+            F.expr("n_chars * 1000 div greatest(n_words, 1)").alias(
+                "chars_per_word_x1000"
+            ),
+            F.expr("n_bpe * 1000 div greatest(n_words, 1)").alias(
+                "bpe_per_word_x1000"
+            ),
+        )
+        .orderBy(by)
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH per AS (
+  SELECT source,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
+  FROM documents
+),
+agg AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+    CAST(sum(n_words) AS BIGINT) AS n_words,
+    CAST(sum(n_bpe) AS BIGINT) AS n_bpe
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_chars, n_words, n_bpe,
+  n_chars * 1000 // greatest(n_bpe, 1) AS chars_per_bpe_x1000,
+  n_chars * 1000 // greatest(n_words, 1) AS chars_per_word_x1000,
+  n_bpe * 1000 // greatest(n_words, 1) AS bpe_per_word_x1000
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # word co-occurrence PMI (distributional statistics for embeddings/features)
 # ---------------------------------------------------------------------------
 
@@ -1739,6 +1822,7 @@ QUERIES = {
     "text_oov_rate": q_text_oov_rate,
     "text_readability": q_text_readability,
     "nb_langid_confusion": q_nb_langid_confusion,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 ORACLES = {
@@ -1763,4 +1847,5 @@ ORACLES = {
     "text_oov_rate": TEXT_OOV_RATE_SQL,
     "text_readability": TEXT_READABILITY_SQL,
     "nb_langid_confusion": NB_LANGID_CONFUSION_SQL,
+    "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
 }

@@ -98,9 +98,12 @@ _MODULES = (
 # k-means partition — the sim_ann_ivf family's oracled companion),
 # mmr_diversify (greedy Maximal Marginal Relevance re-rank of the
 # retrieval shortlist, unrolled to k exact-decimal steps, oracled),
-# and stream_topk_e2e (the 11th streaming lifecycle: watermarked
-# per-window term counts -> post-sink trending top-k, oracled) —
-# backlog 16 never-sampled + 38 r7-stale, under capacity.
+# stream_topk_e2e (the 11th streaming lifecycle: watermarked
+# per-window term counts -> post-sink trending top-k, oracled),
+# tokenizer_fertility (chars/words-per-token audit, oracled), and
+# span_corruption_plan (T5-style denoising mask layout, md5-placed
+# disjoint spans, oracled) —
+# backlog 18 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

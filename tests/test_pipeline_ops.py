@@ -485,3 +485,66 @@ def test_curation_pipeline_composes_consistently(spark):
     for r in out:
         assert abs(r.eff_docs - r.n_groups) < 1e-3  # no dups in fixture
         assert r.n_tokens > 0 and r.n_groups <= r.n_docs
+
+
+def test_span_corruption_plan_never_overlaps_and_hits_rate(spark):
+    """Mask-layout invariants: spans are in-bounds, disjoint (each lives
+    in its own segment by construction), exactly n div 20 per doc, and
+    the masked fraction is ~15% (3 tokens per 20-token segment); docs
+    under 20 tokens get no spans."""
+    from realparse_spark.operators.pipeline_ops import span_corruption_plan
+
+    rows = [
+        (0, "tok " * 100),   # 100 tokens -> 5 spans
+        (100, "tok " * 20),  # exactly at the floor -> 1 span
+        (200, "tok " * 19),  # under the floor -> excluded
+        (300, "tok " * 45),  # 45 tokens -> 2 spans (segments of 22)
+        (1, "tok " * 500),   # not in the doc_id % 100 == 0 subset
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = span_corruption_plan(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {0, 100, 300}
+    assert len(by_doc[0]) == 5 and len(by_doc[100]) == 1 and len(by_doc[300]) == 2
+    n_by_doc = {0: 100, 100: 20, 300: 45}
+    for doc_id, spans in by_doc.items():
+        n = n_by_doc[doc_id]
+        seg = n // len(spans)
+        covered = []
+        for s in sorted(spans, key=lambda r: r.span_idx):
+            assert s.len_tok == 3
+            assert 0 <= s.start_tok and s.start_tok + s.len_tok <= n
+            lo = (s.span_idx - 1) * seg
+            assert lo <= s.start_tok <= lo + seg - 3  # inside its segment
+            covered.append((s.start_tok, s.start_tok + s.len_tok))
+        covered.sort()
+        for (a0, a1), (b0, b1) in zip(covered, covered[1:]):
+            assert a1 <= b0  # disjoint
+    # corruption rate: 3 masked per 20-token segment = 15% +- flooring
+    assert sum(3 * len(v) for v in by_doc.values()) == 3 * (5 + 1 + 2)
+
+
+def test_tokenizer_fertility_fixed_point_arithmetic(spark):
+    """Fertility on a planted corpus: pure-word text has bpe_per_word
+    = 1000 (one piece per word); punctuation-heavy text pushes
+    bpe_per_word above 1000 and chars_per_bpe below the pure-word
+    value; totals partition the corpus."""
+    from realparse_spark.operators.text import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "clean"),
+            (2, "hello world again here", "clean"),
+            (3, "a.b.c! x,y;z? (q)", "punct"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in tokenizer_fertility(docs).collect()}
+    assert out["clean"].n_docs == 2 and out["punct"].n_docs == 1
+    assert out["clean"].bpe_per_word_x1000 == 1000
+    assert out["punct"].bpe_per_word_x1000 > 1000
+    assert out["punct"].chars_per_bpe_x1000 < out["clean"].chars_per_bpe_x1000
