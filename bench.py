@@ -217,6 +217,7 @@ EXTRA = [
     "mmr_diversify",        # greedy MMR re-rank of the retrieval shortlist
     "tokenizer_fertility",  # chars/words-per-token audit (scan-speed counts)
     "span_corruption_plan", # T5 denoising mask layout (hash-placed spans)
+    "csv_quarantine",       # dirty-CSV landing zone with malformed-row routing
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -1291,6 +1291,84 @@ ORDER BY epoch, batch_id
 
 
 # ---------------------------------------------------------------------------
+# CSV landing-zone quarantine (malformed-row routing under the oracle)
+# ---------------------------------------------------------------------------
+
+QUARANTINE_MOD = 97  # doc_id % 97 == 0 lines are corrupted in the fixture
+
+
+def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-CSV ingest lifecycle (sources/formats.py
+    `read_csv_quarantine`): the documents table is exported to a CSV
+    landing zone with every ``doc_id % 97 == 0`` line CORRUPTED (its
+    numeric field replaced by a non-numeric token), read back under
+    PERMISSIVE quarantine routing, and reported per source — row count,
+    clean rows, quarantined rows, and the character mass that survived.
+    A FAILFAST read would kill the job on line one; a silent-null read
+    would lose the quarantine count; this is the row-level routing
+    every landing zone needs.  The oracle recomputes the planted
+    corruption rule from the documents table, so a row routed to the
+    wrong side (or dropped) breaks the compare — including that
+    Spark's PERMISSIVE parse keeps the GOOD fields of a bad row (the
+    quarantined rows still group under their true source)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from realparse_spark.operators.load_query import persist_result
+    from realparse_spark.sources.formats import read_csv_quarantine
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.col("source"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(QUARANTINE_MOD)) == 0, F.lit("xx")
+            ).otherwise(F.col("n_chars").cast("string")),
+        ).alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="realparse_quarantine_")
+    try:
+        zone = os.path.join(root, "landing")
+        lines.write.mode("overwrite").text(zone)
+        good, bad = read_csv_quarantine(
+            spark, zone, "doc_id long, source string, n_chars long", header="false"
+        )
+        tagged = good.select("source", F.col("n_chars"), F.lit(0).alias("_q")).unionByName(
+            bad.select("source", F.lit(None).cast("long").alias("n_chars"), F.lit(1).alias("_q"))
+        )
+        res = (
+            tagged.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(1 - F.col("_q")).cast("bigint").alias("n_good"),
+                F.sum("_q").cast("bigint").alias("n_quarantined"),
+                F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+                .cast("bigint")
+                .alias("chars_kept"),
+            )
+            .orderBy("source")
+        )
+        return persist_result(res)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+CSV_QUARANTINE_SQL = rf"""
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) FILTER (WHERE doc_id % {QUARANTINE_MOD} <> 0) AS BIGINT) AS n_good,
+  CAST(count(*) FILTER (WHERE doc_id % {QUARANTINE_MOD} = 0) AS BIGINT) AS n_quarantined,
+  CAST(sum(CASE WHEN doc_id % {QUARANTINE_MOD} <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # T5-style span-corruption planning (denoising-objective mask layout)
 # ---------------------------------------------------------------------------
 
@@ -1394,6 +1472,7 @@ ORDER BY doc_id, span_idx
 QUERIES = {
     "schema_evolution": q_schema_evolution,
     "span_corruption_plan": q_span_corruption_plan,
+    "csv_quarantine": q_csv_quarantine,
     "line_dedup": q_line_dedup,
     "epoch_shuffle": q_epoch_shuffle,
     "token_budget_mix": q_token_budget_mix,
@@ -1416,6 +1495,7 @@ QUERIES = {
 ORACLES = {
     "schema_evolution": SCHEMA_EVOLUTION_SQL,
     "span_corruption_plan": SPAN_CORRUPTION_PLAN_SQL,
+    "csv_quarantine": CSV_QUARANTINE_SQL,
     "line_dedup": LINE_DEDUP_SQL,
     "epoch_shuffle": EPOCH_SHUFFLE_SQL,
     "token_budget_mix": TOKEN_BUDGET_MIX_SQL,

@@ -81,3 +81,52 @@ def read_table(
         if fmt == "csv":
             reader = reader.option("inferSchema", "true")
     return reader.load(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV landing-zone read with malformed-row QUARANTINE:
+    returns ``(good, bad)`` where ``good`` carries the typed rows and
+    ``bad`` the rows whose raw line failed the schema (parse error,
+    bad numeric, wrong arity), with the verbatim line preserved in
+    ``corrupt_col`` — the standard ingest pattern for dirty edges
+    (never FAILFAST on a 100 TB landing zone: one bad line must not
+    kill the job, and silently nulling it loses the evidence).
+
+    The caller's schema must NOT include the corrupt column; it is
+    appended here.  Spark parses the well-formed fields of a bad row
+    too, so quarantined rows keep their usable keys for triage.
+
+    Implementation note: this deliberately reads TEXT + `from_csv`
+    rather than `spark.read.csv` with a corrupt-record column — the
+    native reader parses only the columns each branch references, so a
+    branch that doesn't touch the malformed field never triggers the
+    parse error and the quarantine silently empties (the documented
+    cache-the-DataFrame caveat).  `from_csv` parses the whole struct as
+    ONE expression, which column pruning cannot split.  Headerless
+    lines (a landing zone of raw records).  Scale: one pass, no
+    inference, no cache, splittable as long as the input is."""
+    from pyspark.sql import functions as F
+
+    if isinstance(schema, StructType):
+        schema = schema.simpleString()[7:-1].replace(":", " ")  # struct<..>
+    full = f"{schema}, {corrupt_col} string"
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": corrupt_col,
+        **{k: v for k, v in options.items() if k != "header"},
+    }
+    parsed = (
+        spark.read.text(path)
+        .select(F.from_csv(F.col("value"), full, opts).alias("r"))
+        .select("r.*")
+    )
+    data_cols = [c for c in parsed.columns if c != corrupt_col]
+    good = parsed.filter(F.col(corrupt_col).isNull()).select(*data_cols)
+    bad = parsed.filter(F.col(corrupt_col).isNotNull())
+    return good, bad

@@ -89,3 +89,34 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
     # filters on the evolved column still push down to the scan
     assert merged.filter(F.col("score") > 0.1).count() == 1
+
+
+def test_csv_quarantine_routes_every_line_exactly_once(spark, tmp_path):
+    """Quarantine routing invariants on planted dirt: bad-numeric and
+    wrong-arity lines land in `bad` with the verbatim line preserved
+    and their parseable fields still typed; clean lines land in `good`;
+    nothing is dropped or double-routed."""
+    from realparse_spark.sources.formats import read_csv_quarantine
+
+    lines = [
+        "1,alpha,10",
+        "2,beta,xx",        # bad numeric
+        "3,gamma,30",
+        "4,delta",          # wrong arity (missing field)
+        "5,eps,50",
+    ]
+    p = tmp_path / "zone"
+    p.mkdir()
+    (p / "part-0.csv").write_text("\n".join(lines) + "\n")
+    good, bad = read_csv_quarantine(
+        spark, str(p), "id long, name string, n long"
+    )
+    g = {r.id: r for r in good.collect()}
+    b = {r.id: r for r in bad.collect()}
+    assert set(g) == {1, 3, 5}
+    assert set(b) == {2, 4}
+    assert g[3].n == 30
+    assert b[2].name == "beta" and b[2].n is None  # good fields survive
+    assert b[2]._corrupt_record == "2,beta,xx"     # verbatim evidence
+    assert b[4]._corrupt_record == "4,delta"
+    assert len(g) + len(b) == len(lines)
