@@ -218,6 +218,7 @@ EXTRA = [
     "tokenizer_fertility",  # chars/words-per-token audit (scan-speed counts)
     "span_corruption_plan", # T5 denoising mask layout (hash-placed spans)
     "csv_quarantine",       # dirty-CSV landing zone with malformed-row routing
+    "emb_isotropy",         # pairwise-cosine collapse monitor (probe subset)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

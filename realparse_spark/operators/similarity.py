@@ -1410,6 +1410,105 @@ ORDER BY n.qid, n.rk
 
 
 # ---------------------------------------------------------------------------
+# embedding isotropy audit (collapse / anisotropy monitor)
+# ---------------------------------------------------------------------------
+
+ISOTROPY_MOD = 7  # vec_id % 7 == 0 is the deterministic probe subset
+
+
+def emb_isotropy(emb: DataFrame, probe_mod: int = ISOTROPY_MOD) -> DataFrame:
+    """Isotropy audit over a deterministic probe subset: the
+    distribution of pairwise cosines between probe vectors — mean,
+    spread, extremes, and the high-cosine mass — the one-row monitor an
+    embedding pipeline tracks per model push (contextual embeddings are
+    notoriously anisotropic, Ethayarajh 2019: mean pairwise cosine near
+    1 means the space has collapsed and EVERY downstream cosine
+    operator — dedup, ANN, retrieval — degrades; a healthy space sits
+    near 0).  Columns: n_pairs, mean_cos, var_cos, min_cos, max_cos,
+    frac_above_half (share of pairs with cos >= 0.5, ppm).
+
+    Determinism: probe pairs are vec_id % probe_mod == 0 with a < b
+    (no hashing needed — the subset is the modulus); each cosine is the
+    shared round-6 unit-dot fold; mean and variance accumulate round-6
+    terms (and their squares, rounded to 12) as exact DECIMAL and
+    divide once; frac is integer ppm.
+
+    Scale: the quadratic term is |probe|^2 with |probe| = N/probe_mod —
+    a monitor runs on a FIXED probe budget (raise probe_mod with N; the
+    audit needs thousands of pairs, not corpus-squared); the pair join
+    is a broadcast of the probe subset against itself, one scan."""
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    norm = lambda a: F.sqrt(  # noqa: E731
+        fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    )
+    unit = lambda a: F.transform(a, lambda x: x.cast("double") / norm(a))  # noqa: E731
+
+    probe = emb.filter(F.pmod(F.col("vec_id"), F.lit(probe_mod)) == 0).select(
+        "vec_id", unit(F.col("embedding")).alias("u")
+    )
+    a = probe.select(F.col("vec_id").alias("a"), F.col("u").alias("ua"))
+    b = probe.select(F.col("vec_id").alias("b"), F.col("u").alias("ub"))
+    pairs = (
+        a.join(F.broadcast(b))
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.round(fold(F.zip_with("ua", "ub", lambda x, y: x * y)), 6).alias(
+                "cos"
+            )
+        )
+    )
+    dec = lambda c, p: F.sum(F.round(c, p).cast("decimal(38,12)"))  # noqa: E731
+    n = F.count(F.lit(1))
+    return pairs.groupBy().agg(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(dec(F.col("cos"), 6).cast("double") / n, 6).alias("mean_cos"),
+        F.round(
+            dec(F.col("cos") * F.col("cos"), 12).cast("double") / n
+            - F.pow(F.round(dec(F.col("cos"), 6).cast("double") / n, 6), 2),
+            6,
+        ).alias("var_cos"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+        F.expr("sum(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("frac_above_half_ppm"),
+    )
+
+
+def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emb_isotropy(load_table(spark, sf_dir, "embeddings"))
+
+
+EMB_ISOTROPY_SQL = rf"""
+WITH probe AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)
+      / sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS u
+  FROM embeddings
+  WHERE vec_id % {ISOTROPY_MOD} = 0
+),
+pairs AS (
+  SELECT round(list_aggregate(list_transform(range(1, len(a.u) + 1),
+        i -> a.u[i] * b.u[i]), 'sum'), 6) AS cos
+  FROM probe a JOIN probe b ON a.vec_id < b.vec_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+    round(CAST(sum(CAST(round(cos, 6) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_cos,
+    CAST(sum(CAST(round(cos * cos, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS ex2,
+    min(cos) AS min_cos,
+    max(cos) AS max_cos,
+    CAST(sum(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS frac_above_half_ppm
+  FROM pairs
+)
+SELECT n_pairs, mean_cos,
+  round(ex2 - pow(mean_cos, 2), 6) AS var_cos,
+  min_cos, max_cos, frac_above_half_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # MMR diversification: greedy re-rank of the retrieval shortlist
 # ---------------------------------------------------------------------------
 
@@ -1826,6 +1925,7 @@ QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "bm25_retrieval_eval": q_bm25_retrieval_eval,
     "mmr_diversify": q_mmr_diversify,
+    "emb_isotropy": q_emb_isotropy,
 }
 
 ORACLES = {
@@ -1840,4 +1940,5 @@ ORACLES = {
     "hard_negative_mining": HARD_NEGATIVES_SQL,
     "bm25_retrieval_eval": BM25_RETRIEVAL_EVAL_SQL,
     "mmr_diversify": _mmr_sql(),
+    "emb_isotropy": EMB_ISOTROPY_SQL,
 }

@@ -102,9 +102,11 @@ _MODULES = (
 # per-window term counts -> post-sink trending top-k, oracled),
 # tokenizer_fertility (chars/words-per-token audit, oracled), and
 # span_corruption_plan (T5-style denoising mask layout, md5-placed
-# disjoint spans, oracled), and csv_quarantine (dirty-CSV landing-zone
-# ingest with pruning-proof malformed-row routing, oracled) —
-# backlog 19 never-sampled + 38 r7-stale, under capacity.
+# disjoint spans, oracled), csv_quarantine (dirty-CSV landing-zone
+# ingest with pruning-proof malformed-row routing, oracled), and
+# emb_isotropy (pairwise-cosine embedding-collapse monitor over the
+# deterministic probe subset, oracled) —
+# backlog 20 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

@@ -555,3 +555,32 @@ def test_mmr_diversify_skips_the_near_duplicate(spark):
     assert byrank[3].vec_id == 2  # twin returns once the mirror is in
     # every selected vec is unique
     assert len({r.vec_id for r in out}) == len(out)
+
+
+def test_emb_isotropy_separates_collapsed_from_spread(spark):
+    """A collapsed space (all vectors nearly identical) must read
+    mean_cos ~ 1 with frac_above_half = 1e6; an orthogonal basis must
+    read mean_cos ~ 0 with frac_above_half = 0; pair counts are exact
+    C(probe, 2)."""
+    from realparse_spark.operators.similarity import emb_isotropy
+
+    collapsed = [
+        (i * 7, [1.0, 0.001 * i, 0.0, 0.0], 0) for i in range(6)
+    ]
+    emb_c = spark.createDataFrame(
+        collapsed, "vec_id long, embedding array<float>, label int"
+    )
+    r = emb_isotropy(emb_c).collect()[0]
+    assert r.n_pairs == 15  # C(6,2)
+    assert r.mean_cos > 0.99
+    assert r.frac_above_half_ppm == 1_000_000
+    assert r.var_cos >= 0
+
+    basis = [(i * 7, [1.0 if j == i else 0.0 for j in range(4)], 0) for i in range(4)]
+    emb_o = spark.createDataFrame(
+        basis, "vec_id long, embedding array<float>, label int"
+    )
+    r = emb_isotropy(emb_o).collect()[0]
+    assert r.n_pairs == 6
+    assert r.mean_cos == 0.0 and r.max_cos == 0.0
+    assert r.frac_above_half_ppm == 0
