@@ -219,6 +219,7 @@ EXTRA = [
     "span_corruption_plan", # T5 denoising mask layout (hash-placed spans)
     "csv_quarantine",       # dirty-CSV landing zone with malformed-row routing
     "emb_isotropy",         # pairwise-cosine collapse monitor (probe subset)
+    "lm_holdout_ppl",       # held-out unigram-LM perplexity per source (CCNet loop)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -661,6 +661,153 @@ ORDER BY source, bucket
 
 
 # ---------------------------------------------------------------------------
+# held-out LM perplexity (the CCNet loop with a real train/score split)
+# ---------------------------------------------------------------------------
+
+LM_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out scored split
+
+
+def lm_holdout_ppl(docs: DataFrame, test_mod: int = LM_TEST_MOD) -> DataFrame:
+    """Held-out unigram-LM scoring, per source: train a Laplace-smoothed
+    unigram LM on the ``doc_id % test_mod != 0`` split and score the
+    held-out docs — the actual CCNet quality loop (the LM is trained on
+    REFERENCE data and scores the crawl; `ccnet_ppl_buckets` self-scores
+    with identical plumbing).  Per source: held-out doc/token counts,
+    mean negative log-likelihood per token, a perplexity estimate
+    (exp of the mean NLL), and the OOV token share in ppm — the table
+    that says which sources the reference model finds surprising.
+
+    Model: lp(w) = ln((cnt(w)+1)/(T+V)) over train counts; a held-out
+    token unseen in training scores the smoothed floor ln(1/(T+V)) and
+    counts toward oov_ppm.
+
+    Determinism: each lp rounds to 6 and enters as an exact DECIMAL
+    term (tf * lp rounded to 6 — the nb_langid seam); the per-source
+    mean divides two exact decimal totals once in doubles and rounds to
+    6; ppl = round(exp(mean_nll), 4) — one libm exp per OUTPUT ROW on an
+    identical rounded input (the classifier sigmoid precedent).
+
+    Scale: train stats are one map-combined token pass; the O(V) logprob
+    table broadcasts into a posting-shaped scoring join (no class
+    fan-out here — one model); per-source rollup is map-side combined.
+    No windows, no Python."""
+    from realparse_spark.operators.text import ws_tokens
+
+    toks = docs.select(
+        "doc_id", "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    is_test = F.pmod(F.col("doc_id"), F.lit(test_mod)) == 0
+    train = toks.filter(~is_test)
+    test = toks.filter(is_test)
+    cnt = train.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = cnt.agg(
+        F.sum("cnt").cast("bigint").alias("t_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log((F.col("cnt") + 1) / (F.col("t_tok") + F.col("v"))), 6).alias(
+            "lp"
+        ),
+    )
+    tf = test.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    scored = (
+        tf.join(F.broadcast(lp), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tf",
+            F.when(F.col("lp").isNull(), F.col("tf")).otherwise(0).alias("oov"),
+            F.round(
+                F.col("tf")
+                * F.coalesce(
+                    F.col("lp"),
+                    F.round(F.log(F.lit(1.0) / (F.col("t_tok") + F.col("v"))), 6),
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("term"),
+        )
+    )
+    n_docs = (
+        docs.filter(is_test)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    agg = scored.groupBy("source").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.sum("term").alias("ll"),
+    )
+    mean_nll = F.round(-F.col("ll").cast("double") / F.col("n_tokens"), 6)
+    return (
+        agg.join(n_docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            mean_nll.alias("mean_nll"),
+            F.round(F.exp(mean_nll), 4).alias("ppl"),
+            F.expr("n_oov * 1000000 div greatest(n_tokens, 1)").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_lm_holdout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_holdout_ppl(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+LM_HOLDOUT_PPL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+train AS (SELECT * FROM toks WHERE doc_id % {LM_TEST_MOD} <> 0),
+test AS (SELECT * FROM toks WHERE doc_id % {LM_TEST_MOD} = 0),
+cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM train GROUP BY w),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS t_tok, CAST(count(*) AS BIGINT) AS v FROM cnt
+),
+lp AS (
+  SELECT w, round(ln((cnt + 1) / CAST(t_tok + v AS DOUBLE)), 6) AS lp
+  FROM cnt CROSS JOIN tot
+),
+tf AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM test GROUP BY source, w
+),
+scored AS (
+  SELECT source, tf,
+    CASE WHEN lp.lp IS NULL THEN tf ELSE 0 END AS oov,
+    CAST(round(tf * coalesce(lp.lp, round(ln(1.0 / (t_tok + v)), 6)), 6)
+         AS DECIMAL(28,6)) AS term
+  FROM tf LEFT JOIN lp USING (w) CROSS JOIN tot
+),
+nd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id % {LM_TEST_MOD} = 0 GROUP BY source
+),
+agg AS (
+  SELECT source,
+    CAST(sum(tf) AS BIGINT) AS n_tokens,
+    CAST(sum(oov) AS BIGINT) AS n_oov,
+    sum(term) AS ll
+  FROM scored GROUP BY source
+)
+SELECT agg.source, nd.n_docs, agg.n_tokens,
+  round(-CAST(ll AS DOUBLE) / n_tokens, 6) AS mean_nll,
+  round(exp(round(-CAST(ll AS DOUBLE) / n_tokens, 6)), 4) AS ppl,
+  n_oov * 1000000 // greatest(n_tokens, 1) AS oov_ppm
+FROM agg JOIN nd USING (source)
+ORDER BY agg.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-means training (Lloyd iterations as a fixed unrolled plan)
 # ---------------------------------------------------------------------------
 
@@ -1543,6 +1690,7 @@ QUERIES = {
     "classifier_pr_curve": q_classifier_pr_curve,
     "pca_power_iter": q_pca_power_iter,
     "ivf_balance": q_ivf_balance,
+    "lm_holdout_ppl": q_lm_holdout_ppl,
 }
 
 ORACLES = {
@@ -1556,4 +1704,5 @@ ORACLES = {
     "classifier_pr_curve": _pr_curve_sql(),
     "pca_power_iter": _pca_sql(),
     "ivf_balance": _ivf_balance_sql(),
+    "lm_holdout_ppl": LM_HOLDOUT_PPL_SQL,
 }

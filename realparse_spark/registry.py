@@ -105,8 +105,10 @@ _MODULES = (
 # disjoint spans, oracled), csv_quarantine (dirty-CSV landing-zone
 # ingest with pruning-proof malformed-row routing, oracled), and
 # emb_isotropy (pairwise-cosine embedding-collapse monitor over the
-# deterministic probe subset, oracled) —
-# backlog 20 never-sampled + 38 r7-stale, under capacity.
+# deterministic probe subset, oracled), and lm_holdout_ppl (held-out
+# Laplace unigram-LM perplexity + OOV share per source — the CCNet
+# loop with a real train/score split, oracled) —
+# backlog 21 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

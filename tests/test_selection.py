@@ -422,3 +422,26 @@ def test_ivf_balance_accounts_for_the_corpus(spark):
     assert all(r.imbalance_x1000 == 1000 for r in out)
     assert all(0.0 <= r.mean_d2 < 0.01 for r in out)
     assert sum(r.share_ppm for r in out) == 1000000
+
+
+def test_lm_holdout_ppl_surprises_the_unseen_source(spark):
+    """Held-out LM invariants: a held-out source drawn from the training
+    vocabulary scores a LOWER perplexity than one made of unseen tokens;
+    OOV accounting is exact (the unseen source is 100% OOV, the familiar
+    one 0%); token counts partition the held-out split."""
+    from realparse_spark.operators.selection import lm_holdout_ppl
+
+    # train mass (doc_id % 5 != 0): a tight vocabulary
+    rows = [(100 + j * 5 + 1, "alpha beta gamma delta", "familiar") for j in range(8)]
+    rows += [(j * 5, "alpha beta gamma delta", "familiar") for j in range(1, 4)]  # held out
+    rows += [(1000 + j * 5, "qqq www zzz yyy", "alien") for j in range(1, 4)]     # held out, OOV
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in lm_holdout_ppl(docs).collect()}
+    assert set(out) == {"familiar", "alien"}
+    fam, ali = out["familiar"], out["alien"]
+    assert fam.n_docs == 3 and ali.n_docs == 3
+    assert fam.n_tokens == 12 and ali.n_tokens == 12
+    assert fam.oov_ppm == 0 and ali.oov_ppm == 1_000_000
+    assert fam.mean_nll < ali.mean_nll
+    assert fam.ppl < ali.ppl
+    assert fam.ppl > 1.0
