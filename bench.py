@@ -220,6 +220,7 @@ EXTRA = [
     "csv_quarantine",       # dirty-CSV landing zone with malformed-row routing
     "emb_isotropy",         # pairwise-cosine collapse monitor (probe subset)
     "lm_holdout_ppl",       # held-out unigram-LM perplexity per source (CCNet loop)
+    "doremi_lite_weights",  # excess-loss mixture re-weighting off the shared LM
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -761,8 +761,7 @@ def q_lm_holdout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_holdout_ppl(fan_out(load_table(spark, sf_dir, "documents")))
 
 
-LM_HOLDOUT_PPL_SQL = rf"""
-WITH toks AS (
+_LM_HOLDOUT_CTES = rf"""toks AS (
   SELECT doc_id, source,
     unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
   FROM documents
@@ -797,14 +796,111 @@ agg AS (
     CAST(sum(oov) AS BIGINT) AS n_oov,
     sum(term) AS ll
   FROM scored GROUP BY source
-)
-SELECT agg.source, nd.n_docs, agg.n_tokens,
-  round(-CAST(ll AS DOUBLE) / n_tokens, 6) AS mean_nll,
-  round(exp(round(-CAST(ll AS DOUBLE) / n_tokens, 6)), 4) AS ppl,
-  n_oov * 1000000 // greatest(n_tokens, 1) AS oov_ppm
-FROM agg JOIN nd USING (source)
-ORDER BY agg.source
+),
+ppl_out AS (
+  SELECT agg.source, nd.n_docs, agg.n_tokens,
+    round(-CAST(ll AS DOUBLE) / n_tokens, 6) AS mean_nll,
+    round(exp(round(-CAST(ll AS DOUBLE) / n_tokens, 6)), 4) AS ppl,
+    n_oov * 1000000 // greatest(n_tokens, 1) AS oov_ppm
+  FROM agg JOIN nd USING (source)
+)"""
+
+LM_HOLDOUT_PPL_SQL = (
+    "WITH "
+    + _LM_HOLDOUT_CTES
+    + """
+SELECT source, n_docs, n_tokens, mean_nll, ppl, oov_ppm
+FROM ppl_out
+ORDER BY source
 """
+)
+
+
+DOREMI_ALPHA = 1.0
+
+
+def doremi_lite_weights(
+    docs: DataFrame, test_mod: int = LM_TEST_MOD, alpha: float = DOREMI_ALPHA
+) -> DataFrame:
+    """Static excess-loss mixture re-weighting (the DoReMi idea — Xie et
+    al. 2023, arXiv:2305.10429 — without the proxy-model training loop):
+    sources whose held-out text the reference LM finds MORE surprising
+    get upweighted, w_s ∝ exp(alpha * (nll_s - min nll)), normalized to
+    shares.  Emits per source the held-out token share, mean NLL, excess
+    NLL, the mixture weight, and the boost factor vs natural token share
+    — the domain-weights table a mixing stage consumes (DoReMi's full
+    minimax loop replaces this exp rule with proxy-model updates; the
+    PLUMBING — per-domain loss -> normalized weights -> resampling — is
+    identical, and `doc_weighted_sample` consumes the output).
+
+    Shares `lm_holdout_ppl`'s trained-LM stage (same CTE chain in the
+    oracle); adds one O(sources) broadcast of the (min NLL, total
+    tokens) row and one exact-decimal normalizing sum (the
+    lang_mix_temperature pow() discipline: exp rounds to 9, sums as
+    DECIMAL(18,9), each share is ONE IEEE division of identical decimal
+    totals rounded to 6)."""
+    ppl = lm_holdout_ppl(docs, test_mod)
+    base = ppl.agg(
+        F.min("mean_nll").alias("base_nll"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tok"),
+    )
+    excess = F.round(F.col("mean_nll") - F.col("base_nll"), 6)
+    ex = ppl.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot_tok"), 6).alias("token_share"),
+        "mean_nll",
+        excess.alias("excess_nll"),
+        F.round(F.exp(F.lit(alpha) * excess), 9)
+        .cast("decimal(18,9)")
+        .alias("_q_raw"),
+    )
+    qt = ex.agg(F.sum("_q_raw").alias("_qt"))
+    w = F.round(F.col("_q_raw").cast("double") / F.col("_qt").cast("double"), 6)
+    return (
+        ex.crossJoin(F.broadcast(qt))
+        .select(
+            "source",
+            "n_tokens",
+            "token_share",
+            "mean_nll",
+            "excess_nll",
+            w.alias("weight"),
+            F.round(w / F.col("token_share"), 4).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_doremi_lite_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doremi_lite_weights(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+DOREMI_LITE_SQL = (
+    "WITH "
+    + _LM_HOLDOUT_CTES
+    + f""",
+base AS (
+  SELECT min(mean_nll) AS base_nll, CAST(sum(n_tokens) AS BIGINT) AS tot_tok
+  FROM ppl_out
+),
+ex AS (
+  SELECT source, n_tokens,
+    round(CAST(n_tokens AS DOUBLE) / tot_tok, 6) AS token_share,
+    mean_nll,
+    round(mean_nll - base_nll, 6) AS excess_nll,
+    CAST(round(exp({DOREMI_ALPHA} * round(mean_nll - base_nll, 6)), 9)
+         AS DECIMAL(18,9)) AS q_raw
+  FROM ppl_out CROSS JOIN base
+),
+qt AS (SELECT sum(q_raw) AS qt FROM ex)
+SELECT source, n_tokens, token_share, mean_nll, excess_nll,
+  round(CAST(q_raw AS DOUBLE) / CAST(qt.qt AS DOUBLE), 6) AS weight,
+  round(round(CAST(q_raw AS DOUBLE) / CAST(qt.qt AS DOUBLE), 6) / token_share, 4) AS boost
+FROM ex CROSS JOIN qt
+ORDER BY source
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1691,6 +1787,7 @@ QUERIES = {
     "pca_power_iter": q_pca_power_iter,
     "ivf_balance": q_ivf_balance,
     "lm_holdout_ppl": q_lm_holdout_ppl,
+    "doremi_lite_weights": q_doremi_lite_weights,
 }
 
 ORACLES = {
@@ -1705,4 +1802,5 @@ ORACLES = {
     "pca_power_iter": _pca_sql(),
     "ivf_balance": _ivf_balance_sql(),
     "lm_holdout_ppl": LM_HOLDOUT_PPL_SQL,
+    "doremi_lite_weights": DOREMI_LITE_SQL,
 }

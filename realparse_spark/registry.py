@@ -107,8 +107,10 @@ _MODULES = (
 # emb_isotropy (pairwise-cosine embedding-collapse monitor over the
 # deterministic probe subset, oracled), and lm_holdout_ppl (held-out
 # Laplace unigram-LM perplexity + OOV share per source — the CCNet
-# loop with a real train/score split, oracled) —
-# backlog 21 never-sampled + 38 r7-stale, under capacity.
+# loop with a real train/score split, oracled), and
+# doremi_lite_weights (static DoReMi-style excess-loss mixture
+# re-weighting sharing the held-out LM stage, oracled) —
+# backlog 22 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

@@ -445,3 +445,22 @@ def test_lm_holdout_ppl_surprises_the_unseen_source(spark):
     assert fam.mean_nll < ali.mean_nll
     assert fam.ppl < ali.ppl
     assert fam.ppl > 1.0
+
+
+def test_doremi_lite_upweights_the_surprising_source(spark):
+    """Mixture re-weighting invariants on the familiar/alien corpus:
+    weights sum to ~1, the min-NLL source has excess 0, the surprising
+    source gets weight above its token share (boost > 1) and the
+    familiar one below (boost < 1)."""
+    from realparse_spark.operators.selection import doremi_lite_weights
+
+    rows = [(100 + j * 5 + 1, "alpha beta gamma delta", "familiar") for j in range(8)]
+    rows += [(j * 5, "alpha beta gamma delta", "familiar") for j in range(1, 4)]
+    rows += [(1000 + j * 5, "qqq www zzz yyy", "alien") for j in range(1, 4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in doremi_lite_weights(docs).collect()}
+    fam, ali = out["familiar"], out["alien"]
+    assert abs(fam.weight + ali.weight - 1.0) < 1e-5
+    assert fam.excess_nll == 0.0 and ali.excess_nll > 0.0
+    assert ali.weight > ali.token_share and ali.boost > 1.0
+    assert fam.weight < fam.token_share and fam.boost < 1.0
