@@ -2826,7 +2826,106 @@ FROM vcp
 FUNNEL_STEPS_SQL = funnel_steps_sql()
 
 
+# ---------------------------------------------------------------------------
+# calendar-lag EWMA smoothing (exponentially weighted daily monitor)
+# ---------------------------------------------------------------------------
+
+EWMA_LAGS = 7  # days of memory; weight 0.5^j is exactly representable
+
+
+def q_event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event value per
+    type — the smoothed line a monitoring dashboard draws next to the
+    raw series (EWMA reacts to level shifts faster than a flat window
+    and is the basis of EWMA control charts, Roberts 1959).  Weight for
+    lag j is 0.5^j over the last 7 CALENDAR days, renormalized over the
+    days actually present (the daily_autocorr discipline: date gaps
+    pair honestly via a calendar join, never a row-offset window).
+
+    Exactness: 0.5^j is exactly representable — weights are
+    DECIMAL(10,6) literals; the daily sums are exact DECIMAL(18,4);
+    numerator and denominator are exact decimal sums with ONE IEEE
+    division rounded to 4.  Scale: one map-combined daily rollup
+    (O(types x days) rows), then the 7-lag fan-out rides one exploded
+    join on (type, day) — tiny by construction."""
+    from pyspark.sql.types import DecimalType
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("v")
+    )
+    w_arr = F.array(
+        *[
+            F.lit(round(0.5**j, 6)).cast(DecimalType(10, 6))
+            for j in range(EWMA_LAGS)
+        ]
+    )
+    contrib = daily.select(
+        "event_type",
+        F.col("day").alias("src_day"),
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(EWMA_LAGS - 1))).alias("j"),
+    ).select(
+        "event_type",
+        F.date_add(F.col("src_day"), F.col("j")).alias("day"),
+        (F.element_at(w_arr, F.col("j") + 1) * F.col("v")).alias("wv"),
+        F.element_at(w_arr, F.col("j") + 1).alias("w"),
+    )
+    agg = contrib.groupBy("event_type", "day").agg(
+        F.sum("wv").alias("num"),
+        F.sum("w").alias("den"),
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+    )
+    return (
+        daily.join(agg, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            F.col("v").alias("value"),
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 4).alias(
+                "ewma"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_EWMA_W = ", ".join(
+    f"CAST({round(0.5**j, 6)!r} AS DECIMAL(10,6))" for j in range(EWMA_LAGS)
+)
+
+EVENT_EWMA_SQL = rf"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT event_type,
+    day + CAST(j AS INTEGER) AS day2,
+    ([{_EWMA_W}])[j + 1] * v AS wv,
+    ([{_EWMA_W}])[j + 1] AS w
+  FROM daily, unnest(range(0, {EWMA_LAGS})) AS t(j)
+),
+agg AS (
+  SELECT event_type, day2 AS day, sum(wv) AS num, sum(w) AS den,
+    CAST(count(*) AS INTEGER) AS n_days
+  FROM contrib GROUP BY 1, 2
+)
+SELECT d.event_type, d.day, a.n_days, d.v AS value,
+  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS ewma
+FROM daily d JOIN agg a ON d.event_type = a.event_type AND d.day = a.day
+ORDER BY d.event_type, d.day
+"""
+
+
 QUERIES = {
+    "event_ewma": q_event_ewma,
     "funnel_steps": q_funnel_steps,
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
@@ -2867,6 +2966,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_ewma": EVENT_EWMA_SQL,
     "funnel_steps": FUNNEL_STEPS_SQL,
     "market_basket": MARKET_BASKET_SQL,
     "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,

@@ -109,8 +109,10 @@ _MODULES = (
 # Laplace unigram-LM perplexity + OOV share per source — the CCNet
 # loop with a real train/score split, oracled), and
 # doremi_lite_weights (static DoReMi-style excess-loss mixture
-# re-weighting sharing the held-out LM stage, oracled) —
-# backlog 22 never-sampled + 38 r7-stale, under capacity.
+# re-weighting sharing the held-out LM stage, oracled), and
+# event_ewma (calendar-lag EWMA smoothing with exact 0.5^j decimal
+# weights renormalized over present days, oracled) —
+# backlog 23 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

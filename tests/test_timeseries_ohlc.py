@@ -220,3 +220,43 @@ def test_hist_quantiles_within_one_bucket_of_exact(spark):
             got = getattr(e, f"p{q}_e4")
             want = vs[(n * q + 99) // 100 - 1]  # rank-r order statistic
             assert abs(got - want) <= width, (t, q, got, want, width)
+
+
+def test_event_ewma_smooths_toward_recent_level(spark, monkeypatch, tmp_path):
+    """EWMA invariants on a planted two-level series: on the flat prefix
+    ewma == the level exactly (weights renormalize); after a step change
+    the smoothed value moves toward the new level but lags it (strictly
+    between old and new); a gap day contributes nothing (n_days drops)."""
+    import datetime
+
+    from realparse_spark.operators.analytics import q_event_ewma
+
+    rows = []
+    d0 = datetime.datetime(2020, 1, 1, 12, 0, 0)
+    for i in range(6):  # level 10 for 6 days
+        rows.append((i, d0 + datetime.timedelta(days=i), 1, "a", 10.0, "{}"))
+    rows.append((10, d0 + datetime.timedelta(days=7), 1, "a", 100.0, "{}"))  # gap at day 6, jump
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    import realparse_spark.sources.tables as tables
+
+    real = tables.load_table
+
+    def fake(spark_, sf_dir, name):
+        if name == "events":
+            return spark_.read.parquet(str(tmp_path / "events.parquet"))
+        return real(spark_, sf_dir, name)
+
+    monkeypatch.setattr(tables, "load_table", fake)
+    import realparse_spark.operators.analytics as an
+
+    monkeypatch.setattr(an, "load_table", fake)
+    out = {str(r.day): r for r in q_event_ewma(spark, "unused").collect()}
+    flat = out["2020-01-05"]  # 5 prior flat days in window
+    assert flat.ewma == 10.0
+    jump = out["2020-01-08"]
+    assert jump.n_days >= 2  # the jump day + surviving flat tail
+    assert 10.0 < jump.ewma < 100.0
+    assert jump.ewma > 50.0  # weight 1 on the new level dominates the tail
