@@ -743,15 +743,22 @@ def lm_holdout_ppl(docs: DataFrame, test_mod: int = LM_TEST_MOD) -> DataFrame:
         F.sum("term").alias("ll"),
     )
     mean_nll = F.round(-F.col("ll").cast("double") / F.col("n_tokens"), 6)
+    # LEFT join from the doc counts: a source whose held-out docs carry
+    # zero tokens must still appear (NULL metrics, 0 tokens) — the
+    # emb_drift silent-omission discipline
     return (
-        agg.join(n_docs, "source")
+        n_docs.join(agg, "source", "left")
         .select(
             "source",
             "n_docs",
-            "n_tokens",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
             mean_nll.alias("mean_nll"),
             F.round(F.exp(mean_nll), 4).alias("ppl"),
-            F.expr("n_oov * 1000000 div greatest(n_tokens, 1)").alias("oov_ppm"),
+            F.coalesce(
+                F.expr("n_oov * 1000000 div greatest(n_tokens, 1)"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("oov_ppm"),
         )
         .orderBy("source")
     )
@@ -798,11 +805,12 @@ agg AS (
   FROM scored GROUP BY source
 ),
 ppl_out AS (
-  SELECT agg.source, nd.n_docs, agg.n_tokens,
-    round(-CAST(ll AS DOUBLE) / n_tokens, 6) AS mean_nll,
-    round(exp(round(-CAST(ll AS DOUBLE) / n_tokens, 6)), 4) AS ppl,
-    n_oov * 1000000 // greatest(n_tokens, 1) AS oov_ppm
-  FROM agg JOIN nd USING (source)
+  SELECT nd.source, nd.n_docs,
+    CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+    round(-CAST(ll AS DOUBLE) / agg.n_tokens, 6) AS mean_nll,
+    round(exp(round(-CAST(ll AS DOUBLE) / agg.n_tokens, 6)), 4) AS ppl,
+    CAST(coalesce(n_oov * 1000000 // greatest(agg.n_tokens, 1), 0) AS BIGINT) AS oov_ppm
+  FROM nd LEFT JOIN agg USING (source)
 )"""
 
 LM_HOLDOUT_PPL_SQL = (
@@ -839,7 +847,9 @@ def doremi_lite_weights(
     lang_mix_temperature pow() discipline: exp rounds to 9, sums as
     DECIMAL(18,9), each share is ONE IEEE division of identical decimal
     totals rounded to 6)."""
-    ppl = lm_holdout_ppl(docs, test_mod)
+    # zero-token sources carry NULL NLL (lm_holdout_ppl's left join) —
+    # they cannot participate in the weight normalization
+    ppl = lm_holdout_ppl(docs, test_mod).filter(F.col("n_tokens") > 0)
     base = ppl.agg(
         F.min("mean_nll").alias("base_nll"),
         F.sum("n_tokens").cast("bigint").alias("tot_tok"),
@@ -880,9 +890,10 @@ DOREMI_LITE_SQL = (
     "WITH "
     + _LM_HOLDOUT_CTES
     + f""",
+live AS (SELECT * FROM ppl_out WHERE n_tokens > 0),
 base AS (
   SELECT min(mean_nll) AS base_nll, CAST(sum(n_tokens) AS BIGINT) AS tot_tok
-  FROM ppl_out
+  FROM live
 ),
 ex AS (
   SELECT source, n_tokens,
@@ -891,7 +902,7 @@ ex AS (
     round(mean_nll - base_nll, 6) AS excess_nll,
     CAST(round(exp({DOREMI_ALPHA} * round(mean_nll - base_nll, 6)), 9)
          AS DECIMAL(18,9)) AS q_raw
-  FROM ppl_out CROSS JOIN base
+  FROM live CROSS JOIN base
 ),
 qt AS (SELECT sum(q_raw) AS qt FROM ex)
 SELECT source, n_tokens, token_share, mean_nll, excess_nll,

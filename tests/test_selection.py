@@ -464,3 +464,26 @@ def test_doremi_lite_upweights_the_surprising_source(spark):
     assert fam.excess_nll == 0.0 and ali.excess_nll > 0.0
     assert ali.weight > ali.token_share and ali.boost > 1.0
     assert fam.weight < fam.token_share and fam.boost < 1.0
+
+
+def test_lm_holdout_ppl_keeps_the_empty_source(spark):
+    """A source whose held-out docs carry ZERO tokens must still appear
+    in the report (NULL metrics, 0 tokens) instead of silently vanishing
+    — and must not poison doremi's weight normalization."""
+    from realparse_spark.operators.selection import (
+        doremi_lite_weights,
+        lm_holdout_ppl,
+    )
+
+    rows = [(100 + j * 5 + 1, "alpha beta gamma", "familiar") for j in range(6)]
+    rows += [(j * 5, "alpha beta gamma", "familiar") for j in range(1, 3)]
+    rows += [(1000 + j * 5, "", "empty") for j in range(1, 3)]  # held out, no tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in lm_holdout_ppl(docs).collect()}
+    assert set(out) == {"familiar", "empty"}
+    e = out["empty"]
+    assert e.n_docs == 2 and e.n_tokens == 0 and e.oov_ppm == 0
+    assert e.mean_nll is None and e.ppl is None
+    w = {r.source: r for r in doremi_lite_weights(docs).collect()}
+    assert set(w) == {"familiar"}  # zero-token source excluded from weights
+    assert w["familiar"].weight == 1.0
