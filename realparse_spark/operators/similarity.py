@@ -1737,7 +1737,11 @@ def bm25_retrieval_eval(
     Query representation: the ``n_terms`` rarest corpus terms of the
     query doc (df asc, term asc — deterministic), the standard
     distinctive-term selection that keeps Σ|posting| bounded when a
-    query document is long.
+    query document is long.  Lexical honesty (the ANN-probe precedent):
+    a query whose terms match no other document retrieves nothing and
+    drops out of its source's n_queries — real sparse-retrieval
+    behavior the report must surface, not paper over (the oracle's
+    inner joins reproduce it).
 
     Scale: postings are pruned to the query-term set BEFORE the tf
     aggregation (broadcast semi-join); df and the T/N scalars are
