@@ -222,6 +222,7 @@ EXTRA = [
     "lm_holdout_ppl",       # held-out unigram-LM perplexity per source (CCNet loop)
     "doremi_lite_weights",  # excess-loss mixture re-weighting off the shared LM
     "event_ewma",           # calendar-lag EWMA smoothing (exact-decimal weights)
+    "t_closeness",          # EMD release audit (all-integer, completes the trio)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

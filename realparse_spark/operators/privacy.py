@@ -271,6 +271,145 @@ ORDER BY n_sensitive
 """
 
 
+T_CLOSENESS_PPM = 200_000  # t = 0.2
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int = T_CLOSENESS_PPM,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third leg of the release trio: k-anonymity bounds class size,
+    l-diversity bounds distinct sensitive values, but a class can pass
+    both while its sensitive DISTRIBUTION still leaks (e.g. 90% of one
+    bucket vs 10% globally).  t-closeness bounds the Earth Mover's
+    Distance between each equivalence class's sensitive distribution
+    and the global one; for an ORDERED attribute with m buckets,
+    EMD = (1/(m-1)) * sum_i |cumsum_i(p - q)|.
+
+    ALL-INTEGER arithmetic: p_j - q_j is kept as the exact BIGINT
+    numerator cnt_cj*N - g_j*Nc over the common denominator Nc*N, so
+    emd_ppm = sum|cumdiff| * 1e6 div ((m-1)*Nc*N) is exact and the
+    oracle hash-matches with no float anywhere.  (At extreme corpus
+    sizes the triple product needs DECIMAL headroom — int64 holds
+    comfortably to ~1e9-row tables, documented rather than silent.)
+
+    Scale: two map-side-combined groupBys (cells, class totals), the
+    O(m)-row global distribution broadcast into an O(classes x m)
+    dense grid, one per-class PARTITIONED window for the cumulative
+    sums, and a final O(classes) rollup.  Nothing row-level survives
+    the first aggregation — the audit is release-safe like its two
+    siblings."""
+    from pyspark.sql import Window
+
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cls_tot = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_rows")
+    )
+    g = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+    tot = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.countDistinct(sensitive_col).cast("bigint").alias("m"),
+    )
+    grid = (
+        cls_tot.crossJoin(F.broadcast(g))
+        .join(cell, [*quasi_cols, sensitive_col], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            *quasi_cols,
+            sensitive_col,
+            "class_rows",
+            "n_total",
+            "m",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)) * F.col("n_total")
+                - F.col("g") * F.col("class_rows")
+            ).alias("diff"),
+        )
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cum", F.sum("diff").over(w))
+    return (
+        cum.groupBy(*quasi_cols, "class_rows", "n_total", "m")
+        .agg(F.sum(F.abs(F.col("cum"))).alias("s"))
+        .select(
+            *quasi_cols,
+            "class_rows",
+            F.expr(
+                "s * 1000000 div (greatest(m - 1, 1) * class_rows * n_total)"
+            ).alias("emd_ppm"),
+        )
+        .withColumn("at_risk", F.col("emd_ppm") > t_ppm)
+        .orderBy(*quasi_cols)
+    )
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the customer table per (nationkey, mktsegment) class against
+    the global thousand-bucketed balance distribution at t = 0.2."""
+    from realparse_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("int")
+    )
+    return t_closeness(cust, ["c_nationkey", "c_mktsegment"], "bal_bucket")
+
+
+T_CLOSENESS_SQL = f"""
+WITH b AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket
+  FROM customer
+),
+cell AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_rows
+  FROM b GROUP BY 1, 2
+),
+g AS (SELECT bal_bucket, CAST(count(*) AS BIGINT) AS g FROM b GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT bal_bucket) AS BIGINT) AS m
+  FROM b
+),
+grid AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, g.bal_bucket,
+    cls.class_rows, tot.n_total, tot.m,
+    coalesce(cell.cnt, 0) * tot.n_total - g.g * cls.class_rows AS diff
+  FROM cls CROSS JOIN g
+  LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+    AND cell.c_mktsegment = cls.c_mktsegment AND cell.bal_bucket = g.bal_bucket
+  CROSS JOIN tot
+),
+cum AS (
+  SELECT *, sum(diff) OVER (
+    PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM grid
+)
+SELECT c_nationkey, c_mktsegment, class_rows,
+  CAST(sum(abs(cum)) * 1000000
+       // (greatest(m - 1, 1) * class_rows * n_total) AS BIGINT) AS emd_ppm,
+  CAST(sum(abs(cum)) * 1000000
+       // (greatest(m - 1, 1) * class_rows * n_total) AS BIGINT)
+    > {T_CLOSENESS_PPM} AS at_risk
+FROM cum
+GROUP BY c_nationkey, c_mktsegment, class_rows, n_total, m
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # differentially-private group counts (discrete Laplace / two-sided geometric)
 # ---------------------------------------------------------------------------
@@ -358,6 +497,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
+    "t_closeness": q_t_closeness,
     "dp_group_counts": q_dp_group_counts,
 }
 ORACLES = {
@@ -365,5 +505,6 @@ ORACLES = {
     "redact_pii": REDACT_PII_SQL,
     "k_anonymity": K_ANONYMITY_SQL,
     "l_diversity": L_DIVERSITY_SQL,
+    "t_closeness": T_CLOSENESS_SQL,
     "dp_group_counts": _dp_group_counts_sql(),
 }

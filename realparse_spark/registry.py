@@ -111,8 +111,10 @@ _MODULES = (
 # doremi_lite_weights (static DoReMi-style excess-loss mixture
 # re-weighting sharing the held-out LM stage, oracled), and
 # event_ewma (calendar-lag EWMA smoothing with exact 0.5^j decimal
-# weights renormalized over present days, oracled) —
-# backlog 23 never-sampled + 38 r7-stale, under capacity.
+# weights renormalized over present days, oracled), and t_closeness
+# (all-integer ordered-EMD release audit completing the
+# k-anonymity / l-diversity / t-closeness trio, oracled) —
+# backlog 24 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",
