@@ -223,6 +223,7 @@ EXTRA = [
     "doremi_lite_weights",  # excess-loss mixture re-weighting off the shared LM
     "event_ewma",           # calendar-lag EWMA smoothing (exact-decimal weights)
     "t_closeness",          # EMD release audit (all-integer, completes the trio)
+    "emb_dim_variance",     # per-dimension variance / width-pruning profile
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -1508,6 +1508,101 @@ FROM agg
 """
 
 
+def emb_dim_variance(emb: DataFrame) -> DataFrame:
+    """Per-dimension variance profile of the embedding table: variance,
+    share of total variance (ppm), and the cumulative share in POSITION
+    order — the width-pruning plan behind matryoshka truncation
+    (`emb_matryoshka_eval` measures recall AT a width; this table says
+    how much signal each prefix width retains, so the two together pick
+    the shipped width).  A near-zero-variance dimension is dead weight
+    in every cosine downstream.
+
+    Determinism: per-dim moments are ONE-PASS exact-decimal sums (x and
+    round-9 x^2), the variance numerator n*s2 - s1^2 stays in exact
+    decimal over the common denominator n^2, each share is one IEEE
+    division of identical decimal totals rounded to 6, and the
+    cumulative walk sums the already-rounded shares.
+
+    Scale: one posexplode + ONE map-side-combined (pos) aggregation
+    (single pass, no mean join-back); the cumulative window is
+    unpartitioned but runs over the O(dim) aggregate — bounded by
+    construction (allowlisted like vocab_build), never corpus-sized."""
+    from pyspark.sql import Window
+
+    long = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    dec9 = lambda c: F.sum(c.cast("decimal(28,9)"))  # noqa: E731
+    mom = long.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dec9(F.col("x")).alias("s1"),
+        dec9(F.round(F.col("x").cast("double") * F.col("x").cast("double"), 9)).alias(
+            "s2"
+        ),
+    )
+    # exact common-denominator variance numerator: n*s2 - s1^2 over n^2
+    num = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "decimal(38,18)"
+    )
+    scored = mom.select(
+        "pos",
+        F.round(
+            num.cast("double") / (F.col("n") * F.col("n")), 9
+        ).alias("variance"),
+        # integer-ppm share needs an integer surrogate: micro-unit the
+        # numerator once (round half-up via decimal -> bigint cast)
+        num.cast("decimal(38,6)").alias("_num"),
+    )
+    tot = scored.agg(F.sum("_num").alias("_tot"))
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "variance",
+            F.round(
+                F.col("_num").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("var_share"),
+        )
+        .withColumn("cum_share", F.round(F.sum(F.col("var_share")).over(w), 6))
+        .orderBy("pos")
+    )
+
+
+def q_emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emb_dim_variance(load_table(spark, sf_dir, "embeddings"))
+
+
+EMB_DIM_VARIANCE_SQL = r"""
+WITH long AS (
+  SELECT unnest(range(0, len(embedding))) AS pos,
+    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings
+),
+mom AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(x AS DECIMAL(28,9))) AS s1,
+    sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS s2
+  FROM long GROUP BY pos
+),
+scored AS (
+  SELECT pos,
+    round(CAST(CAST(n * s2 - s1 * s1 AS DECIMAL(38,18)) AS DOUBLE) / (n * n), 9) AS variance,
+    CAST(CAST(n * s2 - s1 * s1 AS DECIMAL(38,18)) AS DECIMAL(38,6)) AS num
+  FROM mom
+),
+tot AS (SELECT sum(num) AS tot FROM scored),
+shares AS (
+  SELECT pos, variance,
+    round(CAST(num AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS var_share
+  FROM scored CROSS JOIN tot
+)
+SELECT CAST(pos AS INTEGER) AS pos, variance, var_share,
+  round(sum(var_share) OVER (ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_share
+FROM shares
+ORDER BY pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # MMR diversification: greedy re-rank of the retrieval shortlist
 # ---------------------------------------------------------------------------
@@ -1930,6 +2025,7 @@ QUERIES = {
     "bm25_retrieval_eval": q_bm25_retrieval_eval,
     "mmr_diversify": q_mmr_diversify,
     "emb_isotropy": q_emb_isotropy,
+    "emb_dim_variance": q_emb_dim_variance,
 }
 
 ORACLES = {
@@ -1945,4 +2041,5 @@ ORACLES = {
     "bm25_retrieval_eval": BM25_RETRIEVAL_EVAL_SQL,
     "mmr_diversify": _mmr_sql(),
     "emb_isotropy": EMB_ISOTROPY_SQL,
+    "emb_dim_variance": EMB_DIM_VARIANCE_SQL,
 }

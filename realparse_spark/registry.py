@@ -113,8 +113,11 @@ _MODULES = (
 # event_ewma (calendar-lag EWMA smoothing with exact 0.5^j decimal
 # weights renormalized over present days, oracled), and t_closeness
 # (all-integer ordered-EMD release audit completing the
-# k-anonymity / l-diversity / t-closeness trio, oracled) —
-# backlog 24 never-sampled + 38 r7-stale, under capacity.
+# k-anonymity / l-diversity / t-closeness trio, oracled), and
+# emb_dim_variance (per-dimension variance / cumulative-energy
+# width-pruning profile — the "why" behind emb_matryoshka_eval's
+# recall curve, oracled) —
+# backlog 25 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

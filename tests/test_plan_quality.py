@@ -94,6 +94,7 @@ _BOUNDED_WINDOW_OK = {
     "vocab_build": "text.py:971 — row_number after limit(vocab_size)",
     "vocab_zipf_slope": "corpus_quality.py:129 — row_number after limit(top_n)",
     "error_budget": "inference.py:524 — 7-day frame over the O(days) rollup",
+    "emb_dim_variance": "similarity.py — cumulative share over the O(dim) moment rollup",
 }
 
 

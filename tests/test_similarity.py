@@ -584,3 +584,24 @@ def test_emb_isotropy_separates_collapsed_from_spread(spark):
     assert r.n_pairs == 6
     assert r.mean_cos == 0.0 and r.max_cos == 0.0
     assert r.frac_above_half_ppm == 0
+
+
+def test_emb_dim_variance_profile(spark):
+    """Variance profile invariants on planted anisotropy: the dominant
+    dimension owns ~all the variance share, shares sum to ~1, cum_share
+    is non-decreasing and ends at ~1, and a constant dimension reads
+    exactly variance 0."""
+    from realparse_spark.operators.similarity import emb_dim_variance
+
+    rows = []
+    for i in range(30):
+        rows.append((i, [5.0 if i % 2 == 0 else -5.0, 0.01 * (i % 3), 7.0], i % 2))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.pos: r for r in emb_dim_variance(emb).collect()}
+    assert len(out) == 3
+    assert out[0].var_share > 0.99
+    assert out[2].variance == 0.0  # constant dimension
+    assert abs(sum(r.var_share for r in out.values()) - 1.0) < 1e-4
+    cums = [out[p].cum_share for p in sorted(out)]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - 1.0) < 1e-4
