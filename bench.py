@@ -224,6 +224,7 @@ EXTRA = [
     "event_ewma",           # calendar-lag EWMA smoothing (exact-decimal weights)
     "t_closeness",          # EMD release audit (all-integer, completes the trio)
     "emb_dim_variance",     # per-dimension variance / width-pruning profile
+    "forecast_backtest",    # seasonal-naive MAE/bias/WAPE accuracy table
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]

@@ -2827,6 +2827,87 @@ FUNNEL_STEPS_SQL = funnel_steps_sql()
 
 
 # ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest (can this series be trusted to trend?)
+# ---------------------------------------------------------------------------
+
+FORECAST_LAG_DAYS = 7  # seasonal-naive: forecast(d) = value(d - 7)
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (forecast for day d = the
+    value 7 calendar days earlier — the baseline every forecasting
+    system must beat, and the M-competition yardstick) over the daily
+    event-value series, per type: evaluated-day count, MAE, mean bias,
+    and WAPE (weighted absolute percentage error) — the accuracy table
+    a capacity/alerting pipeline reads before trusting a trend.
+
+    Honesty: only days with a d-7 partner evaluate (calendar inner
+    join — gaps drop out rather than fabricating a zero forecast, the
+    event_ewma discipline).  Exactness: daily sums and residuals are
+    exact DECIMAL(18,4); MAE/bias divide an exact decimal total once
+    and round to 4; WAPE divides two exact decimal totals once and
+    rounds to 6.
+
+    Scale: one map-combined daily rollup, ONE self-join on
+    (type, day - 7) over the O(types x days) aggregate, one O(types)
+    rollup — never row-level."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("v")
+    )
+    past = daily.select(
+        "event_type",
+        F.date_add(F.col("day"), FORECAST_LAG_DAYS).alias("day"),
+        F.col("v").alias("f"),
+    )
+    resid = daily.join(past, ["event_type", "day"]).select(
+        "event_type",
+        (F.col("v") - F.col("f")).alias("r"),
+        "v",
+    )
+    n = F.count(F.lit(1))
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            n.cast("bigint").alias("n_days"),
+            F.round(F.sum(F.abs(F.col("r"))).cast("double") / n, 4).alias("mae"),
+            F.round(F.sum("r").cast("double") / n, 4).alias("bias"),
+            F.round(
+                F.sum(F.abs(F.col("r"))).cast("double")
+                / F.sum(F.abs(F.col("v"))).cast("double"),
+                6,
+            ).alias("wape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FORECAST_BACKTEST_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+  FROM events GROUP BY 1, 2
+),
+resid AS (
+  SELECT a.event_type, a.v - p.v AS r, a.v
+  FROM daily a
+  JOIN daily p ON p.event_type = a.event_type
+    AND p.day + {FORECAST_LAG_DAYS} = a.day
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_days,
+  round(CAST(sum(abs(r)) AS DOUBLE) / count(*), 4) AS mae,
+  round(CAST(sum(r) AS DOUBLE) / count(*), 4) AS bias,
+  round(CAST(sum(abs(r)) AS DOUBLE) / CAST(sum(abs(v)) AS DOUBLE), 6) AS wape
+FROM resid
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # calendar-lag EWMA smoothing (exponentially weighted daily monitor)
 # ---------------------------------------------------------------------------
 
@@ -2926,6 +3007,7 @@ ORDER BY d.event_type, d.day
 
 QUERIES = {
     "event_ewma": q_event_ewma,
+    "forecast_backtest": q_forecast_backtest,
     "funnel_steps": q_funnel_steps,
     "market_basket": q_market_basket,
     "time_weighted_avg": q_time_weighted_avg,
@@ -2967,6 +3049,7 @@ QUERIES = {
 
 ORACLES = {
     "event_ewma": EVENT_EWMA_SQL,
+    "forecast_backtest": FORECAST_BACKTEST_SQL,
     "funnel_steps": FUNNEL_STEPS_SQL,
     "market_basket": MARKET_BASKET_SQL,
     "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,

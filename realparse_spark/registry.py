@@ -116,8 +116,9 @@ _MODULES = (
 # k-anonymity / l-diversity / t-closeness trio, oracled), and
 # emb_dim_variance (per-dimension variance / cumulative-energy
 # width-pruning profile — the "why" behind emb_matryoshka_eval's
-# recall curve, oracled) —
-# backlog 25 never-sampled + 38 r7-stale, under capacity.
+# recall curve, oracled), and forecast_backtest (seasonal-naive
+# MAE/bias/WAPE accuracy table over the daily series, oracled) —
+# backlog 26 never-sampled + 38 r7-stale, under capacity.
 _PRIORITY = (
     # --- (a) round-10 additions: never-sampled backlog drains to zero ---
     "soft_dedup_weights",

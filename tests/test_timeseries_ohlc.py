@@ -260,3 +260,49 @@ def test_event_ewma_smooths_toward_recent_level(spark, monkeypatch, tmp_path):
     assert jump.n_days >= 2  # the jump day + surviving flat tail
     assert 10.0 < jump.ewma < 100.0
     assert jump.ewma > 50.0  # weight 1 on the new level dominates the tail
+
+
+def test_forecast_backtest_perfect_weekly_cycle(spark, monkeypatch, tmp_path):
+    """A perfectly weekly-periodic series backtests to MAE = bias =
+    wape = 0 (the seasonal-naive forecast is exact); breaking one day
+    by +delta yields mae = bias = delta/n on the evaluated days; days
+    without a d-7 partner are excluded from n_days."""
+    import datetime
+
+    from realparse_spark.operators.analytics import q_forecast_backtest
+
+    d0 = datetime.datetime(2020, 3, 1, 9, 0, 0)
+    rows = []
+    i = 0
+    for day in range(21):  # 3 exact weekly cycles
+        v = float(10 + (day % 7))
+        rows.append((i, d0 + datetime.timedelta(days=day), 1, "clean", v, "{}")); i += 1
+    for day in range(21):
+        v = float(10 + (day % 7)) + (5.0 if day == 14 else 0.0)  # one broken day
+        rows.append((i, d0 + datetime.timedelta(days=day), 1, "broken", v, "{}")); i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    import realparse_spark.operators.analytics as an
+    import realparse_spark.sources.tables as tables
+
+    real = tables.load_table
+
+    def fake(spark_, sf_dir, name):
+        if name == "events":
+            return spark_.read.parquet(str(tmp_path / "events.parquet"))
+        return real(spark_, sf_dir, name)
+
+    monkeypatch.setattr(tables, "load_table", fake)
+    monkeypatch.setattr(an, "load_table", fake)
+    out = {r.event_type: r for r in q_forecast_backtest(spark, "unused").collect()}
+    clean, broken = out["clean"], out["broken"]
+    assert clean.n_days == 14  # days 7..20 have a d-7 partner
+    assert clean.mae == 0.0 and clean.bias == 0.0 and clean.wape == 0.0
+    assert broken.n_days == 14
+    # only day 14 misses (by +5 vs its day-7 forecast); day 21, where the
+    # broken value would serve as forecast, does not exist
+    assert broken.mae == round(5.0 / 14, 4)
+    assert broken.bias == round(5.0 / 14, 4)
+    assert broken.wape > 0
