@@ -722,56 +722,56 @@ def minhash_lsh_pairs(
     # a precomputed signature table (see _minhash_sig_for) skips the
     # narrow-but-arithmetic-heavy build; either way the plan references
     # the signatures three times (banding + both verify sides), so the
-    # table is persisted for the duration of the query
+    # table must be materialized once.  localCheckpoint, NOT persist: the
+    # function returns a LAZY frame, so a persist/finally-unpersist pair
+    # is already unpersisted by the time the caller materializes and all
+    # three branches silently rebuilt the signatures from scratch.
     if sig is None:
         sig = minhash_signatures(docs, n, k)
-    sig = sig.persist()
+    sig = sig.localCheckpoint(eager=False)
     r = k // bands
-    try:
-        # one (doc_id, band_no, bucket) row per band via a single explode —
-        # the whole candidate generation is ONE self-join keyed on
-        # (band_no, bucket), not `bands` separate joins
-        band_arr = _band_key_array(k, bands)
-        from pyspark.sql import Window
+    # one (doc_id, band_no, bucket) row per band via a single explode —
+    # the whole candidate generation is ONE self-join keyed on
+    # (band_no, bucket), not `bands` separate joins
+    band_arr = _band_key_array(k, bands)
+    from pyspark.sql import Window
 
-        # bucket size + representative in ONE pass (window over the same
-        # partitioning the join needs — no extra shuffle vs groupBy+join)
-        wb = Window.partitionBy("band_no", "bk")
-        banded = sig.select(
-            "doc_id", F.posexplode(band_arr).alias("band_no", "bk")
-        ).select(
-            "doc_id", "band_no", "bk",
-            F.count(F.lit(1)).over(wb).alias("_sz"),
-            F.min("doc_id").over(wb).alias("_rep"),
-        )
-        small = banded.filter(F.col("_sz") <= max_bucket)
-        l = small.select(F.col("doc_id").alias("doc_a"), "band_no", "bk")
-        rr = small.select(F.col("doc_id").alias("doc_b"), "band_no", "bk")
-        pair_small = (
-            l.join(rr, ["band_no", "bk"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        pair_hot = (
-            banded.filter((F.col("_sz") > max_bucket) & (F.col("doc_id") != F.col("_rep")))
-            .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        )
-        cand = pair_small.union(pair_hot).distinct()
+    # bucket size + representative in ONE pass (window over the same
+    # partitioning the join needs — no extra shuffle vs groupBy+join)
+    wb = Window.partitionBy("band_no", "bk")
+    banded = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band_no", "bk")
+    ).select(
+        "doc_id", "band_no", "bk",
+        F.count(F.lit(1)).over(wb).alias("_sz"),
+        F.min("doc_id").over(wb).alias("_rep"),
+    )
+    small = banded.filter(F.col("_sz") <= max_bucket)
+    l = small.select(F.col("doc_id").alias("doc_a"), "band_no", "bk")
+    rr = small.select(F.col("doc_id").alias("doc_b"), "band_no", "bk")
+    pair_small = (
+        l.join(rr, ["band_no", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    pair_hot = (
+        banded.filter((F.col("_sz") > max_bucket) & (F.col("doc_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cand = pair_small.union(pair_hot).distinct()
 
-        sa = sig.select(F.col("doc_id").alias("doc_a"), F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_a"))
-        sb = sig.select(F.col("doc_id").alias("doc_b"), F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_b"))
-        est = (
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-            .cast("double") / F.lit(k)
-        )
-        return (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= threshold)
-        )
-    finally:
-        sig.unpersist()
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.array(*[f"mh_{i}" for i in range(k)]).alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        .cast("double") / F.lit(k)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
 
 
 def _band_key_array(k: int, bands: int) -> Column:
@@ -929,7 +929,7 @@ def _portable_shingle_arrays(docs: DataFrame) -> DataFrame:
 
 
 def minhash_portable_signatures(
-    docs: DataFrame, k: int = PORTABLE_MINHASH_K
+    docs: DataFrame, k: int = PORTABLE_MINHASH_K, sh: DataFrame | None = None
 ) -> DataFrame:
     """MinHash signatures whose every hash is ENGINE-PORTABLE: token
     hashes come from md5 (first 15 hex chars as an int — the hash_split
@@ -940,7 +940,7 @@ def minhash_portable_signatures(
     hash-verified driver row — the production path stays
     `minhash_signatures` (xxhash64 is JVM-side and ~10× cheaper than
     md5-hex-parse at scale)."""
-    hashed = _portable_shingle_arrays(docs)
+    hashed = _portable_shingle_arrays(docs) if sh is None else sh
     return hashed.select(
         "doc_id",
         *[
@@ -958,6 +958,7 @@ def minhash_portable_pairs(
     max_bucket: int = 1000,
     k: int = PORTABLE_MINHASH_K,
     bands: int = PORTABLE_MINHASH_BANDS,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding over the portable signatures — the same candidate /
     verify / hot-bucket-star plan as `minhash_lsh_pairs`, except the
@@ -971,57 +972,59 @@ def minhash_portable_pairs(
     from pyspark.sql import Window
 
     r = k // bands
-    sig = minhash_portable_signatures(docs, k).persist()
-    try:
-        band_arr = F.array(
-            *[
-                F.struct(
-                    F.col(f"pmh_{b * r}").alias("h0"),
-                    F.col(f"pmh_{b * r + 1}").alias("h1"),
-                )
-                for b in range(bands)
-            ]
-        )
-        wb = Window.partitionBy("band_no", "h0", "h1")
-        banded = (
-            sig.select("doc_id", F.posexplode(band_arr).alias("band_no", "bk"))
-            .select("doc_id", "band_no", F.col("bk.h0").alias("h0"), F.col("bk.h1").alias("h1"))
-            .select(
-                "doc_id", "band_no", "h0", "h1",
-                F.count(F.lit(1)).over(wb).alias("_sz"),
-                F.min("doc_id").over(wb).alias("_rep"),
+    # localCheckpoint, NOT persist: the frame returned here is lazy, so a
+    # persist/finally-unpersist pair is gone before the caller ever
+    # materializes — banding and both verify sides each rebuilt the md5
+    # signatures from the raw text.  `sh` lets a caller that already built
+    # the shingle arrays (dedup_eval's ground-truth side) share the scan.
+    sig = minhash_portable_signatures(docs, k, sh=sh).localCheckpoint(eager=False)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.col(f"pmh_{b * r}").alias("h0"),
+                F.col(f"pmh_{b * r + 1}").alias("h1"),
             )
+            for b in range(bands)
+        ]
+    )
+    wb = Window.partitionBy("band_no", "h0", "h1")
+    banded = (
+        sig.select("doc_id", F.posexplode(band_arr).alias("band_no", "bk"))
+        .select("doc_id", "band_no", F.col("bk.h0").alias("h0"), F.col("bk.h1").alias("h1"))
+        .select(
+            "doc_id", "band_no", "h0", "h1",
+            F.count(F.lit(1)).over(wb).alias("_sz"),
+            F.min("doc_id").over(wb).alias("_rep"),
         )
-        small = banded.filter(F.col("_sz") <= max_bucket)
-        l = small.select(F.col("doc_id").alias("doc_a"), "band_no", "h0", "h1")
-        rr = small.select(F.col("doc_id").alias("doc_b"), "band_no", "h0", "h1")
-        pair_small = (
-            l.join(rr, ["band_no", "h0", "h1"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        pair_hot = banded.filter(
-            (F.col("_sz") > max_bucket) & (F.col("doc_id") != F.col("_rep"))
-        ).select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        cand = pair_small.union(pair_hot).distinct()
+    )
+    small = banded.filter(F.col("_sz") <= max_bucket)
+    l = small.select(F.col("doc_id").alias("doc_a"), "band_no", "h0", "h1")
+    rr = small.select(F.col("doc_id").alias("doc_b"), "band_no", "h0", "h1")
+    pair_small = (
+        l.join(rr, ["band_no", "h0", "h1"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    pair_hot = banded.filter(
+        (F.col("_sz") > max_bucket) & (F.col("doc_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    cand = pair_small.union(pair_hot).distinct()
 
-        cols = [f"pmh_{i}" for i in range(k)]
-        sa = sig.select(F.col("doc_id").alias("doc_a"), F.array(*cols).alias("sig_a"))
-        sb = sig.select(F.col("doc_id").alias("doc_b"), F.array(*cols).alias("sig_b"))
-        est = (
-            F.size(
-                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-            ).cast("double")
-            / F.lit(k)
-        )
-        return (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= threshold)
-        )
-    finally:
-        sig.unpersist()
+    cols = [f"pmh_{i}" for i in range(k)]
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.array(*cols).alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.array(*cols).alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        ).cast("double")
+        / F.lit(k)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
 
 
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,7 +1146,14 @@ def dedup_eval(
     slice (the operator composes with `doc_sample`), never the full
     corpus; the LSH side under eval is the same plan as production.
     Output is O(|thresholds|) rows."""
-    sh = _portable_shingle_arrays(docs)
+    # ONE tokenize+md5 shingle pass feeds BOTH the exact ground truth and
+    # the MinHash estimator under eval (guide §2.4: don't recompute what
+    # two branches share) — narrow to (doc_id, _sh) before materializing
+    sh = (
+        _portable_shingle_arrays(docs)
+        .select("doc_id", "_sh")
+        .localCheckpoint(eager=False)
+    )
     # postings feed three consumers (sizes + both join sides): cut lineage
     # once, same rationale as _gram_pair_counts
     postings = (
@@ -1156,7 +1166,7 @@ def dedup_eval(
     truth = _gram_pair_counts_from(postings).select(
         "doc_a", "doc_b", jac.alias("jac")
     )
-    pred = minhash_portable_pairs(docs, threshold=min(thresholds))
+    pred = minhash_portable_pairs(docs, threshold=min(thresholds), sh=sh)
     both = truth.join(pred, ["doc_a", "doc_b"], "full_outer").select(
         F.coalesce(F.col("jac"), F.lit(0.0)).alias("jac"),
         # never-predicted pairs score below every threshold
@@ -1308,22 +1318,26 @@ def _simhash_pigeonhole_pairs(
         mask = (1 << bits) - 1
         return F.shiftright("simhash", width * c).bitwiseAND(F.lit(mask)).alias(f"c{c}")
 
-    chunks = sig.select("doc_id", "simhash", *[chunk(c) for c in range(n_chunks)]).persist()
-    try:
-        cand = None
-        for c in range(n_chunks):
-            l = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("ck"))
-            rr = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"c{c}").alias("ck"))
-            x = l.join(rr, "ck").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b", "sh_a", "sh_b")
-            cand = x if cand is None else cand.unionByName(x)
-        ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        return (
-            cand.distinct()
-            .select("doc_a", "doc_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-        )
-    finally:
-        chunks.unpersist()
+    # localCheckpoint, NOT persist: the frame returned here is lazy, so a
+    # persist/finally-unpersist pair is gone before the caller ever
+    # materializes — each of the 2*n_chunks join sides silently rebuilt
+    # the signature aggregation (the nbits per-bit vote sums) from the
+    # raw text, the most expensive stage of the whole query.
+    chunks = sig.select(
+        "doc_id", "simhash", *[chunk(c) for c in range(n_chunks)]
+    ).localCheckpoint(eager=False)
+    cand = None
+    for c in range(n_chunks):
+        l = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("ck"))
+        rr = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"c{c}").alias("ck"))
+        x = l.join(rr, "ck").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b", "sh_a", "sh_b")
+        cand = x if cand is None else cand.unionByName(x)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.distinct()
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1200,7 +1200,10 @@ def _classifier_features(docs: DataFrame) -> DataFrame:
 
 
 def quality_classifier_train(
-    docs: DataFrame, steps: int = CLASSIFIER_STEPS, lr: float = CLASSIFIER_LR
+    docs: DataFrame,
+    steps: int = CLASSIFIER_STEPS,
+    lr: float = CLASSIFIER_LR,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Train a linear document-quality scorer by ``steps`` unrolled
     full-batch logistic-regression gradient steps — the standard way a
@@ -1224,7 +1227,14 @@ def quality_classifier_train(
     doubles and rounds to 9.  Emits (step, loss, w_bias, w_len,
     w_diversity): loss is the objective ENTERING the step (so descent
     across rows is assertable), weights are AFTER the update."""
-    feats = _classifier_features(docs)
+    if feats is None:
+        # every GD step scans the features; materialize them once instead
+        # of re-running the tokenize/regex feature pass per step (guide
+        # SS2.4/SS5 - the feature row is 4 doubles + doc_id, the tokenize
+        # is the expensive part).  Callers that score with the trained
+        # weights (calibration / PR curve) pass their own checkpointed
+        # feats so training and scoring share ONE feature scan.
+        feats = _classifier_features(docs).localCheckpoint(eager=False)
     w = docs.sparkSession.createDataFrame(
         [(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double"
     )
@@ -1369,9 +1379,12 @@ def classifier_calibration(
     map-side combined into O(bins) rows.  Sums accumulate as
     DECIMAL(28,9) over round-9 terms (the training seam discipline), so
     the shared-CTE DuckDB mirror hash-matches."""
-    feats = _classifier_features(docs)
+    # ONE checkpointed feature scan shared by training (all GD steps) and
+    # the scoring pass below - previously training re-tokenized per step
+    # and scoring tokenized once more (4 full regex passes total)
+    feats = _classifier_features(docs).localCheckpoint(eager=False)
     w = (
-        quality_classifier_train(docs, steps, lr)
+        quality_classifier_train(docs, steps, lr, feats=feats)
         .filter(F.col("step") == steps)
         .select(
             F.col("w_bias").alias("w0"),
@@ -1686,9 +1699,12 @@ def classifier_pr_curve(
     weight broadcast, the 9-threshold grid fans out as a broadcast
     cross join (9x one scored row each, map-side combined straight back
     to O(thresholds) rows)."""
-    feats = _classifier_features(docs)
+    # ONE checkpointed feature scan shared by training (all GD steps) and
+    # the scoring pass below - previously training re-tokenized per step
+    # and scoring tokenized once more (4 full regex passes total)
+    feats = _classifier_features(docs).localCheckpoint(eager=False)
     w = (
-        quality_classifier_train(docs, steps, lr)
+        quality_classifier_train(docs, steps, lr, feats=feats)
         .filter(F.col("step") == steps)
         .select(
             F.col("w_bias").alias("w0"),

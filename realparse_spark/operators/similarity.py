@@ -599,12 +599,32 @@ def knn_join_ivf(spark: SparkSession, index_path: str, k: int = 3) -> DataFrame:
     import os
 
     vecs = spark.read.parquet(os.path.join(index_path, "vectors"))
+    # hoist each side's norm BELOW the join: `cosine()` inlined per pair
+    # re-folds both norms for every candidate pair (O(|block|^2 * d) extra
+    # lambda evaluations); computing sqrt(sum x^2) once per input row is
+    # the identical float expression on identical values, so dot/(na*nb)
+    # is bit-for-bit the same cosine (guide §1.2 step 2: per-task work).
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
     a = vecs.select(
-        F.col("vec_id").alias("vec_a"), "centroid_id", F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"), "centroid_id",
+        F.col("embedding").alias("ea"), norm(F.col("embedding")).alias("na"),
     )
     b = vecs.select(
-        F.col("vec_id").alias("vec_b"), "centroid_id", F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"), "centroid_id",
+        F.col("embedding").alias("eb"), norm(F.col("embedding")).alias("nb"),
     )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    denom = F.col("na") * F.col("nb")
     pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("vec_a") != F.col("vec_b"))
@@ -612,7 +632,7 @@ def knn_join_ivf(spark: SparkSession, index_path: str, k: int = 3) -> DataFrame:
             F.col("centroid_id").cast("int").alias("centroid_id"),
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos"),
+            F.round(F.when(denom > 0, dot / denom), 4).alias("cos"),
         )
     )
     w = Window.partitionBy("vec_a").orderBy(F.col("cos").desc(), F.col("vec_b"))
@@ -1644,10 +1664,15 @@ def mmr_diversify(
 
     Scale: the quadratic term is shortlist^2 PER QUERY (bounded by the
     constant ``shortlist``, never corpus-sized — the semdedup star-cap
-    discipline); the greedy recurrence unrolls to ``k`` rounds of
-    anti-join + max-aggregate over those bounded pairs, with the
-    selected set localCheckpoint'd per round so the plan stays
-    O(1)-deep (the kmeans_train discipline)."""
+    discipline); the greedy recurrence runs IN-ROW over each query's
+    collected shortlist (a bounded array of ``shortlist`` structs), so
+    the whole pass is one shuffle (top-``shortlist`` window) + one
+    groupBy — previously it unrolled to ``k`` rounds of anti-join +
+    max-aggregate with a localCheckpoint per round (~4 sequential jobs
+    per rank at bench scale; guide §1.2 step 1: the distributed
+    algorithm).  Arithmetic is unchanged: the same round-6 pair cosines,
+    the same exact-decimal mmr combine, the same (mmr, -vec_id) argmax —
+    now via array_max over structs instead of a max-aggregate."""
     fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
     norm = lambda a: F.sqrt(  # noqa: E731
         fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
@@ -1660,82 +1685,112 @@ def mmr_diversify(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= shortlist)
         .select("qid", "vec_id", "cos")
-        .localCheckpoint(eager=False)
     )
     un = emb.select("vec_id", unit(F.col("embedding")).alias("u"))
-    sa = short.select("qid", F.col("vec_id").alias("a"))
-    sb = short.select("qid", F.col("vec_id").alias("b"))
-    pairs = (
-        sa.join(sb, "qid")
-        .filter(F.col("a") != F.col("b"))
-        .join(un.select(F.col("vec_id").alias("a"), F.col("u").alias("ua")), "a")
-        .join(un.select(F.col("vec_id").alias("b"), F.col("u").alias("ub")), "b")
+    # one row per query: the bounded shortlist with unit vectors attached
+    cands_g = (
+        short.join(un, "vec_id")
+        .groupBy("qid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "cos", "u"))).alias(
+                "cands"
+            )
+        )
+    )
+
+    dec6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    lam_d = F.lit(lam).cast("decimal(2,1)")
+    mu_d = F.lit(round(1.0 - lam, 10)).cast("decimal(2,1)")
+    # mmr's exact decimal type: decimal(2,1)*decimal(18,6) -> (21,7);
+    # (21,7)-(21,7) -> (22,7) — the type the selected-set struct carries
+    mmr_t = "decimal(22,7)"
+
+    def greedy(cands):
+        # rank-1: pure-relevance argmax, max(struct(cos, -vec_id))
+        first = F.array_max(
+            F.transform(
+                cands,
+                lambda c: F.struct(
+                    c["cos"].alias("cos"),
+                    (-c["vec_id"]).alias("nv"),
+                    c["u"].alias("u"),
+                ),
+            )
+        )
+        sel0 = F.array(
+            F.struct(
+                (-first["nv"]).alias("vec_id"),
+                first["cos"].alias("rel_cos"),
+                F.lit(None).cast(mmr_t).alias("mmr"),
+                F.lit(1).cast("int").alias("rank"),
+                first["u"].alias("u"),
+            )
+        )
+        rem0 = F.filter(cands, lambda c: c["vec_id"] != -first["nv"])
+        zero = F.struct(sel0.alias("sel"), rem0.alias("rem"))
+
+        def step(acc, t):
+            # max over the selected set of the shared round-6 pair cosine
+            maxsim = lambda c: F.array_max(  # noqa: E731
+                F.transform(
+                    acc["sel"],
+                    lambda sl: F.round(
+                        fold(F.zip_with(c["u"], sl["u"], lambda x, y: x * y)), 6
+                    ),
+                )
+            )
+            pick = F.array_max(
+                F.transform(
+                    acc["rem"],
+                    lambda c: F.struct(
+                        (lam_d * dec6(c["cos"]) - mu_d * dec6(maxsim(c))).alias(
+                            "mmr"
+                        ),
+                        (-c["vec_id"]).alias("nv"),
+                        c["cos"].alias("cos"),
+                        c["u"].alias("u"),
+                    ),
+                )
+            )
+            new_sel = F.concat(
+                acc["sel"],
+                F.array(
+                    F.struct(
+                        (-pick["nv"]).alias("vec_id"),
+                        pick["cos"].alias("rel_cos"),
+                        pick["mmr"].alias("mmr"),
+                        t.cast("int").alias("rank"),
+                        pick["u"].alias("u"),
+                    )
+                ),
+            )
+            new_rem = F.filter(acc["rem"], lambda c: c["vec_id"] != -pick["nv"])
+            # a query whose shortlist ran dry keeps its state (emits < k)
+            return F.when(
+                F.size(acc["rem"]) > 0,
+                F.struct(new_sel.alias("sel"), new_rem.alias("rem")),
+            ).otherwise(acc)
+
+        if k < 2:
+            return zero
+        return F.aggregate(
+            F.sequence(F.lit(2), F.lit(k)), zero, step
+        )
+
+    out = (
+        cands_g.select("qid", greedy(F.col("cands")).alias("st"))
+        .select("qid", F.explode(F.col("st")["sel"]).alias("s"))
         .select(
             "qid",
-            "a",
-            "b",
-            F.round(fold(F.zip_with("ua", "ub", lambda x, y: x * y)), 6).alias(
-                "sim"
-            ),
+            F.col("s")["rank"].cast("int").alias("rank"),
+            F.col("s")["vec_id"].alias("vec_id"),
+            F.col("s")["rel_cos"].alias("rel_cos"),
+            F.when(F.col("s")["rank"] == 1, F.col("s")["rel_cos"])
+            .otherwise(F.col("s")["mmr"].cast("double"))
+            .alias("mmr_score"),
         )
-        .localCheckpoint(eager=False)
     )
-    pick1 = short.groupBy("qid").agg(
-        F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("nv"))).alias("bst")
-    )
-    selected = pick1.select(
-        "qid",
-        (-F.col("bst.nv")).alias("vec_id"),
-        F.col("bst.cos").alias("rel_cos"),
-        F.col("bst.cos").alias("mmr_score"),
-        F.lit(1).alias("rank"),
-    ).localCheckpoint(eager=False)
-    out = selected
-    for t in range(2, k + 1):
-        cand = short.join(
-            selected.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
-        )
-        ms = (
-            pairs.join(
-                selected.select("qid", F.col("vec_id").alias("b")), ["qid", "b"]
-            )
-            .groupBy("qid", F.col("a").alias("vec_id"))
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        # EXACT decimal combination — cos and maxsim are round-6 values, so
-        # lam*cos - (1-lam)*maxsim is exactly representable at scale 7 and
-        # neither engine ever rounds a boundary double (a 0.2551225-style
-        # half-way product is where Spark's shortest-string HALF_UP and
-        # DuckDB's binary-value round() disagree)
-        mmr = F.lit(lam).cast("decimal(2,1)") * F.col("cos").cast(
-            "decimal(18,6)"
-        ) - F.lit(round(1.0 - lam, 10)).cast("decimal(2,1)") * F.col(
-            "maxsim"
-        ).cast("decimal(18,6)")
-        scored_t = cand.join(ms, ["qid", "vec_id"]).select(
-            "qid", "vec_id", "cos", mmr.alias("mmr")
-        )
-        pick = scored_t.groupBy("qid").agg(
-            F.max(
-                F.struct(
-                    F.col("mmr"),
-                    (-F.col("vec_id")).alias("nv"),
-                    F.col("cos"),
-                )
-            ).alias("bst")
-        )
-        step = pick.select(
-            "qid",
-            (-F.col("bst.nv")).alias("vec_id"),
-            F.col("bst.cos").alias("rel_cos"),
-            F.col("bst.mmr").cast("double").alias("mmr_score"),
-            F.lit(t).alias("rank"),
-        )
-        selected = selected.unionByName(step).localCheckpoint(eager=False)
-        out = out.unionByName(step)
-    return out.select(
-        "qid", F.col("rank").cast("int").alias("rank"), "vec_id", "rel_cos", "mmr_score"
-    ).orderBy("qid", "rank")
+    return out.orderBy("qid", "rank")
 
 
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -263,16 +263,29 @@ def nb_langid_confusion(docs: DataFrame, test_mod: int = NB_TEST_MOD) -> DataFra
         "doc_id", "lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
     )
     is_test = F.pmod(F.col("doc_id"), F.lit(test_mod)) == 0
-    train_toks = toks.filter(~is_test)
-    test_toks = toks.filter(is_test)
+    # ONE tokenize pass: aggregate the exploded tokens to per-doc term
+    # counts once and checkpoint; the vocab size, class-conditional counts
+    # and the test-side term frequencies all derive from this compact
+    # posting table instead of each re-running the regex explode (the plan
+    # previously tokenized the corpus ~5x: vsz, wc x3 consumers, tf).
+    base = (
+        toks.groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    train_post = base.filter(~is_test)
 
     n_train = docs.filter(~is_test).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_train")
     )
-    vsz = train_toks.agg(F.countDistinct("w").cast("bigint").alias("v"))
-    wc = train_toks.groupBy(F.col("lang").alias("c"), "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    # per-(class, token) counts: sum of per-doc tf == count of raw tokens
+    wc = (
+        train_post.groupBy(F.col("lang").alias("c"), "w")
+        .agg(F.sum("tf").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
+    # train vocabulary size off the (V x C)-bounded wc, not the raw tokens
+    vsz = wc.agg(F.countDistinct("w").cast("bigint").alias("v"))
     cls = (
         docs.filter(~is_test)
         .groupBy(F.col("lang").alias("c"))
@@ -298,9 +311,7 @@ def nb_langid_confusion(docs: DataFrame, test_mod: int = NB_TEST_MOD) -> DataFra
         "w",
         F.round(F.log((F.col("cnt") + 1) / F.col("denom")), 6).alias("lp"),
     )
-    tf = test_toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
+    tf = base.filter(is_test).select("doc_id", "w", "tf")
     # keep only train-vocab tokens (see docstring), then fan out per class
     contrib = (
         tf.join(F.broadcast(lp.select("w").distinct()), "w")
