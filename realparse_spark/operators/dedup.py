@@ -1507,7 +1507,12 @@ def q_emb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.when(
             norm > 0,
-            F.transform(F.col("embedding"), lambda x: x.cast("double") / norm),
+            # norm evaluated once per row (see similarity.py unit note)
+            F.zip_with(
+                F.col("embedding"),
+                F.array_repeat(norm, F.size(F.col("embedding"))),
+                lambda x, n: x.cast("double") / n,
+            ),
         ).alias("u"),
     ).filter(F.col("u").isNotNull())
     a = unit.select(F.col("vec_id").alias("vec_a"), "label", F.col("u").alias("ua"))

@@ -306,7 +306,12 @@ def _assign_and_score(emb: DataFrame) -> DataFrame:
     return assigned.select(
         "vec_id",
         "cluster_id",
-        F.transform(ecol, lambda x: x.cast("double") / norm(ecol)).alias("u"),
+        # norm evaluated once per row (see similarity.py unit note)
+        F.zip_with(
+            ecol,
+            F.array_repeat(norm(ecol), F.size(ecol)),
+            lambda x, n: x.cast("double") / n,
+        ).alias("u"),
         F.round(
             dot(F.transform(ecol, lambda x: x.cast("double")), F.col("cvec"))
             / (norm(ecol) * norm(F.col("cvec"))),
@@ -585,7 +590,13 @@ def ccnet_ppl_buckets(docs: DataFrame) -> DataFrame:
     from realparse_spark.operators.text import bigram_logprob
 
     scores = bigram_logprob(docs)
-    per = scores.join(docs.select("doc_id", "source"), "doc_id")
+    # the bigram-LM scoring is the expensive stage and BOTH the ranker
+    # and the per-source count table read it — materialize the compact
+    # (doc_id, n_bigrams, avg_logprob, source) row once instead of
+    # re-running the LM per consumer (guide §2.4)
+    per = scores.join(docs.select("doc_id", "source"), "doc_id").localCheckpoint(
+        eager=False
+    )
     ranked = rank_distributed(
         per, ["avg_logprob", "doc_id"], rank_col="rn", partition_cols=["source"]
     )
@@ -699,7 +710,14 @@ def lm_holdout_ppl(docs: DataFrame, test_mod: int = LM_TEST_MOD) -> DataFrame:
     is_test = F.pmod(F.col("doc_id"), F.lit(test_mod)) == 0
     train = toks.filter(~is_test)
     test = toks.filter(is_test)
-    cnt = train.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # the train-side token counts feed BOTH the totals row and the logprob
+    # table — materialize the O(V) count table once instead of re-running
+    # the train tokenize pass per consumer (guide §2.4)
+    cnt = (
+        train.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     tot = cnt.agg(
         F.sum("cnt").cast("bigint").alias("t_tok"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
@@ -849,7 +867,13 @@ def doremi_lite_weights(
     totals rounded to 6)."""
     # zero-token sources carry NULL NLL (lm_holdout_ppl's left join) —
     # they cannot participate in the weight normalization
-    ppl = lm_holdout_ppl(docs, test_mod).filter(F.col("n_tokens") > 0)
+    # the whole held-out-LM pipeline feeds BOTH the baseline row and the
+    # per-source weights — materialize its O(sources) output once
+    ppl = (
+        lm_holdout_ppl(docs, test_mod)
+        .filter(F.col("n_tokens") > 0)
+        .localCheckpoint(eager=False)
+    )
     base = ppl.agg(
         F.min("mean_nll").alias("base_nll"),
         F.sum("n_tokens").cast("bigint").alias("tot_tok"),

@@ -1008,29 +1008,44 @@ def matryoshka_eval(
     production run at full corpus scale evaluates against IVF/LSH
     candidate sets instead (the indexes above); this operator is the
     exact yardstick those evals compare to."""
-    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    # explode the width list and compute each side's truncated slice AND
+    # its norm BEFORE the pair join: `cosine()` inlined per pair re-folds
+    # both slice norms for every (query, vector, width) row — precomputing
+    # them per (row, width) is the identical float expression on identical
+    # values, so dot/(na*nb) is bit-for-bit the same cosine (the
+    # knn_join_ivf norm-hoist; guide §1.2 step 2).
+    dim_arr = F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim")
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     )
-    pairs = emb.select("vec_id", "embedding").join(
-        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    sl = F.slice(F.col("embedding"), F.lit(1), F.col("dim"))
+    q = (
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0)
+        .select(F.col("vec_id").alias("qid"), "embedding", dim_arr)
+        .select("qid", "dim", sl.alias("qe"), norm(sl).alias("nq"))
     )
-    scored = pairs.select(
-        "qid",
-        "vec_id",
-        F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim"),
-        "embedding",
-        "qe",
-    ).select(
-        "qid",
-        "vec_id",
-        "dim",
-        F.round(
-            cosine(
-                F.slice(F.col("embedding"), F.lit(1), F.col("dim")),
-                F.slice(F.col("qe"), F.lit(1), F.col("dim")),
-            ),
-            4,
-        ).alias("cos"),
+    corpus = emb.select("vec_id", "embedding", dim_arr).select(
+        "vec_id", "dim", sl.alias("ce"), norm(sl).alias("nc")
+    )
+    dot = F.aggregate(
+        F.zip_with("ce", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    denom = F.col("nc") * F.col("nq")
+    scored = (
+        corpus.join(F.broadcast(q), "dim")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "dim",
+            F.round(F.when(denom > 0, dot / denom), 4).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid", "dim").orderBy(
         F.col("cos").desc_nulls_last(), "vec_id"
@@ -1131,7 +1146,13 @@ def _scored_queries(emb: DataFrame, query_mod: int) -> DataFrame:
     norm = lambda a: F.sqrt(  # noqa: E731
         fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
     )
-    unit = lambda a: F.transform(a, lambda x: x.cast("double") / norm(a))  # noqa: E731
+    # evaluate the norm ONCE per row (array_repeat arg), not once per
+    # element: Spark never hoists loop-invariant expressions out of a
+    # higher-order lambda, so `transform(a, x -> x/norm(a))` is O(d^2)
+    # per vector.  x/n is the identical IEEE division -> bit-stable.
+    unit = lambda a: F.zip_with(  # noqa: E731
+        a, F.array_repeat(norm(a), F.size(a)), lambda x, n: x.cast("double") / n
+    )
     q = emb.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("qid"),
         unit(F.col("embedding")).alias("qu"),
@@ -1461,7 +1482,13 @@ def emb_isotropy(emb: DataFrame, probe_mod: int = ISOTROPY_MOD) -> DataFrame:
     norm = lambda a: F.sqrt(  # noqa: E731
         fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
     )
-    unit = lambda a: F.transform(a, lambda x: x.cast("double") / norm(a))  # noqa: E731
+    # evaluate the norm ONCE per row (array_repeat arg), not once per
+    # element: Spark never hoists loop-invariant expressions out of a
+    # higher-order lambda, so `transform(a, x -> x/norm(a))` is O(d^2)
+    # per vector.  x/n is the identical IEEE division -> bit-stable.
+    unit = lambda a: F.zip_with(  # noqa: E731
+        a, F.array_repeat(norm(a), F.size(a)), lambda x, n: x.cast("double") / n
+    )
 
     probe = emb.filter(F.pmod(F.col("vec_id"), F.lit(probe_mod)) == 0).select(
         "vec_id", unit(F.col("embedding")).alias("u")
@@ -1677,7 +1704,13 @@ def mmr_diversify(
     norm = lambda a: F.sqrt(  # noqa: E731
         fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
     )
-    unit = lambda a: F.transform(a, lambda x: x.cast("double") / norm(a))  # noqa: E731
+    # evaluate the norm ONCE per row (array_repeat arg), not once per
+    # element: Spark never hoists loop-invariant expressions out of a
+    # higher-order lambda, so `transform(a, x -> x/norm(a))` is O(d^2)
+    # per vector.  x/n is the identical IEEE division -> bit-stable.
+    unit = lambda a: F.zip_with(  # noqa: E731
+        a, F.array_repeat(norm(a), F.size(a)), lambda x, n: x.cast("double") / n
+    )
 
     scored = _scored_queries(emb, query_mod)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
