@@ -152,6 +152,11 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+    # `base` feeds BOTH the multiplicity rollup and the join-back side:
+    # without a cut each side re-runs the tokenize/regex/md5 scan of the
+    # full text (guide §2.4) — materialize the compact per-doc feature
+    # row once
+    base = base.localCheckpoint(eager=False)
     mult = base.groupBy("fp").agg(F.count(F.lit(1)).alias("m"))
     joined = base.join(mult, "fp")
     return (

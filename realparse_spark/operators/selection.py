@@ -1126,6 +1126,9 @@ def ivf_balance(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     broadcasts (corpus totals, cluster extremes) joined back onto the
     O(K) cluster rows."""
     assigned = _kmeans_assigned(emb, iters)
+    # `sizes` feeds BOTH the extremes rollup and the final join-back —
+    # without a cut each consumer re-runs the whole O(iters) assignment
+    # chain (guide §2.4); the materialized table is O(K) rows
     sizes = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.round(
@@ -1133,7 +1136,7 @@ def ivf_balance(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("mean_d2"),
-    )
+    ).localCheckpoint(eager=False)
     tot = emb.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vec"),
         F.countDistinct("label").cast("bigint").alias("k_seed"),

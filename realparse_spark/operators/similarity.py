@@ -1940,14 +1940,22 @@ def bm25_retrieval_eval(
         "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
     )
     is_q = F.pmod(F.col("doc_id"), F.lit(query_mod)) == 0
-    qt_all = toks.filter(is_q).select(
-        F.col("doc_id").alias("qid"), "term"
-    ).distinct()
+    # qt_all / ptf / lens each feed TWO consumers below (term_set+qt,
+    # dfreq+scored, tot+scored) — without cuts every consumer re-runs
+    # the corpus tokenize pass (guide §2.4); each materialized table is
+    # the compact post-aggregation form, never raw text
+    qt_all = (
+        toks.filter(is_q)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     term_set = qt_all.select("term").distinct()
     ptf = (
         toks.join(F.broadcast(term_set), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = ptf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     wq = Window.partitionBy("qid").orderBy(F.col("df").asc(), F.col("term"))
@@ -1960,7 +1968,7 @@ def bm25_retrieval_eval(
     lens = docs.select(
         "doc_id",
         token_count_ws(F.lower(F.col("text"))).cast("bigint").alias("len_d"),
-    )
+    ).localCheckpoint(eager=False)
     tot = lens.agg(
         F.sum("len_d").cast("bigint").alias("t_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

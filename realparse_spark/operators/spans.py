@@ -492,6 +492,7 @@ def bpe_apply_report(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     word_filter: str | None = None,
+    wrapped_replace: bool = False,
 ) -> DataFrame:
     """Apply a trained merge list to the corpus and report per-source
     subword compression — the deploy half of BPE: tokenize with the
@@ -510,31 +511,60 @@ def bpe_apply_report(
     )
     if word_filter is not None:
         words = words.filter(F.col("word").rlike(word_filter))
-    per_word = words.groupBy("source", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("wc")
+    # per_word feeds BOTH the vocab-side distinct and the final join-back
+    # — without a cut each side re-runs the corpus tokenize (guide §2.4)
+    per_word = (
+        words.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .localCheckpoint(eager=False)
     )
-    # one merge pass per STEP with a lineage cut between passes: each
-    # fold references its input expression several times, so composing
-    # all |merges| folds into one projection grows the Catalyst tree
-    # exponentially (observed: analysis hangs at 8 merges) — whereas
-    # checkpointed passes keep every plan O(1).  The vocab table is the
-    # Zipf-collapsed distinct-word set: tiny.
-    seg = per_word.select("word").distinct().withColumn(
-        "syms",
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda i: F.col("word").substr(i, F.lit(1)),
-        ),
-    )
-    for left, right in merges:
-        seg = seg.withColumn(
-            "syms", _merge_fold(F.col("syms"), left, right)
-        ).localCheckpoint(eager=True)
-    seg = seg.select(
-        "word",
-        F.size("syms").cast("bigint").alias("n_sub"),
-        F.length("word").cast("bigint").alias("n_chr"),
-    )
+    if wrapped_replace:
+        # merge passes as a LINEAR replace chain over the
+        # delimiter-wrapped symbol string ('the' -> '<t><h><e>'): each
+        # replace references its input exactly once, so the expression
+        # tree is linear in |merges| — no per-step eager checkpoint jobs
+        # — and the whole segmentation runs inside one codegen stage.
+        # Replace-all is greedy left-to-right non-overlapping, which on
+        # the wrapped form is exactly _merge_fold's tail-merge semantics
+        # (see _pinned_seg_sql: a replacement '<xy>' can never create a
+        # NEW '<x><y>' match before the scan point, because y is
+        # non-empty so '<xy>' cannot end in '<x>').  Valid ONLY when
+        # tokens cannot contain '<'/'>' — callers must pass a
+        # word_filter that guarantees it (the oracle mirrors this exact
+        # chain, so parity is by construction).
+        s = F.regexp_replace(F.col("word"), r"(.)", r"<$1>")
+        for left, right in merges:
+            s = F.replace(s, F.lit(f"<{left}><{right}>"), F.lit(f"<{left}{right}>"))
+        seg = per_word.select("word").distinct().select(
+            "word",
+            (F.length(s) - F.length(F.replace(s, F.lit("<"), F.lit(""))))
+            .cast("bigint")
+            .alias("n_sub"),
+            F.length("word").cast("bigint").alias("n_chr"),
+        )
+    else:
+        # one merge pass per STEP with a lineage cut between passes: each
+        # fold references its input expression several times, so composing
+        # all |merges| folds into one projection grows the Catalyst tree
+        # exponentially (observed: analysis hangs at 8 merges) — whereas
+        # checkpointed passes keep every plan O(1).  The vocab table is the
+        # Zipf-collapsed distinct-word set: tiny.
+        seg = per_word.select("word").distinct().withColumn(
+            "syms",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+        )
+        for left, right in merges:
+            seg = seg.withColumn(
+                "syms", _merge_fold(F.col("syms"), left, right)
+            ).localCheckpoint(eager=True)
+        seg = seg.select(
+            "word",
+            F.size("syms").cast("bigint").alias("n_sub"),
+            F.length("word").cast("bigint").alias("n_chr"),
+        )
     joined = per_word.join(F.broadcast(seg), "word")
     return (
         joined.groupBy("source")
@@ -601,7 +631,12 @@ def q_bpe_apply_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realparse_spark.sources.tables import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return bpe_apply_report(docs, BPE_PINNED_MERGES, word_filter=r"^[a-z]+$")
+    # wrapped_replace: the word_filter guarantees '<'/'>'-free tokens,
+    # so the linear replace-chain segmentation (the oracle's own form)
+    # replaces 8 eager per-merge checkpoint jobs with one codegen stage
+    return bpe_apply_report(
+        docs, BPE_PINNED_MERGES, word_filter=r"^[a-z]+$", wrapped_replace=True
+    )
 
 
 def _pinned_seg_sql() -> str:
