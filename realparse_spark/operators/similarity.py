@@ -1719,10 +1719,13 @@ def mmr_diversify(
         .filter(F.col("rk") <= shortlist)
         .select("qid", "vec_id", "cos")
     )
-    un = emb.select("vec_id", unit(F.col("embedding")).alias("u"))
-    # one row per query: the bounded shortlist with unit vectors attached
+    # normalize AFTER the shortlist join: only Q*shortlist rows survive
+    # it, so evaluating unit() post-join skips a full-corpus O(N*d)
+    # normalization pass (guide §1.2 step 1 — don't compute what you
+    # throw away); same expression on the same values, bit-identical
     cands_g = (
-        short.join(un, "vec_id")
+        short.join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("qid", "vec_id", "cos", unit(F.col("embedding")).alias("u"))
         .groupBy("qid")
         .agg(
             F.array_sort(F.collect_list(F.struct("vec_id", "cos", "u"))).alias(

@@ -645,10 +645,14 @@ def source_overlap_matrix(fps: DataFrame, docs: DataFrame) -> DataFrame:
     SOURCE cardinality, which is what makes the matrix tractable where
     doc-level all-pairs is not.  With thousands of sources, apply the
     contamination_pairs fp_cap discipline first.  Output O(sources²)."""
+    # sfp feeds THREE consumers (counts + both self-join sides) — without
+    # a cut each re-runs the fp-to-source join + distinct (guide §2.4);
+    # the materialized table is the compact (source, fp) distinct set
     sfp = (
         fps.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     counts = sfp.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_fps"))
     a = sfp.select(F.col("source").alias("source_a"), "fp")
