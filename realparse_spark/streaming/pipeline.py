@@ -23,6 +23,39 @@ from pyspark.sql import functions as F
 from realparse_spark.operators.parse import parse_style5
 
 
+def _start_scaled(spark: SparkSession, writer):
+    """Start ``writer`` with the stateful shuffle width scaled to the
+    session's real parallelism, restoring the session conf afterwards.
+
+    Every stateful streaming operator instantiates one state store per
+    shuffle partition, the count is frozen into the checkpoint at the
+    first micro-batch, and AQE never applies to streaming plans — so a
+    default session (spark.sql.shuffle.partitions=200) runs these
+    lifecycles with 200 state stores per operator, and the per-batch
+    state-commit + scheduling overhead dwarfs the data (measured on a
+    default local[8] session at sf0.001: stream_join_e2e 103 s, the ten
+    lifecycles ~295 s of a 588 s all-query sweep; ~6x less once scoped).
+    min(current, defaultParallelism) sizes state to the machine while
+    honoring a session that already chose a SMALLER width; a production
+    deployment sizes state stores to state volume by setting the conf
+    itself, which this scope never raises.  The conf is restored
+    immediately after start(): StreamExecution clones the session at
+    start, so the running query keeps the scoped value.  The partition
+    count changes where state lives, never the rows computed.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        scoped = min(int(old), max(spark.sparkContext.defaultParallelism, 1))
+    except (TypeError, ValueError):
+        scoped = max(spark.sparkContext.defaultParallelism, 1)
+    spark.conf.set(key, str(scoped))
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set(key, old)
+
+
 def stream_log_lines(spark: SparkSession, log_dir: str, prefix: str = "rmaccess") -> DataFrame:
     """Streaming equivalent of S1/S2/S4: the file source discovers new
     rotated files per trigger; `maxFilesPerTrigger` bounds batch size at
@@ -65,13 +98,15 @@ def stream_load_access(
             "status_code", "bytes_sent", "file_time", "sent_time", "name", "path",
         )
     )
-    return (
-        access.writeStream.format("parquet")
-        .option("path", warehouse_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            access.writeStream.format("parquet")
+            .option("path", warehouse_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+        ),
     )
 
 
@@ -103,13 +138,15 @@ def stream_windowed_views(
             "name", "n_views", "total_sent_sec",
         )
     )
-    return (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+        ),
     )
 
 
@@ -148,13 +185,15 @@ def stream_session_views(
             "client_ip_address", "n_views", "total_sent_sec",
         )
     )
-    return (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+        ),
     )
 
 
@@ -185,11 +224,13 @@ def stream_upsert_access(
             keys=["client_ip_address", "event_ts"],
         )
 
-    return (
-        access.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            access.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+        ),
     )
 
 
@@ -216,13 +257,15 @@ def stream_dedup_docs(
         .withWatermark("ingest_ts", delay)
         .dropDuplicatesWithinWatermark(["fp_md5"])
     )
-    return (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+        ),
     )
 
 
@@ -257,13 +300,15 @@ def stream_term_counts(
         .agg(F.count("*").alias("n_mentions"))
         .select(F.col("w.start").alias("window_start"), "term", "n_mentions")
     )
-    return (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+        ),
     )
 
 
@@ -301,13 +346,15 @@ def stream_view_purchase_join(
         & (b.buy_ts >= v.view_ts)
         & (b.buy_ts < v.view_ts + F.expr(f"interval {within}")),
     ).select(v.user_id, "view_ts", "buy_ts", "value")
-    return (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+        ),
     )
 
 
@@ -330,13 +377,15 @@ def stream_enrich_access(
         "client_ip_address", "event_ts", "name", "bytes_sent"
     )
     enriched = events.join(F.broadcast(dim), "client_ip_address", "left")
-    return (
-        enriched.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            enriched.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+        ),
     )
 
 
@@ -383,11 +432,13 @@ def stream_quality_route(
         batch.filter(~F.col("keep")).drop("keep").write.mode("append").parquet(out_drop)
         batch.unpersist()
 
-    return (
-        scored.writeStream.foreachBatch(route)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            scored.writeStream.foreachBatch(route)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+        ),
     )
 
 
@@ -467,11 +518,13 @@ def stream_sessionize(
     sessions = events.groupBy("client_ip_address").applyInPandasWithState(
         fn, out_schema, state_schema, "append", mode
     )
-    return (
-        sessions.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _start_scaled(
+        spark,
+        (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+        ),
     )

@@ -62,7 +62,11 @@ def test_all_queries_on_default_session():
         [sys.executable, "-c", SCRIPT],
         capture_output=True,
         text=True,
-        timeout=540,
+        # 262 queries on local[8]: ~420 s measured (was 588 s before the
+        # streaming lifecycles scaled their state-store width to the
+        # session's parallelism, pipeline.py _start_scaled); headroom for
+        # co-tenant windows without letting a genuine hang run unbounded
+        timeout=900,
         cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
