@@ -267,7 +267,14 @@ def _gram_pair_counts(docs: DataFrame, n: int, df_cap: int) -> DataFrame:
 def _gram_pair_counts_from(rare: DataFrame) -> DataFrame:
     """Pair counting over an already-materialized posting table (a
     localCheckpoint or the fingerprint-keyed parquet cache)."""
-    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    # sizes is broadcast to BOTH pair sides — one O(docs)-row
+    # materialization instead of two full aggregation passes over the
+    # posting table (guide §2.4)
+    sizes = (
+        rare.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .localCheckpoint(eager=False)
+    )
     a = rare.alias("a")
     b = rare.alias("b")
     common = (

@@ -103,14 +103,27 @@ def dsir_fit(
     return _fit_tf(_bigram_tf(docs), target_source, top_k)
 
 
-def _fit_tf(tf: DataFrame, target_source: str, top_k: int) -> DataFrame:
+def _fit_topk(tf: DataFrame, target_source: str, top_k: int) -> DataFrame:
+    """The pre-checkpoint top-K vocabulary stage, split out (like
+    semdedup's `_assign_and_score`) so plan gates can assert the
+    TakeOrdered — the checkpoint in `_fit_tf` truncates it from the
+    final query plan."""
     is_t = F.col("source") == target_source
     vocab = tf.groupBy("bg").agg(
         F.sum(F.when(is_t, F.col("tf")).otherwise(0)).cast("bigint").alias("cnt_t"),
         F.sum(F.when(~is_t, F.col("tf")).otherwise(0)).cast("bigint").alias("cnt_r"),
         F.sum("tf").cast("bigint").alias("total"),
     )
-    topk = vocab.orderBy(F.col("total").desc(), "bg").limit(top_k)
+    return vocab.orderBy(F.col("total").desc(), "bg").limit(top_k)
+
+
+def _fit_tf(tf: DataFrame, target_source: str, top_k: int) -> DataFrame:
+    # topk feeds BOTH the totals aggregate and the ratio projection — the
+    # K-row materialization stops the full-corpus vocab aggregation above
+    # from running once per consumer (plan read: the groupBy(bg) +
+    # TakeOrdered subtree appeared twice, the 2nd feeding totals' 1-row
+    # broadcast; guide §2.4)
+    topk = _fit_topk(tf, target_source, top_k).localCheckpoint(eager=False)
     totals = topk.agg(
         F.sum("cnt_t").cast("bigint").alias("t_tot"),
         F.sum("cnt_r").cast("bigint").alias("r_tot"),
@@ -1517,13 +1530,16 @@ def pca_power_iter(emb: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     O(1)-deep (the kmeans_train discipline).  No joins on vec_id, no
     windows, nothing driver-side."""
     long = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    # mu feeds the centering broadcast AND the final per-dimension join —
+    # without the d-row materialization the corpus-wide posexplode +
+    # groupBy(pos) above runs once per consumer (guide §2.4)
     mu = long.groupBy("pos").agg(
         F.round(
             F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("mu")
-    )
+    ).localCheckpoint(eager=False)
     mu_row = mu.groupBy().agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]

@@ -305,11 +305,23 @@ def nb_langid_confusion(docs: DataFrame, test_mod: int = NB_TEST_MOD) -> DataFra
             ),
             (F.col("tot_c") + F.col("v")).alias("denom"),
         )
+        # O(C) rows, FIVE consumers (lp's denom join, contrib's lp0 grid,
+        # scores' prior grid, plus lp's own two references below): without
+        # the cut each broadcast build re-derived cls from the docs scan +
+        # wc aggregation + n_train/vsz rollups — 102 Exchanges in the
+        # executed plan, ~20 after (guide §2.4)
+        .localCheckpoint(eager=False)
     )
-    lp = wc.join(F.broadcast(cls.select("c", "denom")), "c").select(
-        "c",
-        "w",
-        F.round(F.log((F.col("cnt") + 1) / F.col("denom")), 6).alias("lp"),
+    lp = (
+        wc.join(F.broadcast(cls.select("c", "denom")), "c")
+        .select(
+            "c",
+            "w",
+            F.round(F.log((F.col("cnt") + 1) / F.col("denom")), 6).alias("lp"),
+        )
+        # vocab-bounded (V x C); consumed twice (in-vocab filter + the
+        # left join) — one materialization instead of two wc passes
+        .localCheckpoint(eager=False)
     )
     tf = base.filter(is_test).select("doc_id", "w", "tf")
     # keep only train-vocab tokens (see docstring), then fan out per class

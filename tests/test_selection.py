@@ -253,13 +253,23 @@ def test_selection_plans_are_scale_clean(spark):
     TakeOrdered (no global sort of the vocabulary), and semdedup's
     centroid join broadcasts (never a shuffled nested loop)."""
     from realparse_spark.operators.selection import (
+        DSIR_TARGET_SOURCE,
+        DSIR_TOP_K,
         _assign_and_score,
+        _bigram_tf,
+        _fit_topk,
         q_dsir_importance,
     )
     from realparse_spark.plans import explain as X
 
+    # pre-checkpoint stage (the K-row topk materialization truncates it
+    # from the full query plan — same split as _assign_and_score below)
+    docs = load_table(spark, SF, "documents")
+    plan0 = X.executed_plan(_fit_topk(_bigram_tf(docs), DSIR_TARGET_SOURCE, DSIR_TOP_K))
+    assert "TakeOrderedAndProject" in plan0
+    # the full query must not reintroduce a global sort of the vocabulary
     plan = X.executed_plan(q_dsir_importance(spark, SF))
-    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
     # the assignment stage pre-checkpoint: centroid join must broadcast
     emb = load_table(spark, SF, "embeddings")
     plan2 = X.executed_plan(_assign_and_score(emb))
