@@ -50,6 +50,7 @@ def pagerank(
     broadcast_ranks: bool = False,
     deg: DataFrame | None = None,
     weighted: bool = False,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (src, dst).
 
@@ -78,6 +79,15 @@ def pagerank(
     """
     if weighted:
         edges = edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+    elif edges_unique:
+        # caller guarantees one row per (src, dst) — e.g. the co-order
+        # snapshot, whose build pass ends in groupBy(src, dst).  The
+        # dedup below is then "a distinct on data that is already
+        # unique" (guide §2.4), and because `edges` is re-read once per
+        # iteration it would cost a FULL edge shuffle per iteration —
+        # the duplicated-subtree sweep found it evaluated 3x in
+        # q_pagerank_parts' executed plan.
+        edges = edges.select("src", "dst")
     else:
         edges = edges.select("src", "dst").distinct()
     if deg is None:
@@ -214,7 +224,9 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = _co_order_edges_for(spark, sf_dir)
     edges = spark.read.parquet(os.path.join(snap, "edges"))
     deg = spark.read.parquet(os.path.join(snap, "deg"))
-    out = pagerank(edges, iterations=3, broadcast_ranks=True, deg=deg)
+    out = pagerank(
+        edges, iterations=3, broadcast_ranks=True, deg=deg, edges_unique=True
+    )
     return (
         out.select(
             F.col("node").cast("bigint").alias("part"),

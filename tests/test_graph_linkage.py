@@ -47,6 +47,26 @@ def test_pagerank_duplicate_edges_collapse(spark):
     )
 
 
+def test_pagerank_edges_unique_skips_dedup_same_result(spark):
+    # callers that guarantee one row per (src, dst) — e.g. the co-order
+    # snapshot, whose build ends in groupBy(src, dst) — may skip the
+    # per-iteration distinct shuffle; the ranks must be identical
+    once = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")], ["src", "dst"]
+    )
+    assert sorted(map(tuple, pagerank(once, 2).collect())) == sorted(
+        map(tuple, pagerank(once, 2, edges_unique=True).collect())
+    )
+    # and the dedup aggregation is really gone from the plan
+    from realparse_spark.plans import explain as X
+
+    plan = X.executed_plan(pagerank(once, 2, edges_unique=True))
+    import re
+
+    # (single-key aggregates remain: deg's groupBy(src) is legitimate)
+    assert not re.search(r"HashAggregate\(keys=\[src#\d+L?, dst#\d+", plan)
+
+
 def test_weighted_pagerank_hand_computed(spark):
     # A - B heavy (w=3), B - C light (w=1): strength A=3, B=4, C=1, N=3
     edges = spark.createDataFrame(
