@@ -225,6 +225,8 @@ EXTRA = [
     "t_closeness",          # EMD release audit (all-integer, completes the trio)
     "emb_dim_variance",     # per-dimension variance / width-pruning profile
     "forecast_backtest",    # seasonal-naive MAE/bias/WAPE accuracy table
+    "distinct_merge_exact",  # exact twin of the HLL rollup (oracled companion)
+    "audience_overlap_exact",  # exact twin of the theta algebra (oracled companion)
     # (the streaming lifecycles — stream_*_e2e — are correctness-only:
     # wall time is trigger/checkpoint overhead, not throughput)
 ]
@@ -408,6 +410,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # cold-pass honesty (r11 verdict item 4): the fingerprint-keyed
+    # parquet snapshots (LSH/prefix/co-order/BPE indexes) live in /tmp and
+    # survive across runs, so a second bench on an unwiped host would
+    # report cold times that silently exclude the index builds.  Wipe
+    # them BEFORE the session exists (no reader can hold a plan yet) so
+    # every cold number includes the build it pays on a fresh host.
+    from realparse_spark.cache import wipe_snapshots
+
+    snapshots_wiped = wipe_snapshots()
+
     from realparse_spark.registry import all_queries
     from realparse_spark.session import get_spark
 
@@ -510,6 +522,16 @@ def main() -> None:
         "queries_extra": extra,
         "queries_extra_warm": extra_warm,
         "remeasures": remeasures,
+        # scaling-probe honesty (r11 verdict item 2): at this SF a warm
+        # query under ~1 s is dominated by fixed per-job overhead
+        # (scheduling, codegen cache lookups, collect), so its 8-vs-32
+        # core ratio carries no signal about the plan's parallelism —
+        # list them so a ≈1 ratio is read as overhead-bound, not as an
+        # ignored core count.
+        "scaling_overhead_bound": sorted(
+            n for n, v in {**warm, **extra_warm}.items() if v < 1.0
+        ),
+        "snapshots_wiped": snapshots_wiped,
     }
     summary = {
         "metric": "headline_queries_total",
@@ -523,6 +545,13 @@ def main() -> None:
         "sf": sf,
         "agg_ratio": agg_ratio,
         "regressions": regressions,
+        # parallelism contract, self-evidencing (r11 verdict item 2): the
+        # session is local[$SPARK_GRAFT_CPUS]; print what the JVM actually
+        # resolved so a scaling run can verify the env var was honored
+        # without trusting the harness.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
         # host context for reading drift verdicts (see host_probe)
         "probe_sec": host_probe(),
         "effective_cores": eff,
@@ -531,6 +560,7 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump({**summary, **detail}, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps(summary))
     if regressions:
         print("BENCH REGRESSION: " + "; ".join(regressions), file=sys.stderr)

@@ -34,6 +34,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 from collections.abc import Callable
 
 
@@ -51,6 +52,48 @@ from collections.abc import Callable
 # Old-version directories in /tmp are left for the OS tmp reaper —
 # deleting them could yank part-files from a concurrent reader's plan.
 SNAPSHOT_VERSION = 2
+
+# Every snapshot family's directory prefix (the ``prefix`` argument each
+# builder passes to ``snapshot_path``).  Kept here so a bench/CI run can
+# wipe exactly the cross-run snapshot caches — and nothing else — before
+# its cold pass: /tmp outlives processes, so without a wipe a second bench
+# on the same host reports "cold" times that silently exclude the index
+# builds (round-11 verdict item 4).  Per-process scratch dirs
+# (``mkdtemp(prefix="realparse_...")``) are NOT listed: they are never
+# reused across runs, so they cannot distort a cold measurement.
+SNAPSHOT_PREFIXES = (
+    "realparse_bpe_",
+    "realparse_clusters_",
+    "realparse_coedges_",
+    "realparse_ivf_",
+    "realparse_lsh_",
+    "realparse_mhsig_",
+    "realparse_postings_",
+    "realparse_prefidx_",
+    "realparse_tfidf_",
+    "realparse_winnow_",
+)
+
+
+def wipe_snapshots() -> int:
+    """Delete every installed cross-run snapshot under the system tmpdir.
+
+    For cold-measurement honesty ONLY (call before any Spark session holds
+    a plan over a snapshot — bench.py start).  Matches the exact
+    ``<family-prefix><12-hex>`` layout ``snapshot_path`` installs; returns
+    the number of directories removed."""
+    import re
+
+    root = tempfile.gettempdir()
+    pat = re.compile(
+        "^(" + "|".join(re.escape(p) for p in SNAPSHOT_PREFIXES) + ")[0-9a-f]{12}$"
+    )
+    removed = 0
+    for name in os.listdir(root):
+        if pat.match(name):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def fingerprint_key(sf_dir: str, table: str, *extras) -> tuple:
@@ -85,6 +128,32 @@ def snapshot_path(
     writer creates one for single-table snapshots; multi-table builders
     get one added only after every sub-table landed).
     """
+    path = cache.get(key)
+    if path is not None and os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path
+    # THREADS in one process need the same discipline as processes: the
+    # tmp dir below is pid-keyed, so two threads building the SAME key
+    # would write into one directory and corrupt each other's parquet
+    # (observed once the test suite started thread-pooling its all-query
+    # sweeps).  One lock per key serializes same-key builders in-process;
+    # distinct keys still build concurrently, and the cross-process story
+    # (steps 1-3 in the module docstring) is unchanged.
+    with _KEY_LOCKS_GUARD:
+        key_lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with key_lock:
+        return _snapshot_path_locked(cache, key, prefix, build)
+
+
+_KEY_LOCKS: dict[tuple, threading.Lock] = {}
+_KEY_LOCKS_GUARD = threading.Lock()
+
+
+def _snapshot_path_locked(
+    cache: dict[tuple, str],
+    key: tuple,
+    prefix: str,
+    build: Callable[[str], None],
+) -> str:
     path = cache.get(key)
     if path is not None and os.path.isfile(os.path.join(path, "_SUCCESS")):
         return path

@@ -17,10 +17,19 @@ and exactly-once.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realparse_spark.operators.parse import parse_style5
+
+# the set/start/restore scope below is NOT atomic on the session conf; two
+# threads starting lifecycles concurrently (the test suite's thread-pooled
+# all-query sweep, guide §2.6) could interleave restores and leave the conf
+# at the scoped value.  Starts are quick (the stream runs async after), so
+# one lock costs nothing.
+_START_LOCK = threading.Lock()
 
 
 def _start_scaled(spark: SparkSession, writer):
@@ -44,16 +53,17 @@ def _start_scaled(spark: SparkSession, writer):
     count changes where state lives, never the rows computed.
     """
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    try:
-        scoped = min(int(old), max(spark.sparkContext.defaultParallelism, 1))
-    except (TypeError, ValueError):
-        scoped = max(spark.sparkContext.defaultParallelism, 1)
-    spark.conf.set(key, str(scoped))
-    try:
-        return writer.start()
-    finally:
-        spark.conf.set(key, old)
+    with _START_LOCK:
+        old = spark.conf.get(key)
+        try:
+            scoped = min(int(old), max(spark.sparkContext.defaultParallelism, 1))
+        except (TypeError, ValueError):
+            scoped = max(spark.sparkContext.defaultParallelism, 1)
+        spark.conf.set(key, str(scoped))
+        try:
+            return writer.start()
+        finally:
+            spark.conf.set(key, old)
 
 
 def stream_log_lines(spark: SparkSession, log_dir: str, prefix: str = "rmaccess") -> DataFrame:

@@ -135,3 +135,28 @@ def test_driver_window_integrity():
     assert len(set(_PRIORITY)) == 50
     assert all(name in q for name in _PRIORITY)
     assert list(q)[:50] == list(_PRIORITY)
+
+
+def test_wipe_snapshots_removes_only_snapshot_dirs(monkeypatch, tmp_path):
+    """bench.py's cold-pass guard must delete exactly the installed
+    <family-prefix><12-hex> snapshot dirs — never per-process scratch
+    (realparse_results_*, realparse_stream_*), partial .tmp-<pid> dirs
+    (the install protocol owns those), or the warehouse."""
+    import tempfile
+
+    from realparse_spark.cache import SNAPSHOT_PREFIXES, wipe_snapshots
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    keep = [
+        "realparse_results_ab12cd34ef56",  # scratch family, not a snapshot
+        "realparse_stream_e2e_x1",
+        "realparse-warehouse",
+        "realparse_lsh_0123456789ab.tmp-4242",  # partial builder dir
+        "realparse_lsh_0123",  # wrong hash width
+    ]
+    wipe = [p + "0123456789ab" for p in SNAPSHOT_PREFIXES]
+    for name in keep + wipe:
+        (tmp_path / name).mkdir()
+    assert wipe_snapshots() == len(wipe)
+    left = {p.name for p in tmp_path.iterdir()}
+    assert left == set(keep)

@@ -192,12 +192,21 @@ def test_all_queries_survive_tiny_corpus(spark, tmp_path, n_rows):
         spark.read.parquet(os.path.join(src, f"{t}.parquet")).limit(n_rows).write.parquet(
             os.path.join(d, f"{t}.parquet")
         )
-    failures = []
-    for name, fn in all_queries().items():
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_one(item):
+        name, fn = item
         try:
             fn(spark, d).count()
+            return None
         except Exception as e:  # noqa: BLE001 — collecting every failure
-            failures.append((name, repr(e).splitlines()[0][:90]))
+            return (name, repr(e).splitlines()[0][:90])
+
+    # 262 tiny jobs are pure per-job overhead; overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = sorted(
+            r for r in pool.map(run_one, list(all_queries().items())) if r
+        )
     assert not failures, failures
 
 

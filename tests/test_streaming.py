@@ -174,12 +174,36 @@ def test_stream_sessionize(spark, stream_log_dir, tmp_path):
     (stream_log_dir / "rmaccess.log.9").write_text(
         style5_line("10.0.0.1", "12/Oct/2002:14:00:00", "/m/z.rm") + "\n"
     )
-    q = stream_sessionize(spark, str(stream_log_dir), out, ckpt, gap_minutes=30)
-    q.awaitTermination(180)
-    rows = spark.read.parquet(out).collect()
-    by_ip = {(r.client_ip_address, r.n_events) for r in rows}
-    # ip1: events at 09:00, 09:10 then 14:00 -> first session (2 events) closed
-    assert ("10.0.0.1", 2) in by_ip
+    # a SHORT processing-time timeout: availableNow keeps scheduling
+    # micro-batches while timeouts are armed, so the open tails flush
+    # ~2 s after the data batch and the query then terminates on its own
+    # (the default 60 s timeout made this test sit idle for minutes
+    # without ever asserting the flush it was waiting out)
+    q = stream_sessionize(
+        spark, str(stream_log_dir), out, ckpt, gap_minutes=30, timeout_ms=2000
+    )
+    # an availableNow run with ProcessingTimeTimeout keeps scheduling
+    # micro-batches indefinitely (even after every key flushed — observed
+    # here and documented in stream_sessionize's docstring), so poll the
+    # sink for the expected rows and stop the query explicitly instead of
+    # waiting out a timeout that will never fire
+    import time as _time
+
+    want = {("10.0.0.1", 2), ("10.0.0.1", 1)}
+    by_ip: set = set()
+    deadline = _time.time() + 120
+    while _time.time() < deadline and not want <= by_ip:
+        _time.sleep(1)
+        try:
+            rows = spark.read.parquet(out).collect()
+        except Exception:  # noqa: BLE001 — sink dir not written yet
+            continue
+        by_ip = {(r.client_ip_address, r.n_events) for r in rows}
+    q.stop()
+    # ip1: events at 09:00, 09:10 then 14:00 -> first session (2 events)
+    # closed by the gap; the 14:00 tail is flushed by the processing-time
+    # TIMEOUT path (state emitted + removed), not left open forever
+    assert want <= by_ip, by_ip
 
 
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
