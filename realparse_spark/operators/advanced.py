@@ -483,6 +483,85 @@ def q_approx_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT surrogate for `approx_distinct_merge` (oracled companion —
+    the r11 verdict's exact-surrogate task): the same per-type audience
+    rollup computed from the raw rows, so the driver hash-verifies the
+    grouping/date plumbing the HLL query shares, and the sketch's
+    estimate has an in-repo exact twin to be graded against at any
+    scale.  One multi-distinct aggregate (Catalyst plans count_distinct
+    pairs via a single Expand — one shuffle, no joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.to_date("ts")).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DISTINCT_MERGE_EXACT_SQL = """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_audience_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT surrogate for `approx_audience_overlap` (oracled companion):
+    identical segment predicates, set algebra done on exact per-user
+    flags instead of theta sketches.  One pass to per-user flags (the
+    user_id groupBy), one O(1)-row rollup — the shape a pipeline runs to
+    CALIBRATE its sketch estimates, and the hash-verified twin that
+    pins the segment logic the sketch query shares."""
+    ev = load_table(spark, sf_dir, "events")
+    is_v = (F.col("event_type") == "view") & (F.col("value") > 98)
+    is_b = (F.col("event_type") == "purchase") & (F.col("value") > 98)
+    flags = (
+        ev.filter(is_v | is_b)
+        .groupBy("user_id")
+        .agg(
+            F.max(is_v.cast("int")).alias("v"),
+            F.max(is_b.cast("int")).alias("b"),
+        )
+    )
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return flags.agg(
+        cnt(F.col("v") == 1).alias("n_viewers"),
+        cnt(F.col("b") == 1).alias("n_buyers"),
+        cnt((F.col("v") == 1) & (F.col("b") == 1)).alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_either"),
+        cnt((F.col("v") == 1) & (F.col("b") == 0)).alias("n_viewer_only"),
+    )
+
+
+AUDIENCE_OVERLAP_EXACT_SQL = """
+WITH flags AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'view' AND value > 98 THEN 1 ELSE 0 END) AS v,
+    max(CASE WHEN event_type = 'purchase' AND value > 98 THEN 1 ELSE 0 END) AS b
+  FROM events
+  WHERE (event_type = 'view' AND value > 98)
+     OR (event_type = 'purchase' AND value > 98)
+  GROUP BY user_id
+)
+SELECT
+  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewers,
+  CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
+  CAST(sum(CASE WHEN v = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+  CAST(count(*) AS BIGINT) AS n_either,
+  CAST(sum(CASE WHEN v = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewer_only
+FROM flags
+"""
+
+
 def q_approx_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch (`approx_top_k`): heaviest users by event
     count from ONE pass with bounded memory (maxItemsTracked), exploded to
@@ -1366,8 +1445,10 @@ QUERIES = {
     "window_distribution": q_window_distribution,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_merge": q_approx_distinct_merge,
+    "distinct_merge_exact": q_distinct_merge_exact,
     "approx_topk_users": q_approx_topk_users,
     "approx_audience_overlap": q_approx_audience_overlap,
+    "audience_overlap_exact": q_audience_overlap_exact,
     "approx_quantiles": q_approx_quantiles,
     "cms_user_counts": q_cms_user_counts,
 }
@@ -1401,4 +1482,8 @@ ORACLES = {
     # cms_user_counts by contrast IS exactly oracled: its LCG hash family
     # is plain int64 arithmetic either engine reproduces bit-for-bit.
     "cms_user_counts": CMS_USER_COUNTS_SQL,
+    # the sketch family's exact-surrogate companions (hash-verified twins
+    # of approx_distinct_merge / approx_audience_overlap)
+    "distinct_merge_exact": DISTINCT_MERGE_EXACT_SQL,
+    "audience_overlap_exact": AUDIENCE_OVERLAP_EXACT_SQL,
 }

@@ -610,3 +610,30 @@ def test_emb_drift_identity_and_shift(spark):
     assert out[0].centroid_cos == 1.0
     assert out[0].n_delta == 0 and out[0].n_epoch0 == 40
     assert out[1].centroid_cos < 0.2  # near-orthogonal planted shift
+
+
+def test_sketch_estimates_match_exact_companions(spark, sf_dir):
+    """The exact-surrogate companions must agree with their sketches at
+    fixture scale: theta sketches are exact below nominal capacity, and
+    the HLL rollup's shared plumbing (grain, counts) must match exactly
+    with the estimate inside its error bound."""
+    from realparse_spark.operators.advanced import (
+        q_approx_audience_overlap,
+        q_approx_distinct_merge,
+        q_audience_overlap_exact,
+        q_distinct_merge_exact,
+    )
+
+    a = q_approx_audience_overlap(spark, sf_dir).collect()[0]
+    e = q_audience_overlap_exact(spark, sf_dir).collect()[0]
+    assert (
+        a.est_viewers, a.est_buyers, a.est_both, a.est_either, a.est_viewer_only
+    ) == (e.n_viewers, e.n_buyers, e.n_both, e.n_either, e.n_viewer_only)
+
+    am = {r.event_type: r for r in q_approx_distinct_merge(spark, sf_dir).collect()}
+    em = {r.event_type: r for r in q_distinct_merge_exact(spark, sf_dir).collect()}
+    assert set(am) == set(em)
+    for t, er in em.items():
+        ar = am[t]
+        assert (ar.n_events, ar.n_daily_sketches) == (er.n_events, er.n_days), t
+        assert abs(ar.approx_users - er.n_users) <= max(3, 0.05 * er.n_users), t
