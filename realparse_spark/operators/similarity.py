@@ -403,34 +403,58 @@ def lsh_probe_batch(
             for off, size in _chunk_bounds()[: radius + 1]
         ]
     )
-    probes = (
-        queries.select(
-            "query_id",
-            F.col("embedding").alias("qe"),
-            _sketch(F.col("embedding"), planes).alias("qsk"),
-        )
-        .select("query_id", "qe", "qsk", F.posexplode(chunks).alias("chunk_id", "chunk_val"))
+    sq = queries.select(
+        "query_id",
+        F.col("embedding").alias("qe"),
+        _sketch(F.col("embedding"), planes).alias("qsk"),
+    )
+    probes = sq.select(
+        "query_id", "qsk", F.posexplode(chunks).alias("chunk_id", "chunk_val")
     )
     idx = spark.read.parquet(index_path)
     # hamming filter BEFORE the dedup shuffle: bit_count is a per-row
     # scalar (same verdict for every duplicate of a (query, vec) pair),
     # so filtering first is semantics-preserving and the dropDuplicates
-    # exchange only carries survivors
+    # exchange only carries survivors.  The QUERY vector does not ride
+    # along at all (guide §2.3, project before the exchange): candidate
+    # rows carry only (query_id, vec_id, label, embedding) through the
+    # dedup — qe re-attaches from the tiny per-query table afterwards,
+    # which also lets its norm be evaluated ONCE per query instead of
+    # once per candidate pair (the r11 norm-hoist discipline).
     cand = (
         idx.join(probes, ["chunk_id", "chunk_val"])
-        .select("query_id", "qe", "qsk", "vec_id", "label", "embedding", "sketch")
         .filter(F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsk"))) <= radius)
+        .select("query_id", "vec_id", "label", "embedding")
         .dropDuplicates(["query_id", "vec_id"])
     )
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    # same fold expressions as dedup.cosine(), with the query-side norm
+    # computed per QUERY row (qside materializes before the join, so the
+    # sqrt-fold runs |Q| times, not once per candidate); na*qn is the
+    # identical IEEE multiply cosine() evaluates as na*nb, and the
+    # when/round shape matches exactly -> every cos is bit-identical
+    # (parity with lsh_probe stays test-pinned)
+    sqsum = lambda a: F.aggregate(  # noqa: E731
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qside = sq.select("query_id", "qe", F.sqrt(sqsum(F.col("qe"))).alias("qn"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    denom = F.sqrt(sqsum(F.col("embedding"))) * F.col("qn")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        cand.select(
+        cand.join(qside, "query_id")
+        .select(
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
+            F.round(F.when(denom > 0, dot / denom), 4).alias("cos"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

@@ -162,6 +162,37 @@ def test_lsh_batch_probe_matches_per_query(spark, sf_dir, tmp_path):
         assert sorted(got.get(qid, [])) == sorted(expect), qid
 
 
+def test_lsh_batch_probe_dedup_is_narrow(spark, sf_dir, tmp_path):
+    """r12 shape pin: the batch probe's candidate dedup exchange must not
+    carry the QUERY vector (it re-attaches from the per-query table via a
+    broadcast afterwards) — one corpus-side array through the shuffle,
+    never two, and the re-attach must never become a shuffle join."""
+    from pyspark.sql import functions as F
+
+    from realparse_spark.operators.similarity import build_lsh_index, lsh_probe_batch
+    from realparse_spark.plans import explain as X
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_lsh_index(emb, str(tmp_path / "lsh_narrow"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = lsh_probe_batch(spark, idx, queries, k=7, radius=4)
+    plan = X.executed_plan(df)
+    # the qe/qn re-attach is the SECOND BroadcastHashJoin; nothing shuffles
+    assert X.broadcast_join_count(df) >= 2
+    assert X.sortmerge_join_count(df) == 0
+    # the dedup aggregation keeps exactly one array-typed column
+    # (embedding): its partial-agg buffers print as first/valueSet pairs,
+    # 3 value columns total (label, embedding, and nothing from the query)
+    dedup_lines = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning(query_id" in ln and "vec_id" in ln
+    ]
+    assert dedup_lines, plan
+    assert not any("qe" in ln or "qsk" in ln or "sketch" in ln for ln in dedup_lines), dedup_lines
+
+
 def test_knn_join_ivf_recall(spark, sf_dir, tmp_path):
     """Centroid-blocked batch k-NN (the documented 100 TB block key) must
     recall a healthy share of the exact all-pairs top-k despite block

@@ -9,7 +9,7 @@ a `.bench_hold` sentinel in the repo root so local pytest/smoke runs
 don't masquerade as co-tenancy.
 
 Usage: nohup python3 tools/bench_watch.py > bench_watch.log 2>&1 &
-Writes each attempt to bench_run_r11_watch_<n>.log and stops after the
+Writes each attempt to bench_run_r12_watch_<n>.log and stops after the
 first rc=0 run (or MAX_ATTEMPTS).
 """
 
@@ -49,7 +49,7 @@ def main() -> None:
             time.sleep(POLL_SEC)
             continue
         attempt += 1
-        log = os.path.join(REPO, f"bench_run_r11_watch_{attempt}.log")
+        log = os.path.join(REPO, f"bench_run_r12_watch_{attempt}.log")
         print(f"[watch] clean window — running bench -> {log}", flush=True)
         with open(log, "w") as fh:
             rc = subprocess.call(
